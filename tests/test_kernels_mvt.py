@@ -101,7 +101,7 @@ def test_encode_tile_and_pbf_roundtrip_size():
     feats = [{
         "layer": "urf:UrbanPlanningArea",
         "feature_id": "urf_001",
-        "mpoly": [[[[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]][::-1]]],
+        "mpoly": [[[[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]]]],
         "attrs": [("ward", mvt.TagsEncoder.v_string("chiyoda")),
                   ("pop", mvt.TagsEncoder.v_int(66000))],
     }]
