@@ -121,7 +121,7 @@ def test_encode_tile_and_pbf_roundtrip_size():
 def test_make_tile_adaptive_returns_full_detail_for_small():
     feats = [{
         "layer": "l", "feature_id": None,
-        "mpoly": [[[[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0]]]],
+        "mpoly": [[[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]]],
         "attrs": [],
     }]
     data, detail = mvt.make_tile_adaptive(feats)

@@ -121,6 +121,7 @@ def test_zxy_from_lng_lat_valid():
 
 def test_mvt_tile_at_tokyo():
     # Tokyo Tower approx (139.7454, 35.6586): standard slippy tile z=12 is
-    # (3637, 1612) — verified against the slippy-map formula.
+    # (3637, 1613) — cross-checked against the slippy-map formula
+    # floor((1 - ln(tan φ + sec φ)/π)/2 · 2^z) = 1613.23 → 1613.
     x, y = tiling.mvt_tile_at(np.array([12]), 139.7454, 35.6586)
-    assert (int(x[0]), int(y[0])) == (3637, 1612)
+    assert (int(x[0]), int(y[0])) == (3637, 1613)
