@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship measurement is the BASELINE.json north-star workload: synthetic
+pages (deterministic, generated in-plan via spark.range — no外部 data) →
+geocode → z12 cell → broadcast spatial join vs the 23 ward polygons + exact
+PIP → per-ward agg; plus z7..15 tile assignment with Hilbert ids. Reported
+as wall seconds AND pages/sec throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+
+
+def build_pages(spark, n):
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.functions import geo
+
+    base = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    # embed coordinates in text and re-extract them — the geocode stage is
+    # part of the measured work (format + regexp, all JVM-side)
+    return base.select(
+        "doc_id",
+        F.format_string("地点 lat_udeg=%d lng_udeg=%d 東京", lat, lng)
+        .alias("text"))
+
+
+def flagship_spatial_join(spark, n_pages):
+    from plateau_gis_converter_spark.operators import geocode as gc
+    from plateau_gis_converter_spark.operators import spatial_join as sj
+    from plateau_gis_converter_spark.sources import fixtures as fx
+
+    pages = build_pages(spark, n_pages)
+    pts = gc.geocode_expr(pages)
+    joined = sj.spatial_join_points(spark, pts, fx.tessellation_records())
+    from pyspark.sql import functions as F
+
+    return joined.groupBy("ward_code").agg(F.count(F.lit(1)).alias("n")).count()
+
+
+def flagship_tile_assign(spark, n_pages):
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.functions import geo
+    from plateau_gis_converter_spark.operators import tile_assign as ta
+
+    base = spark.range(0, n_pages).select(F.col("id").alias("doc_id"))
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pts = base.select("doc_id", lng, lat)
+    tiles = ta.assign_point_tiles(pts, 7, 15, with_tile_id=True)
+    return tiles.groupBy("z").agg(F.count(F.lit(1)).alias("n")).count()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+    from plateau_gis_converter_spark.session import get_spark
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: spatial join + tile assignment throughput over N_PAGES
+    run("spatial_join_1m", lambda: flagship_spatial_join(spark, N_PAGES))
+    run("tile_assign_1m", lambda: flagship_tile_assign(spark, N_PAGES))
+
+    # operator coverage at sf_dir (entry-query implementations)
+    for qname in ["pricing_summary", "revenue_by_nation", "window_top_orders",
+                  "events_sessionize", "events_windowed", "dedup_ngram_jaccard",
+                  "minhash_signatures", "simhash", "embedding_topk",
+                  "hilbert_tile_id", "tile_rollup", "spatial_join_pip",
+                  "text_features"]:
+        fn = eq.QUERIES[qname]
+        run(qname, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    spatial_secs = timings["spatial_join_1m"] + timings["tile_assign_1m"]
+    throughput = round(2 * N_PAGES / spatial_secs, 1)
+    print(json.dumps({
+        "metric": "headline suite wall time (spatial join + tile assign on "
+                  f"{N_PAGES} pages + operator queries at sf_dir)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "pages": N_PAGES,
+        "spatial_pages_per_sec": throughput,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,9 @@ def quantize_ring(ring: np.ndarray, extent: int) -> np.ndarray:
     Rust `(x * extent + 0.5) as i16` truncates toward zero — replicated with
     np.trunc (NOT rounding).
     """
+    if isinstance(ring, np.ndarray) and ring.dtype == object:
+        # ragged object array from Arrow — stack point-wise
+        ring = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
     arr = np.asarray(ring, dtype=np.float64) * float(extent) + 0.5
     return np.trunc(arr).astype(np.int16)
 

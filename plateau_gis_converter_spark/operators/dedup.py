@@ -52,9 +52,12 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     the sliding index range -> array_distinct -> explode.
     """
     toks = F.transform(_tokens(text_col), lambda t: F.lower(t))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)  # valid only when size >= n
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    # guard: Spark's sequence(0, negative) would count DOWN — emit none instead
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
     return (docs
             .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")))
 
@@ -104,7 +107,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     One groupBy(doc_id) shuffle; signature width is constant (k), so state
     per key is O(k) regardless of doc size — safe at 10^12 rows.
     """
-    p = (1 << 61) - 1  # Mersenne prime, products stay < 2^63 after mod
+    p = (1 << 31) - 1  # Mersenne prime; (h % p) * a + b stays < 2^63
     sh = shingles(docs, n, text_col).withColumn("h", _hash64_15hex(F.col("shingle")))
     aggs = []
     for i in range(num_hashes):

@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` UDFs. The decode step itself is STUBBED (the
+sandbox has no image/audio libraries): ``decode_image_stub`` produces a
+deterministic fake decode so the Spark-side plumbing — schema, batch shape,
+partitioning, UDF signature — is fully real and tested; swap the stub body
+for PIL/libvips/ffmpeg in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("header_hex", T.StringType()),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("phash", T.LongType()),
+])
+
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mp3"),
+    (b"\x00\x00\x00", "video/mp4"),
+    (b"<htm", "text/html"),
+    (b"<!do", "text/html"),
+]
+
+
+def sniff_media_type(blob: bytes) -> str:
+    """Magic-prefix type sniffing (pure bytes, no decode)."""
+    if blob is None:
+        return "unknown"
+    head = bytes(blob[:8])
+    for magic, mt in _MAGIC:
+        if head.startswith(magic):
+            return mt
+    return "application/octet-stream"
+
+
+def media_metadata(df: DataFrame, blob_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """Typed metadata over an opaque binary column via mapInPandas."""
+
+    def run(batches):
+        for pdf in batches:
+            out = pd.DataFrame({
+                "url": pdf[url_col],
+                "media_type": pdf[blob_col].map(sniff_media_type),
+                "n_bytes": pdf[blob_col].map(
+                    lambda b: len(b) if b is not None else 0).astype("int64"),
+                "header_hex": pdf[blob_col].map(
+                    lambda b: bytes(b[:8]).hex() if b is not None else ""),
+            })
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+def decode_image_stub(blob: bytes) -> tuple[int, int, int, float]:
+    """STUB decode: deterministic fake (width, height, channels, mean_luma)
+    derived from a hash of the bytes.
+
+    Replace with a real decoder in production:
+        raise NotImplementedError("install pillow: Image.open(io.BytesIO(blob))")
+    The fake keeps tests meaningful (stable values, correct shapes).
+    """
+    h = hashlib.md5(bytes(blob)).digest()
+    w = 64 + struct.unpack("<H", h[0:2])[0] % 1985
+    ht = 64 + struct.unpack("<H", h[2:4])[0] % 1985
+    ch = 1 + h[4] % 4
+    luma = (struct.unpack("<I", h[5:9])[0] % 256000) / 1000.0
+    return w, ht, ch, luma
+
+
+def image_features(df: DataFrame, blob_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """Decode(+stub) → feature extraction, batched; the exact shape a real
+    image pipeline uses (resize / embed would slot into the same UDF)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                w, h, ch, luma = decode_image_stub(blob)
+                phash = int.from_bytes(
+                    hashlib.md5(bytes(blob)).digest()[:8], "big") >> 1
+                rows.append({"url": url, "width": w, "height": h,
+                             "n_channels": ch, "mean_luma": luma,
+                             "phash": phash})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, blob_col: str = "html",
+                      url_col: str = "url", every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: 1→N rows per media blob (frame index +
+    fake frame digest). Real impl: ffmpeg piped decode in the same UDF."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                n_frames = max(1, len(blob) // 64)
+                for i in range(0, n_frames, every_n):
+                    d = hashlib.md5(bytes(blob) + i.to_bytes(4, "big")).hexdigest()
+                    rows.append({"url": url, "frame_idx": i, "frame_digest": d})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=schema)

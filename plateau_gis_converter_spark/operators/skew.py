@@ -1,0 +1,94 @@
+"""Skew handling for dense urban cells (north_rule requirement).
+
+The reference has NO skew mitigation — it just warns past 200,000 features
+per tile (nusamai/src/sink/mvt/mod.rs:296-301) and degrades detail (O4).
+At 10^12 pages, Tokyo hot-spot cells would stall single shuffle partitions,
+so the engine adds:
+
+* ``salted_aggregate`` — two-phase aggregation: partial agg on
+  (key, salt=hash(row)%k), final agg on key. Spark's partial hash agg
+  already does map-side combine; explicit salting additionally splits a hot
+  REDUCE key across k reducers — needed when one key's partials alone
+  overwhelm a partition.
+* ``adaptive_cell_split`` — reassigns cells whose row count exceeds a cap to
+  their z+1 children (re-derived from the point coords), recursively
+  bounding per-cell cardinality — the spatial analog of AQE skew-split,
+  applied at the *logical* cell level so downstream per-cell state (encode
+  buffers, kNN rings) stays bounded too.
+* AQE (`spark.sql.adaptive.skewJoin.enabled`) handles residual physical
+  skew at runtime (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+
+def salted_aggregate(df: DataFrame, key_cols: list[str], agg_exprs: dict,
+                     salt_col: str, buckets: int = 16) -> DataFrame:
+    """Two-phase agg with an explicit salt on the hot key.
+
+    agg_exprs: {out_name: ("sum"|"count"|"min"|"max", col)} — mergeable aggs
+    only (the partial of a sum is a sum, etc.).
+    """
+    salt = F.pmod(F.hash(F.col(salt_col)), F.lit(buckets)).alias("_salt")
+    partial_aggs = []
+    for out, (fn, col) in agg_exprs.items():
+        if fn == "count":
+            partial_aggs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+        else:
+            partial_aggs.append(getattr(F, fn)(col).alias(f"_p_{out}"))
+    partial = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*partial_aggs)
+    final_aggs = []
+    for out, (fn, _) in agg_exprs.items():
+        merge_fn = "sum" if fn in ("count", "sum") else fn
+        final_aggs.append(getattr(F, merge_fn)(f"_p_{out}").alias(out))
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def with_cell(df: DataFrame, zoom: int, lng_col: str = "lng_udeg",
+              lat_col: str = "lat_udeg") -> DataFrame:
+    z = F.lit(zoom)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col(lng_col)))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col(lat_col)))
+    return (df.withColumn("cell_z", z)
+              .withColumn("cell_x", geo.tile_x(z, mx))
+              .withColumn("cell_y", geo.tile_y(z, my)))
+
+
+def adaptive_cell_split(df: DataFrame, base_zoom: int = 12,
+                        max_rows_per_cell: int = 100_000,
+                        max_extra_levels: int = 4) -> DataFrame:
+    """Assign each point the deepest cell needed to keep every cell under
+    ``max_rows_per_cell`` rows: overflowing cells are re-assigned to their
+    z+1 children, up to ``max_extra_levels`` deeper.
+
+    Implementation: one count per level (small aggregates — cells, not
+    rows, flow to the driver-side loop condition; the row-level reassign is
+    a join + column swap, no collect of data rows).
+    """
+    out = with_cell(df, base_zoom)
+    for zoom in range(base_zoom, base_zoom + max_extra_levels):
+        counts = (out.where(F.col("cell_z") == zoom)
+                  .groupBy("cell_z", "cell_x", "cell_y")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        hot = counts.where(F.col("n") > max_rows_per_cell)
+        if not hot.take(1):
+            break
+        hot_cells = hot.select("cell_z", "cell_x", "cell_y")
+        z_next = F.lit(zoom + 1)
+        mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+        my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+        flagged = out.join(F.broadcast(hot_cells),
+                           ["cell_z", "cell_x", "cell_y"], "left_semi")
+        rest = out.join(F.broadcast(hot_cells),
+                        ["cell_z", "cell_x", "cell_y"], "left_anti")
+        resplit = (flagged
+                   .withColumn("cell_z", z_next)
+                   .withColumn("cell_x", geo.tile_x(z_next, mx))
+                   .withColumn("cell_y", geo.tile_y(z_next, my)))
+        out = rest.unionByName(resplit)
+    return out

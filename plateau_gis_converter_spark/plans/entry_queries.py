@@ -1,0 +1,972 @@
+"""Query registry backing ``__spark_entry__.py``: one entry per implemented
+operator (SURVEY.md §2), each with a PySpark implementation and (where
+SQL-expressible) a DuckDB oracle over the same parquet tables.
+
+Cross-engine determinism rules used throughout (the driver compares
+row-count + schema + order-insensitive value hash):
+
+* integers only in modular/index arithmetic — exact in both engines;
+* raw parquet doubles may be output as-is (same bytes in both readers);
+* COMPUTED doubles keep the exact same op order in both engines;
+* AGGREGATED doubles are quantized first (floor(x*scale + 0.5) as BIGINT)
+  so the sum is an integer — associative, partial-agg/merge-order free;
+* string hashes only via md5 (no engine-specific hash functions);
+* every computed column is aliased identically on both sides.
+
+The synthetic geo layer derives deterministic points from documents.doc_id
+(fixtures.point_udeg_np == fixtures.point_udeg_sql) — no external data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..operators import dedup as dd
+from ..operators import geocode as gc
+from ..operators import spatial_join as sj
+from ..operators import text as tx
+from ..operators import tile_assign as ta
+from ..sources import fixtures as fx
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> deterministic geo points (the synthetic 'pages' layer)."""
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    return docs.select("doc_id", lng, lat)
+
+
+_POINTS_SQL_LNG, _POINTS_SQL_LAT = fx.point_udeg_sql("doc_id")
+POINTS_CTE = (
+    "pts AS (SELECT doc_id, "
+    f"{_POINTS_SQL_LNG} AS lng_udeg, {_POINTS_SQL_LAT} AS lat_udeg "
+    "FROM documents)"
+)
+
+# mercator + square-tile floor, shared SQL text (valid in Spark SQL & DuckDB)
+MX_SQL = "((lng_udeg / 1000000.0 + 180.0) / 360.0)"
+MY_SQL = ("((-degrees(ln(tan(radians(90.0 + lat_udeg / 1000000.0) / 2.0))) "
+          "+ 180.0) / 360.0)")
+
+
+def _tile_xy_sql(z_expr: str) -> tuple[str, str]:
+    n = f"CAST(pow(2.0, {z_expr}) AS BIGINT)"
+    x = f"CAST(floor({MX_SQL} * pow(2.0, {z_expr})) AS BIGINT)"
+    y = f"CAST(floor({MY_SQL} * pow(2.0, {z_expr})) AS BIGINT)"
+    xw = f"((({x}) % {n} + {n}) % {n})"
+    yc = f"GREATEST(CAST(0 AS BIGINT), LEAST({y}, {n} - 1))"
+    return xw, yc
+
+
+def _cents(col: str, scale: int = 100) -> F.Column:
+    """Quantize a double to integer units — associative exact aggregation."""
+    return F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+
+
+def _cents_sql(expr: str, scale: int = 100) -> str:
+    return f"CAST(floor(({expr}) * {float(scale)} + 0.5) AS BIGINT)"
+
+
+# 60-bit stable string hash (engine-portable)
+def _hex60_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# DuckDB shingle CTE (3-gram, lowercased word tokens) == operators.dedup.shingles
+SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks, UNNEST(range(greatest(len(t) - 2, 0))) AS u(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (geocode → tile assignment → hilbert → spatial join → rollup)
+# ---------------------------------------------------------------------------
+
+def q_geocode(spark, sf_dir):
+    """S1+geocode: build page text embedding coordinates, extract them back
+    via regexp (operators/geocode.py), return integers."""
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.format_string("地点 lat_udeg=%d lng_udeg=%d 東京", lat, lng)
+        .alias("text"))
+    out = gc.geocode_expr(pages)
+    return out.select("url", "lng_udeg", "lat_udeg")
+
+
+SQL_GEOCODE = f"""
+WITH {POINTS_CTE},
+pages AS (
+  SELECT concat('https://', d.source, '/doc/', CAST(d.doc_id AS VARCHAR)) AS url,
+         printf('地点 lat_udeg=%d lng_udeg=%d 東京', p.lat_udeg, p.lng_udeg) AS text
+  FROM documents d JOIN pts p ON d.doc_id = p.doc_id
+)
+SELECT url,
+       CAST(regexp_extract(text, 'lng_udeg=(-?\\d+)', 1) AS BIGINT) AS lng_udeg,
+       CAST(regexp_extract(text, 'lat_udeg=(-?\\d+)', 1) AS BIGINT) AS lat_udeg
+FROM pages
+"""
+
+
+def q_tile_assign(spark, sf_dir):
+    """G1/G2 point path: explode into z 7..15 square tiles (Catalyst only)."""
+    pts = _points_df(spark, sf_dir)
+    return (ta.assign_point_tiles(pts, 7, 15, with_tile_id=False)
+            .select("doc_id", "z", "x", "y"))
+
+
+_TX, _TY = _tile_xy_sql("z")
+SQL_TILE_ASSIGN = f"""
+WITH {POINTS_CTE},
+zs AS (SELECT CAST(u.z AS INT) AS z FROM UNNEST(range(7, 16)) AS u(z))
+SELECT doc_id, z, {_TX} AS x, {_TY} AS y
+FROM pts, zs
+"""
+
+
+def q_hilbert_tile_id(spark, sf_dir):
+    """G8: PMTiles Hilbert ids for the z12..15 tiles (vectorized Arrow UDF)."""
+    pts = _points_df(spark, sf_dir)
+    return (ta.assign_point_tiles(pts, 12, 15, with_tile_id=True)
+            .select("doc_id", "z", "x", "y", "tile_id"))
+
+
+_TX12, _TY12 = _tile_xy_sql("z")
+SQL_HILBERT = f"""
+WITH RECURSIVE {POINTS_CTE},
+zs AS (SELECT CAST(u.z AS INT) AS z FROM UNNEST(range(12, 16)) AS u(z)),
+tiles AS (SELECT doc_id, z, {_TX12} AS x, {_TY12} AS y FROM pts, zs),
+h AS (
+  SELECT doc_id, z, x, y, z AS a,
+         CAST(x AS BIGINT) AS tx, CAST(y AS BIGINT) AS ty,
+         ((CAST(1 AS BIGINT) << (2*z)) - 1) // 3 AS acc
+  FROM tiles
+  UNION ALL
+  SELECT doc_id, z, x, y, a - 1,
+    CASE WHEN ((ty >> (a-1)) & 1) = 0 THEN
+      CASE WHEN ((tx >> (a-1)) & 1) = 1
+           THEN ((CAST(1 AS BIGINT) << (a-1)) - 1) - ty ELSE ty END
+    ELSE tx END,
+    CASE WHEN ((ty >> (a-1)) & 1) = 0 THEN
+      CASE WHEN ((tx >> (a-1)) & 1) = 1
+           THEN ((CAST(1 AS BIGINT) << (a-1)) - 1) - tx ELSE tx END
+    ELSE ty END,
+    acc + (CAST(1 AS BIGINT) << (a-1)) * (CAST(1 AS BIGINT) << (a-1))
+        * xor(3 * ((tx >> (a-1)) & 1), (ty >> (a-1)) & 1)
+  FROM h WHERE a > 0
+)
+SELECT doc_id, z, x, y, acc AS tile_id FROM h WHERE a = 0
+"""
+
+
+def q_spatial_join(spark, sf_dir):
+    """Broadcast cell join + exact integer PIP refine (operators/spatial_join)."""
+    pts = _points_df(spark, sf_dir)
+    recs = fx.tessellation_records()
+    out = sj.spatial_join_points(spark, pts, recs)
+    return out.select("doc_id", "ward_code").orderBy("doc_id", "ward_code")
+
+
+SQL_SPATIAL_JOIN = f"""
+WITH {POINTS_CTE},
+b(ward_code, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES
+    {fx.boundaries_sql_values()})
+SELECT p.doc_id, b.ward_code
+FROM pts p JOIN b ON {fx.PIP_CONVEX_SQL}
+ORDER BY p.doc_id, b.ward_code
+"""
+
+
+def q_tile_agg(spark, sf_dir):
+    """A2/A6: per-tile page counts at the index zoom (z12) + bbox µdeg agg."""
+    pts = _points_df(spark, sf_dir)
+    z = F.lit(12)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    return (pts.withColumn("x", geo.tile_x(z, mx))
+            .withColumn("y", geo.tile_y(z, my))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.min("lng_udeg").alias("min_lng"),
+                 F.max("lng_udeg").alias("max_lng"),
+                 F.min("lat_udeg").alias("min_lat"),
+                 F.max("lat_udeg").alias("max_lat")))
+
+
+_TXC, _TYC = _tile_xy_sql("12")
+SQL_TILE_AGG = f"""
+WITH {POINTS_CTE}
+SELECT {_TXC} AS x, {_TYC} AS y,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(lng_udeg) AS min_lng, max(lng_udeg) AS max_lng,
+       min(lat_udeg) AS min_lat, max(lat_udeg) AS max_lat
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_tile_rollup(spark, sf_dir):
+    """A4/G9: bottom-up tile-tree rollup z12 -> z7 (iterative parent agg —
+    the implicit-quadtree aggregation of the 3D Tiles sink)."""
+    pts = _points_df(spark, sf_dir)
+    z = F.lit(12)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    level = (pts.withColumn("x", geo.tile_x(z, mx))
+             .withColumn("y", geo.tile_y(z, my))
+             .groupBy("x", "y")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pages"))
+             .withColumn("z", F.lit(12)))
+    levels = [level.select("z", "x", "y", "n_pages")]
+    for zz in range(11, 6, -1):
+        prev = levels[-1]
+        nxt = (prev.groupBy((F.floor(F.col("x") / 2)).cast("bigint").alias("x"),
+                            (F.floor(F.col("y") / 2)).cast("bigint").alias("y"))
+               .agg(F.sum("n_pages").alias("n_pages"))
+               .withColumn("z", F.lit(zz))
+               .select("z", "x", "y", "n_pages"))
+        levels.append(nxt)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+SQL_TILE_ROLLUP = f"""
+WITH RECURSIVE {POINTS_CTE},
+l12 AS (
+  SELECT 12 AS z, {_TXC} AS x, {_TYC} AS y, CAST(count(*) AS BIGINT) AS n_pages
+  FROM pts GROUP BY 2, 3
+),
+up AS (
+  SELECT * FROM l12
+  UNION ALL
+  SELECT z - 1 AS z, CAST(floor(x / 2.0) AS BIGINT) AS x,
+         CAST(floor(y / 2.0) AS BIGINT) AS y, CAST(SUM(n_pages) AS BIGINT)
+  FROM up WHERE z > 7 GROUP BY 1, 2, 3
+)
+SELECT z, x, y, n_pages FROM up
+"""
+
+
+def _msb_case_sql(v: str, maxbits: int = 11) -> str:
+    """msb(v) per scheme.rs:6-8 as a CASE chain (v < 2^maxbits)."""
+    cases = " ".join(
+        f"WHEN {v} >= {1 << (b - 1)} THEN {b}"
+        for b in range(maxbits, 0, -1))
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+def q_tiles_3d_scheme(spark, sf_dir):
+    """G5: the reference's non-square 3D-Tiles scheme at z=12 — pole-widened
+    x_step, linear-latitude rows (scheme.rs:10-38); NumPy kernel in an Arrow
+    UDF on the Spark side, integer CASE arithmetic in the oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import tiling
+
+    @pandas_udf(T.StructType([
+        T.StructField("x3", T.LongType()), T.StructField("y3", T.LongType())]))
+    def scheme_udf(lng_udeg, lat_udeg):
+        import numpy as np
+        _, x, y = tiling.zxy_from_lng_lat(
+            12, lng_udeg.to_numpy(np.int64) / 1e6,
+            lat_udeg.to_numpy(np.int64) / 1e6)
+        return pd.DataFrame({"x3": x, "y3": y})
+
+    pts = _points_df(spark, sf_dir)
+    s = scheme_udf(F.col("lng_udeg"), F.col("lat_udeg"))
+    return (pts.withColumn("_s", s)
+            .select("doc_id", F.col("_s.x3").alias("x3"),
+                    F.col("_s.y3").alias("y3")))
+
+
+# z=12: x_size=4096, y_size=2048; x_step north: y < 512 uses msb(y), south
+# uses msb(1024 - y - 1) (scheme.rs:10-22 with zz=4096)
+_Y3 = "CAST(floor((90.0 - lat_udeg / 1000000.0) / 180.0 * 2048.0) AS BIGINT)"
+_D_NORTH = _msb_case_sql("y3", 12)
+_D_SOUTH = _msb_case_sql("(1024 - y3 - 1)", 12)
+SQL_TILES_3D = f"""
+WITH {POINTS_CTE},
+yy AS (SELECT doc_id, lng_udeg, {_Y3} AS y3 FROM pts),
+st AS (
+  SELECT doc_id, lng_udeg, y3,
+    GREATEST(CAST(1 AS BIGINT),
+             4096 // (CAST(1 AS BIGINT) <<
+               (CASE WHEN y3 < 1024 THEN {_D_NORTH} ELSE {_D_SOUTH} END))) // 4
+      AS raw_step
+  FROM yy
+),
+xs AS (
+  SELECT doc_id, y3, GREATEST(raw_step, 1) AS xstep,
+    CAST(floor((180.0 + lng_udeg / 1000000.0) / 360.0 * 4096.0) AS BIGINT) AS x0
+  FROM st
+)
+SELECT doc_id, (x0 - x0 % xstep) AS x3, y3 FROM xs
+"""
+
+
+def q_geometric_error(spark, sf_dir):
+    """G7: geometric_error over all valid (z, y) for z in 2..8 — quantized
+    to 1e-3 (cos is the only transcendental; both engines read identical
+    doubles)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import tiling
+
+    @pandas_udf(T.LongType())
+    def err_udf(z, y):
+        import numpy as np
+        e = tiling.geometric_error(z.to_numpy(np.int64), y.to_numpy(np.int64))
+        return pd.Series(np.floor(e * 1000.0 + 0.5).astype(np.int64))
+
+    rows = (spark.range(2, 9).select(F.col("id").cast("int").alias("z"))
+            .withColumn("y", F.explode(F.sequence(
+                F.lit(0), F.pow(F.lit(2.0), F.col("z") - 1).cast("int") - 1)))
+            .withColumn("y", F.col("y").cast("bigint")))
+    return rows.select("z", "y", err_udf("z", "y").alias("err_milli"))
+
+
+_GE_D_NORTH = _msb_case_sql("y", 12)
+_GE_D_SOUTH = _msb_case_sql("(zz // 4 * 2 - y - 1)", 12)
+SQL_GEOMETRIC_ERROR = """
+WITH zs AS (SELECT CAST(u.z AS INT) AS z FROM UNNEST(range(2, 9)) AS u(z)),
+rows_ AS (
+  SELECT z, CAST(u.y AS BIGINT) AS y, CAST(1 AS BIGINT) << z AS zz
+  FROM zs, UNNEST(range(0, 1 << 20)) AS u(y)
+  WHERE u.y < (1 << (z - 1))
+),
+st AS (
+  SELECT z, y, zz,
+    GREATEST(GREATEST(CAST(1 AS BIGINT),
+      zz // (CAST(1 AS BIGINT) <<
+        (CASE WHEN y < zz // 4 THEN {DN} ELSE {DS} END))) // 4,
+      1) AS xstep
+  FROM rows_
+),
+er AS (
+  SELECT z, y,
+    525957.5361033019 / CAST(CAST(1 AS BIGINT) << (z - 2) AS DOUBLE) AS e1,
+    cos((1.0 - (CAST(y AS DOUBLE) + 0.5) * 4.0 / CAST(zz AS DOUBLE))
+        * pi() / 2.0) * CAST(xstep AS DOUBLE) AS c
+  FROM st
+)
+SELECT z, y, CAST(floor(GREATEST(e1, c * e1) * 1000.0 + 0.5) AS BIGINT)
+       AS err_milli
+FROM er
+""".format(DN=_GE_D_NORTH, DS=_GE_D_SOUTH)
+
+
+# ---------------------------------------------------------------------------
+# relational / analytic queries (core operator coverage)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style agg: filters, partial/final hash agg, quantized sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_e4 = F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                      * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+                 F.sum(disc_e4).alias("sum_disc_e4"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+  CAST(SUM({_cents_sql('l_extendedprice * (1.0 - l_discount)', 10000)}) AS BIGINT)
+    AS sum_disc_e4,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way broadcast-able join + agg (J1-3 analog at relational level)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev_e4 = F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                     * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev_e4).alias("revenue_e4"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_REVENUE_NATION = f"""
+SELECT n_name,
+  CAST(SUM({_cents_sql('l_extendedprice * (1.0 - l_discount)', 10000)}) AS BIGINT)
+    AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_window_top_orders(spark, sf_dir):
+    """Window top-k: top-3 orders per customer by totalprice (O2-analog)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "rank", "o_totalprice"))
+
+
+SQL_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, rank, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_topk_parts(spark, sf_dir):
+    """Global top-100 by price (sort + limit; O1-analog external sort)."""
+    p = _t(spark, sf_dir, "part")
+    return (p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+            .limit(100)
+            .select("p_partkey", "p_name", "p_retailprice"))
+
+
+SQL_TOPK_PARTS = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 100
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    """Left-semi + left-anti joins: customers with orders but no 'R' returns."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned_orders = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    cust_with_ret = (o.join(returned_orders, o.o_orderkey == returned_orders.l_orderkey,
+                            "left_semi").select("o_custkey"))
+    return (c.join(o.select("o_custkey").distinct(),
+                   c.c_custkey == F.col("o_custkey"), "left_semi")
+            .join(cust_with_ret.distinct(), c.c_custkey == cust_with_ret.o_custkey,
+                  "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+SQL_SEMI_ANTI = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_custkey = c_custkey AND l.l_returnflag = 'R')
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_flags(spark, sf_dir):
+    """ROLLUP grouping sets (A4 is the spatial analog; this is the columnar
+    one)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty")))
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization via lag + cumulative sum (streaming-analog in batch;
+    SURVEY §2.8 — the reference is batch-only, our streaming variant lives in
+    streaming/)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ (UTC session)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    return (e.withColumn("new_session", newsess)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").cast("bigint").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation per event_type (the batch
+    equivalent of the Structured Streaming window agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(_cents("value")).alias("sum_value_cents")))
+
+
+SQL_EVENTS_WINDOWED = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM({_cents_sql('value')}) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured: JSON field extraction + agg (map/json functions)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (e.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis / dedup / similarity queries (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q_text_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.quality_score(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_alpha", "n_digit", "n_punct",
+        F.floor(F.col("punct_ratio") * 1000000 + F.lit(0.5)).cast("bigint")
+        .alias("punct_ratio_e6"),
+        F.floor(F.col("quality") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("quality_e2"))
+
+
+SQL_TEXT_FEATURES = """
+WITH f AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS ln,
+    CAST(len(list_filter(string_split_regex(trim(text), '[^A-Za-z0-9_]+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+r AS (
+  SELECT *,
+    CASE WHEN ln > 0 THEN CAST(n_punct AS DOUBLE) / CAST(ln AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_tok
+  FROM f
+)
+SELECT doc_id, n_tokens, n_alpha, n_digit, n_punct,
+  CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio_e6,
+  CAST(floor(((CASE WHEN ln >= 200 AND ln <= 20000 THEN 0.4 ELSE 0.0 END)
+   + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+   + (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 12.0 THEN 0.3 ELSE 0.0 END))
+   * 100 + 0.5) AS BIGINT) AS quality_e2
+FROM r
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact-dup fingerprint histogram (works even when all docs unique)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.md5(F.col("text")).alias("fingerprint"), "doc_id")
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.min("doc_id").alias("canonical_id")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS group_size,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT 3-gram Jaccard near-dup pairs at τ=0.5 (operators/dedup.py);
+    jaccard reported in exact integer parts (n_inter, n_union)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return (pairs.withColumn("n_union_x_j",
+                             F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+                             .cast("bigint"))
+            .select("doc_a", "doc_b", F.col("n_union_x_j").alias("jaccard_e6")))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(floor(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) * 1000000
+       + 0.5) AS BIGINT) AS jaccard_e6
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 hashes over 3-gram shingles) — flat columns."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(docs, num_hashes=16, n=3)
+    return sig.select("doc_id", *[F.col("sig")[i].alias(f"mh{i}")
+                                  for i in range(16)])
+
+
+def _minhash_sql() -> str:
+    p = (1 << 31) - 1
+    cols = []
+    for i in range(16):
+        a = 2 * i + 1
+        b = 104729 * (i + 1)
+        cols.append(
+            f"min((h % {p} * {a} + {b}) % {p}) AS mh{i}")
+    return f"""
+WITH {SHINGLES_CTE},
+hs AS (SELECT doc_id, {_hex60_sql('shingle')} AS h FROM sh)
+SELECT doc_id, {', '.join(cols)} FROM hs GROUP BY doc_id
+"""
+
+
+SQL_MINHASH = _minhash_sql()
+
+
+def q_simhash(spark, sf_dir):
+    """60-bit simhash per document (Charikar sketch, stable md5-based bits)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs, bits=60)
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    comb = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(u.tok) AS tok
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'),
+                      x -> x <> '') AS t
+        FROM documents), UNNEST(t) AS u(tok)
+),
+hs AS (SELECT doc_id, {_hex60_sql('tok')} AS h FROM toks),
+agg AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
+SELECT doc_id, {comb} AS simhash FROM agg
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every 50th vector (integer-quantized dot
+    products so cross-engine float-sum order is irrelevant)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qe = F.transform(F.col("embedding"),
+                     lambda e: F.floor(e.cast("double") * 10000 + F.lit(0.5))
+                     .cast("bigint"))
+    base = emb.select("vec_id", qe.alias("qe"))
+    queries = (base.where(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qe").alias("q")))
+    dot = F.aggregate(F.zip_with(F.col("q"), F.col("qe"), lambda x, y: x * y),
+                      F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    na = F.aggregate(F.col("q"), F.lit(0).cast("bigint"),
+                     lambda acc, v: acc + v * v)
+    nb = F.aggregate(F.col("qe"), F.lit(0).cast("bigint"),
+                     lambda acc, v: acc + v * v)
+    cand = (base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+            .withColumn("dot", dot).withColumn("na", na).withColumn("nb", nb)
+            .withColumn("cos", F.col("dot") /
+                        (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "vec_id", "rank",
+                    F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint")
+                    .alias("cos_e6")))
+
+
+SQL_EMB_TOPK = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+cand AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+    CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS BIGINT) AS nb,
+    CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i] * b.qe[i])) AS BIGINT) AS na
+  FROM q a, q b
+  WHERE b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT query_id, vec_id,
+    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+      CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+      vec_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs: quantized cosine >= 0.35 over all pairs
+    (exact; the LSH-blocked variant is operators/similarity.near_dup_pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qe = F.transform(F.col("embedding"),
+                     lambda e: F.floor(e.cast("double") * 10000 + F.lit(0.5))
+                     .cast("bigint"))
+    base = emb.select("vec_id", qe.alias("qe"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("ea"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("eb"))
+    dot = F.aggregate(F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+                      F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    na = F.aggregate(F.col("ea"), F.lit(0).cast("bigint"),
+                     lambda acc, v: acc + v * v)
+    nb = F.aggregate(F.col("eb"), F.lit(0).cast("bigint"),
+                     lambda acc, v: acc + v * v)
+    pairs = (a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+             .where(F.col("cos") >= 0.35))
+    return pairs.select(
+        "vec_a", "vec_b",
+        F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("bigint")
+        .alias("cos_e6"))
+
+
+SQL_EMB_NEAR_DUP = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+    CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * a.qe[i])) AS BIGINT) AS na,
+    CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i] * b.qe[i])) AS BIGINT) AS nb
+  FROM q a, q b WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+  CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+       * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+"""
+
+
+def q_lang_quality_filter(spark, sf_dir):
+    """Pipeline-style filter: per (source, lang) counts of docs passing the
+    quality gate (the 'keep' set of a training-data curation run)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.quality_score(docs)
+    return (out.where((F.col("quality") >= 0.69) & (F.col("n_tokens") >= 20))
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+SQL_LANG_QUALITY = """
+WITH f AS (
+  SELECT source, lang, CAST(length(text) AS BIGINT) AS ln,
+    CAST(len(list_filter(string_split_regex(trim(text), '[^A-Za-z0-9_]+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+r AS (
+  SELECT source, lang, n_tokens,
+    (CASE WHEN ln >= 200 AND ln <= 20000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN (CASE WHEN ln > 0 THEN CAST(n_punct AS DOUBLE)/CAST(ln AS DOUBLE) ELSE 0.0 END) <= 0.1 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END) BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+    AS quality
+  FROM f
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM r WHERE quality >= 0.69 AND n_tokens >= 20
+GROUP BY source, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle — probabilistic / UDF-defined semantics)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_verified(spark, sf_dir):
+    """LSH-candidates → exact-Jaccard verification (probabilistic recall;
+    precision checked exactly — pytest asserts candidates ⊆ exact pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.minhash_dedup_pairs(docs, threshold=0.5)
+    return out.select("doc_a", "doc_b",
+                      F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+                      .cast("bigint").alias("jaccard_e6"))
+
+
+def q_simhash_near(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(docs, max_hamming=12)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from ..operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = sim.cosine_topk_lsh(emb, queries, k=5, dim=64)
+    return out.select("query_id", "vec_id", "rank",
+                      F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+                      .cast("bigint").alias("cos_e6"))
+
+
+def q_boundary_tiles(spark, sf_dir):
+    """Polygon→tile slicing of the 23 ward polygons at z 12..14 (geojson-vt
+    kernel through mapInPandas; kernel-level goldens carry the parity)."""
+    bdf = fx.boundaries_df(spark)
+    sliced = ta.slice_boundary_polygons(bdf, 12, 14)
+    return (sliced.groupBy("feature_id", "typename", "z")
+            .agg(F.count(F.lit(1)).alias("n_tiles"))
+            .orderBy("feature_id", "z"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # spatial
+    "geocode": q_geocode,
+    "tile_assign": q_tile_assign,
+    "hilbert_tile_id": q_hilbert_tile_id,
+    "spatial_join_pip": q_spatial_join,
+    "tile_agg": q_tile_agg,
+    "tile_rollup": q_tile_rollup,
+    "tiles_3d_scheme": q_tiles_3d_scheme,
+    "geometric_error": q_geometric_error,
+    # relational
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_top_orders": q_window_top_orders,
+    "topk_parts": q_topk_parts,
+    "semi_anti_join": q_semi_anti,
+    "rollup_flags": q_rollup_flags,
+    "events_sessionize": q_events_sessionize,
+    "events_windowed": q_events_windowed,
+    "events_json": q_events_json,
+    # text / dedup / similarity
+    "text_features": q_text_features,
+    "lang_quality_filter": q_lang_quality_filter,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    # rows-only (no SQL oracle)
+    "minhash_lsh_verified": q_minhash_lsh_verified,
+    "simhash_near_pairs": q_simhash_near,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "boundary_tiles": q_boundary_tiles,
+}
+
+ORACLES: dict[str, str] = {
+    "geocode": SQL_GEOCODE,
+    "tile_assign": SQL_TILE_ASSIGN,
+    "hilbert_tile_id": SQL_HILBERT,
+    "spatial_join_pip": SQL_SPATIAL_JOIN,
+    "tile_agg": SQL_TILE_AGG,
+    "tile_rollup": SQL_TILE_ROLLUP,
+    "tiles_3d_scheme": SQL_TILES_3D,
+    "geometric_error": SQL_GEOMETRIC_ERROR,
+    "pricing_summary": SQL_PRICING,
+    "revenue_by_nation": SQL_REVENUE_NATION,
+    "window_top_orders": SQL_WINDOW_TOP,
+    "topk_parts": SQL_TOPK_PARTS,
+    "semi_anti_join": SQL_SEMI_ANTI,
+    "rollup_flags": SQL_ROLLUP,
+    "events_sessionize": SQL_SESSIONIZE,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_json": SQL_EVENTS_JSON,
+    "text_features": SQL_TEXT_FEATURES,
+    "lang_quality_filter": SQL_LANG_QUALITY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_signatures": SQL_MINHASH,
+    "simhash": SQL_SIMHASH,
+    "embedding_topk": SQL_EMB_TOPK,
+    "embedding_near_dup": SQL_EMB_NEAR_DUP,
+}

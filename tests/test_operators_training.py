@@ -1,0 +1,189 @@
+"""Dedup / similarity / text / multimodal / kNN / skew operator tests."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from plateau_gis_converter_spark.operators import (dedup, knn, multimodal,
+                                                   similarity, skew, text)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_duplicates_synthetic(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")],
+        ["doc_id", "text"])
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["group_size"] == 2 and out[0]["canonical_id"] == 1
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z q w")],
+        ["doc_id", "text"])
+    sh = dedup.shingles(df, 3).collect()
+    assert ("a b c" in {r["shingle"] for r in sh})
+    pairs = dedup.ngram_jaccard_pairs(df, 3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # doc1 shingles {abc,bcd,cde}, doc2 {abc,bcd,cdx}: J = 2/4 = 0.5
+    assert (p["doc_a"], p["doc_b"]) == (1, 2)
+    assert abs(p["jaccard"] - 0.5) < 1e-12
+
+
+def test_short_docs_produce_no_shingles(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
+    assert dedup.shingles(df, 3).count() == 0
+
+
+def test_minhash_lsh_recall_on_near_dups(spark):
+    rows = [(i, f"w{i} " + " ".join(f"t{j}" for j in range(30))) for i in range(20)]
+    rows += [(100, "common " + " ".join(f"t{j}" for j in range(30)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = dedup.ngram_jaccard_pairs(df, 3, threshold=0.5).collect()
+    lsh = dedup.minhash_dedup_pairs(df, threshold=0.5).collect()
+    e = {(r["doc_a"], r["doc_b"]) for r in exact}
+    l = {(r["doc_a"], r["doc_b"]) for r in lsh}
+    assert l <= e
+    assert len(l) >= len(e) * 0.5  # banded LSH recall at high jaccard
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated content")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    h12 = bin(out[1] ^ out[2]).count("1")
+    h13 = bin(out[1] ^ out[3]).count("1")
+    assert h12 < h13
+
+
+def test_cosine_topk_bruteforce_vs_numpy(spark, emb):
+    queries = (emb.where(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.cosine_topk_bruteforce(emb, queries, k=3).toPandas()
+    # numpy oracle
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray))
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in got["query_id"].unique():
+        qv = Mn[ids == qid][0]
+        cos = Mn @ qv
+        order = np.lexsort((ids, -cos))
+        order = [ids[i] for i in order if ids[i] != qid][:3]
+        mine = got[got.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert mine == order
+
+
+def test_lsh_topk_subset_quality(spark, emb):
+    queries = (emb.where(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.cosine_topk_lsh(emb, queries, k=3, dim=64).toPandas()
+    # every returned neighbor shares the bucket — just sanity: ranked <= 3
+    assert (out["rank"] <= 3).all()
+
+
+def test_text_features_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, that is for the win of the day."),
+         (2, "xyzzy plugh 42")],
+        ["doc_id", "text"])
+    out = text.with_text_features(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["lang_pred"] == "en"
+    assert by_id[2]["lang_pred"] == "other"
+    assert by_id[1]["n_tokens"] == 13
+    assert len(by_id[1]["fingerprint"]) == 16
+
+
+def test_multimodal_metadata_and_stub(spark):
+    rows = [("u1", b"\x89PNG\r\n\x1a\nxxxx"), ("u2", b"\xff\xd8\xff\xe0yy"),
+            ("u3", b"<html><body>z</body></html>")]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    meta = {r["url"]: r for r in multimodal.media_metadata(df).collect()}
+    assert meta["u1"]["media_type"] == "image/png"
+    assert meta["u2"]["media_type"] == "image/jpeg"
+    assert meta["u3"]["media_type"] == "text/html"
+    assert meta["u1"]["n_bytes"] == 12
+    feats = multimodal.image_features(df).collect()
+    assert len(feats) == 3
+    f = feats[0]
+    assert 64 <= f["width"] <= 2048 and 1 <= f["n_channels"] <= 4
+    frames = multimodal.frame_sample_stub(df).collect()
+    assert len(frames) >= 3
+
+
+def test_knn_ring_expansion(spark):
+    from plateau_gis_converter_spark.sources import fixtures as fx
+
+    ids = np.arange(500, dtype=np.int64)
+    lng, lat = fx.point_udeg_np(ids)
+    pts = spark.createDataFrame(
+        [(int(i), int(x), int(y)) for i, x, y in zip(ids, lng, lat)],
+        ["point_id", "lng_udeg", "lat_udeg"])
+    qids = np.arange(5, dtype=np.int64) * 97 + 1000000
+    qlng, qlat = fx.point_udeg_np(qids)
+    qs = spark.createDataFrame(
+        [(int(i), int(x), int(y)) for i, x, y in zip(range(5), qlng, qlat)],
+        ["query_id", "lng_udeg", "lat_udeg"])
+    got = knn.knn_ring_expansion(spark, pts, qs, k=3).toPandas()
+    # numpy oracle: haversine brute force
+    def hav(lg1, lt1, lg2, lt2):
+        lg1, lt1, lg2, lt2 = map(np.radians, (lg1, lt1, lg2, lt2))
+        a = (np.sin((lt2 - lt1) / 2) ** 2
+             + np.cos(lt1) * np.cos(lt2) * np.sin((lg2 - lg1) / 2) ** 2)
+        return 2 * 6371000.0 * np.arcsin(np.sqrt(a))
+
+    for qi in range(5):
+        d = hav(qlng[qi] / 1e6, qlat[qi] / 1e6, lng / 1e6, lat / 1e6)
+        order = np.lexsort((ids, d))[:3]
+        expected = [int(ids[i]) for i in order]
+        mine = got[got.query_id == qi].sort_values("rank")["point_id"].tolist()
+        assert mine == expected, f"query {qi}: {mine} != {expected}"
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    plain = {(r["k"]): (r["s"], r["n"]) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"),
+                                 F.count(F.lit(1)).alias("n")).collect()}
+    salted = {(r["k"]): (r["s"], r["n"]) for r in
+              skew.salted_aggregate(df, ["k"], {"s": ("sum", "v"),
+                                                "n": ("count", "v")},
+                                    salt_col="v").collect()}
+    assert plain == salted
+
+
+def test_adaptive_cell_split_bounds_cells(spark):
+    from plateau_gis_converter_spark.sources import fixtures as fx
+
+    ids = np.arange(4000, dtype=np.int64)
+    lng, lat = fx.point_udeg_np(ids)
+    pts = spark.createDataFrame(
+        [(int(i), int(x), int(y)) for i, x, y in zip(ids, lng, lat)],
+        ["doc_id", "lng_udeg", "lat_udeg"])
+    out = skew.adaptive_cell_split(pts, base_zoom=12, max_rows_per_cell=300,
+                                   max_extra_levels=4)
+    counts = (out.groupBy("cell_z", "cell_x", "cell_y")
+              .agg(F.count(F.lit(1)).alias("n")).toPandas())
+    assert len(out.collect()) == 4000  # no rows lost
+    deepest = counts[counts.cell_z == counts.cell_z.max()]
+    # hot z12 dense cells were split; max occupancy decreased materially
+    base = (skew.with_cell(pts, 12).groupBy("cell_x", "cell_y")
+            .agg(F.count(F.lit(1)).alias("n")).toPandas())
+    assert counts["n"].max() < base["n"].max()

@@ -1,0 +1,74 @@
+"""Structured Streaming variants: file-source micro-batch over the fixture
+pages; windowed tile counts and session windows with watermarks."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plateau_gis_converter_spark.sources import fixtures as fx
+from plateau_gis_converter_spark.streaming import pipeline as sp
+
+
+@pytest.fixture(scope="module")
+def pages_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_pages")
+    fx.write_pages_parquet(str(d / "part-0.parquet"), 500)
+    return str(d)
+
+
+def test_streaming_tile_counts(spark, pages_stream_dir, tmp_path):
+    static = spark.read.parquet(pages_stream_dir)
+    stream = (spark.readStream.schema(static.schema)
+              .parquet(pages_stream_dir))
+    agg = sp.streaming_tile_counts(stream, zoom=12, window="10 minutes",
+                                   watermark="20 minutes")
+    q = (agg.writeStream.format("memory").queryName("tile_counts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM tile_counts").toPandas()
+    assert len(out) > 0
+    assert out["n_pages"].sum() == 500  # every page in exactly one z12 tile
+    # streaming result == batch result per tile
+    from plateau_gis_converter_spark.functions import geo
+    from plateau_gis_converter_spark.operators.geocode import geocode_expr
+    z = F.lit(12)
+    g = geocode_expr(static)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    batch = (g.withColumn("x", geo.tile_x(z, mx))
+             .withColumn("y", geo.tile_y(z, my))
+             .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_pages"))
+             .toPandas())
+    a = out.groupby(["x", "y"])["n_pages"].sum().to_dict()
+    b = {(r.x, r.y): r.n_pages for r in batch.itertuples(index=False)}
+    assert a == b
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    d = tmp_path / "events"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = {
+        "ts": [base + np.timedelta64(m, "m") for m in
+               [0, 5, 10, 120, 125, 0, 200]],
+        "user_id": [1, 1, 1, 1, 1, 2, 2],
+        "value": [1.0] * 7,
+    }
+    pq.write_table(pa.table(rows), str(d / "p.parquet"))
+    static = spark.read.parquet(str(d))
+    stream = spark.readStream.schema(static.schema).parquet(str(d))
+    agg = sp.streaming_sessionize(stream, gap="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("sessions")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT user_id, n_events FROM sessions").toPandas()
+    by_user = out.groupby("user_id").size().to_dict()
+    assert by_user == {1: 2, 2: 2}  # user1: 2 sessions, user2: 2 sessions
