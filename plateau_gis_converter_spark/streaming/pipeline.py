@@ -38,7 +38,8 @@ def streaming_tile_counts(stream: DataFrame, zoom: int = 12,
     mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
     my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
     tiled = (geocoded.withColumn("x", geo.tile_x(z, mx))
-             .withColumn("y", geo.tile_y(z, my)))
+             .withColumn("y", geo.tile_y(z, my))
+             .withColumn(ts_col, F.col(ts_col).cast("timestamp")))  # NTZ→LTZ
     return (tiled.withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window), F.col("x"), F.col("y"))
             .agg(F.count(F.lit(1)).alias("n_pages")))
@@ -47,6 +48,7 @@ def streaming_tile_counts(stream: DataFrame, zoom: int = 12,
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                          ts_col: str = "ts") -> DataFrame:
     """Session windows per user with watermark-bounded state."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (events.withWatermark(ts_col, "1 hour")
             .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
             .agg(F.count(F.lit(1)).alias("n_events"),
