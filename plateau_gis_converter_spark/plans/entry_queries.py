@@ -587,6 +587,32 @@ FROM events GROUP BY event_type
 # text-analysis / dedup / similarity queries (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+def q_codelist_resolve(spark, sf_dir):
+    """S2/J2: codelist code→value resolution as a broadcast hash join (the
+    reference resolves PLATEAU XML codelists at parse time,
+    nusamai-plateau/src/codelist/xml.rs; here: nationkey → name dimension)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("r_name").alias("region"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(_cents("c_acctbal")).alias("acctbal_cents")))
+
+
+SQL_CODELIST = f"""
+SELECT n_name AS nation, r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM({_cents_sql('c_acctbal')}) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def q_text_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tx.quality_score(docs)
@@ -927,6 +953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_windowed": q_events_windowed,
     "events_json": q_events_json,
+    "codelist_resolve": q_codelist_resolve,
     # text / dedup / similarity
     "text_features": q_text_features,
     "lang_quality_filter": q_lang_quality_filter,
@@ -961,6 +988,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_SESSIONIZE,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_json": SQL_EVENTS_JSON,
+    "codelist_resolve": SQL_CODELIST,
     "text_features": SQL_TEXT_FEATURES,
     "lang_quality_filter": SQL_LANG_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
