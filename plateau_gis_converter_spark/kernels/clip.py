@@ -52,10 +52,11 @@ def signed_ring_area(ring) -> float:
 
 
 def ring_is_cw(ring) -> bool:
-    """Reference `is_cw`: signed area < 0 in math convention == CW; the
-    reference's `is_cw` means signed_ring_area() > 0 with its y-down mercator
-    normalized coords (slice.rs:54-58 asserts ring_area > 0 after is_cw)."""
-    return signed_ring_area(ring) > 0.0
+    """Reference `is_cw()` == signed_ring_area() < 0 (standard shoelace,
+    nusamai-geometry/src/compact/linestring.rs:116-118). The front-face cull
+    (slice.rs:54-57) KEEPS exteriors with negative signed area; the
+    debug_assert uses ring_area() which is the absolute value."""
+    return signed_ring_area(ring) < 0.0
 
 
 def polygon_area(rings) -> float:

@@ -238,10 +238,14 @@ def encode_tile_features(features, detail: int):
         enc = GeometryEncoder()
         for poly in int_mpoly:
             exterior = poly[0]
+            # slicing REVERSES rings (slice.rs:260-261), so a front-facing
+            # (CW, negative-area) source exterior arrives here positive;
+            # mod.rs:411 admits exteriors with signed area > 0 and interiors
+            # iff is_cw() — i.e. signed area < 0 (linestring.rs:116-118).
             if signed_ring_area_i16(exterior) > 0.0:
                 enc.add_ring(exterior)
                 for interior in poly[1:]:
-                    if signed_ring_area_i16(interior) > 0.0:  # is_cw
+                    if signed_ring_area_i16(interior) < 0.0:  # is_cw
                         enc.add_ring(interior)
         geometry = enc.into_vec()
         if not geometry:

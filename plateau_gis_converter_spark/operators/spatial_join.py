@@ -73,12 +73,12 @@ def _with_cells(points: DataFrame, index_zoom: int) -> DataFrame:
             .withColumn("cell_y", geo.tile_y(zlit, my)))
 
 
-def _cross_le0(ax: str, ay: str, bx: str, by: str):
-    """Edge (a->b) cross with the point, inclusive right-of-edge test for
-    CW-in-lnglat rings — identical int64 math to
+def _cross_ge0(ax: str, ay: str, bx: str, by: str):
+    """Edge (a->b) cross with the point, inclusive left-of-edge test for
+    CCW-in-lnglat rings — identical int64 math to
     kernels/pip.points_in_convex_polygon_int."""
     return ((F.col(bx) - F.col(ax)) * (F.col("lat_udeg") - F.col(ay))
-            - (F.col(by) - F.col(ay)) * (F.col("lng_udeg") - F.col(ax))) <= 0
+            - (F.col(by) - F.col(ay)) * (F.col("lng_udeg") - F.col(ax))) >= 0
 
 
 def spatial_join_points(spark: SparkSession, points: DataFrame,
@@ -106,10 +106,10 @@ def spatial_join_points(spark: SparkSession, points: DataFrame,
             "cell_x: long, cell_y: long, ward_code: string, "
             "x1: long, y1: long, x2: long, y2: long, "
             "x3: long, y3: long, x4: long, y4: long")).dropDuplicates()
-        pip = (_cross_le0("x1", "y1", "x2", "y2")
-               & _cross_le0("x2", "y2", "x3", "y3")
-               & _cross_le0("x3", "y3", "x4", "y4")
-               & _cross_le0("x4", "y4", "x1", "y1"))
+        pip = (_cross_ge0("x1", "y1", "x2", "y2")
+               & _cross_ge0("x2", "y2", "x3", "y3")
+               & _cross_ge0("x3", "y3", "x4", "y4")
+               & _cross_ge0("x4", "y4", "x1", "y1"))
         joined = (pts.join(F.broadcast(cells), ["cell_x", "cell_y"])
                   .where(pip)
                   .drop("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"))

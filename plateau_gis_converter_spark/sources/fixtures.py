@@ -12,8 +12,8 @@ float drift between engines. The tokyo23-ku bounding box is
 
 The 23 ward polygons tessellate the bbox exactly: 5 latitude rows of
 [5,5,5,4,4] trapezoids whose slanted shared edges are deterministically
-jittered — convex quads, exact shared borders, CW in (lng, lat) which is
-front-facing (positive shoelace) in web-mercator screen coords (the reference's front-face convention,
+jittered — convex quads, exact shared borders, CCW in (lng, lat) which is
+front-facing (CW, negative signed shoelace) in y-down web-mercator coords (the reference's front-face convention,
 nusamai/src/sink/mvt/slice.rs:54-57). Two extra overlay polygons carry holes
 to exercise interior-ring slicing (they are NOT part of the join tessellation).
 """
@@ -105,18 +105,23 @@ def _row_cuts(r: int, ncols: int, k: int) -> list[int]:
     return cuts
 
 
-def _ring_cw_lnglat(ring: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    """Force CW orientation in the (lng, lat) plane (negative shoelace).
+def _oriented_ring(ring: list[tuple[int, int]], ccw: bool) -> list[tuple[int, int]]:
+    """Orient a ring in the (lng, lat) plane by its shoelace sign.
 
-    Web-mercator flips y (my decreases as lat grows), so CW-in-lnglat ==
-    positive shoelace in normalized mercator == the reference's front-facing
-    exterior (slice.rs:54-58 requires ring_area > 0 after is_cw)."""
+    Exteriors must be CCW-in-lnglat (positive shoelace): web-mercator flips
+    y, so that is CW == NEGATIVE signed area in normalized mercator — the
+    reference's front-facing exterior (`is_cw()` == signed_ring_area() < 0,
+    linestring.rs:116-118; cull at slice.rs:54-57). Holes use the opposite
+    winding (MVT interior-ring convention; after the slicer's ring reversal
+    the encoder admits interiors iff is_cw, mod.rs:414)."""
     area = 0
     n = len(ring)
     for i in range(n):
         x1, y1 = ring[i]
         x2, y2 = ring[(i + 1) % n]
         area += x1 * y2 - x2 * y1
+    if ccw:
+        return ring if area > 0 else ring[::-1]
     return ring if area < 0 else ring[::-1]
 
 
@@ -125,7 +130,8 @@ def boundaries_records() -> list[dict]:
 
     Returns dicts with: ward_code, ward_name, typename, feature_id,
     rings_udeg (list of rings, each list of (lng_µdeg, lat_µdeg), exterior
-    first, exterior CW in lnglat == front-facing in mercator), attributes (dict).
+    first, exterior CCW in lnglat == front-facing CW in mercator; holes
+    opposite winding), attributes (dict).
     """
     recs = []
     idx = 0
@@ -137,10 +143,10 @@ def boundaries_records() -> list[dict]:
         for c in range(ncols):
             idx += 1
             ward_code = f"131{idx:02d}"
-            ring = _ring_cw_lnglat([
+            ring = _oriented_ring([
                 (cuts_top[c], lat_top), (cuts_top[c + 1], lat_top),
                 (cuts_bot[c + 1], lat_bot), (cuts_bot[c], lat_bot),
-            ])
+            ], ccw=True)
             recs.append({
                 "ward_code": ward_code,
                 "ward_name": f"ward{idx:02d}",
@@ -156,12 +162,13 @@ def boundaries_records() -> list[dict]:
     for oi, (cx, cy) in enumerate([(139_650_000, 35_600_000),
                                    (139_820_000, 35_740_000)]):
         half, hole_half = 40_000, 12_000
-        outer = _ring_cw_lnglat([
+        outer = _oriented_ring([
             (cx - half, cy - half), (cx + half, cy - half),
-            (cx + half, cy + half), (cx - half, cy + half)])
-        hole = _ring_cw_lnglat([
+            (cx + half, cy + half), (cx - half, cy + half)], ccw=True)
+        hole = _oriented_ring([
             (cx - hole_half, cy - hole_half), (cx + hole_half, cy - hole_half),
-            (cx + hole_half, cy + hole_half), (cx - hole_half, cy + hole_half)])
+            (cx + hole_half, cy + hole_half), (cx - hole_half, cy + hole_half)],
+            ccw=False)
         recs.append({
             "ward_code": f"139{oi:02d}",
             "ward_name": f"overlay{oi}",
@@ -180,7 +187,7 @@ def tessellation_records() -> list[dict]:
 
 def boundaries_sql_values() -> str:
     """The 23 tessellation quads as a SQL VALUES table
-    b(ward_code, x1, y1, x2, y2, x3, y3, x4, y4) — CW in (lng, lat) µdeg.
+    b(ward_code, x1, y1, x2, y2, x3, y3, x4, y4) — CCW in (lng, lat) µdeg.
     Valid in both DuckDB and Spark SQL."""
     rows = []
     for rec in tessellation_records():
@@ -192,13 +199,13 @@ def boundaries_sql_values() -> str:
 
 
 PIP_CONVEX_SQL = (
-    # inclusive convex quad test for CW-in-lnglat rings (interior is to the
-    # RIGHT of each directed edge: cross <= 0), exact int64 cross products —
+    # inclusive convex quad test for CCW-in-lnglat rings (interior is to the
+    # LEFT of each directed edge: cross >= 0), exact int64 cross products —
     # matches kernels/pip.py points_in_convex_polygon_int
-    "((b.x2-b.x1)*(p.lat_udeg-b.y1) - (b.y2-b.y1)*(p.lng_udeg-b.x1)) <= 0"
-    " AND ((b.x3-b.x2)*(p.lat_udeg-b.y2) - (b.y3-b.y2)*(p.lng_udeg-b.x2)) <= 0"
-    " AND ((b.x4-b.x3)*(p.lat_udeg-b.y3) - (b.y4-b.y3)*(p.lng_udeg-b.x3)) <= 0"
-    " AND ((b.x1-b.x4)*(p.lat_udeg-b.y4) - (b.y1-b.y4)*(p.lng_udeg-b.x4)) <= 0"
+    "((b.x2-b.x1)*(p.lat_udeg-b.y1) - (b.y2-b.y1)*(p.lng_udeg-b.x1)) >= 0"
+    " AND ((b.x3-b.x2)*(p.lat_udeg-b.y2) - (b.y3-b.y2)*(p.lng_udeg-b.x2)) >= 0"
+    " AND ((b.x4-b.x3)*(p.lat_udeg-b.y3) - (b.y4-b.y3)*(p.lng_udeg-b.x3)) >= 0"
+    " AND ((b.x1-b.x4)*(p.lat_udeg-b.y4) - (b.y1-b.y4)*(p.lng_udeg-b.x4)) >= 0"
 )
 
 

@@ -8,11 +8,12 @@ from plateau_gis_converter_spark.kernels.mercator import lnglat_to_web_mercator
 
 
 def _square(cx, cy, half, cw=True):
-    """Axis-aligned square ring around (cx, cy). cw=True gives positive
-    shoelace area in y-down mercator coords (screen CW)."""
+    """Axis-aligned square ring around (cx, cy). cw=True gives NEGATIVE
+    signed shoelace area — the reference's front-facing orientation
+    (is_cw() == signed_ring_area() < 0, linestring.rs:116-118)."""
     pts = [[cx - half, cy - half], [cx + half, cy - half],
            [cx + half, cy + half], [cx - half, cy + half]]
-    ring = pts if clip.signed_ring_area(pts) > 0 else pts[::-1]
+    ring = pts if clip.signed_ring_area(pts) < 0 else pts[::-1]
     return ring if cw else ring[::-1]
 
 
@@ -111,8 +112,8 @@ def test_pip_matches_tile_assignment():
     blat = [35.5, 35.5, 35.85, 35.85]
     bx, by = lnglat_to_web_mercator(np.array(blng), np.array(blat))
     ring = [[x, y] for x, y in zip(bx, by)]
-    if clip.signed_ring_area(ring) < 0:
-        ring = ring[::-1]
+    if clip.signed_ring_area(ring) > 0:
+        ring = ring[::-1]  # front-facing = negative signed area
     z = 12
     out = clip.slice_multipolygon([[ring]], z, z)
     tiles = set((x, y) for (_, x, y) in out.keys())
