@@ -1,0 +1,171 @@
+"""Shapefile sink (SURVEY §2.1 S9; reference
+nusamai/src/sink/shapefile/mod.rs:73-365,
+nusamai-shapefile/src/conversion.rs:8-160).
+
+Per-type ESRI shapefile output (.shp geometry + .shx index + .dbf
+attributes), PolygonZ records, 10-character DBF field names (the reference
+enforces this through the rename dictionary,
+transformer/transform/attrname.rs:37-48 + transform/shp_field_dict.json —
+we apply the same truncate-to-10 rule here).
+
+Spark plan: distributed feature preparation (rings -> PolygonZ record bytes
+via mapInPandas), then a per-type single-writer packing step — the shapefile
+format is single-writer by design, exactly like the reference's sequential
+ShapeWriter. The ESRI shapefile format is public (ESRI whitepaper, 1998).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SHAPE_POLYGONZ = 15
+
+RECORD_SCHEMA = T.StructType([
+    T.StructField("table_name", T.StringType()),
+    T.StructField("obj_id", T.StringType()),
+    T.StructField("shp_record", T.BinaryType()),
+    T.StructField("bbox", T.ArrayType(T.DoubleType())),  # xmin,ymin,xmax,ymax
+    T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def polygonz_record(rings_deg: list[list[tuple[float, float]]],
+                    z: float = 0.0) -> tuple[bytes, list[float]]:
+    """One PolygonZ shape record body (without the record header).
+
+    rings: list of rings, each a closed-implied list of (x=lng, y=lat);
+    shapefile rings are closed explicitly (first point repeated).
+    """
+    closed = [list(r) + [r[0]] for r in rings_deg]
+    all_pts = [p for r in closed for p in r]
+    xs = [p[0] for p in all_pts]
+    ys = [p[1] for p in all_pts]
+    bbox = [min(xs), min(ys), max(xs), max(ys)]
+    num_parts = len(closed)
+    num_points = len(all_pts)
+    body = bytearray()
+    body += struct.pack("<i", SHAPE_POLYGONZ)
+    body += struct.pack("<4d", *bbox)
+    body += struct.pack("<ii", num_parts, num_points)
+    idx = 0
+    for r in closed:
+        body += struct.pack("<i", idx)
+        idx += len(r)
+    for x, y in all_pts:
+        body += struct.pack("<dd", x, y)
+    # Z range + Z values
+    body += struct.pack("<dd", z, z)
+    body += struct.pack(f"<{num_points}d", *([z] * num_points))
+    # M range + M values (no-data)
+    nodata = -1e39
+    body += struct.pack("<dd", nodata, nodata)
+    body += struct.pack(f"<{num_points}d", *([nodata] * num_points))
+    return bytes(body), bbox
+
+
+def boundaries_to_shp_records(boundaries: DataFrame) -> DataFrame:
+    """Boundary rows -> per-type PolygonZ record bytes (distributed)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                rings = [[(float(x) / 1e6, float(y) / 1e6) for x, y in ring]
+                         for ring in rec.rings_udeg]
+                body, bbox = polygonz_record(rings)
+                rows.append({
+                    "table_name": rec.typename.replace(":", "_"),
+                    "obj_id": rec.feature_id,
+                    "shp_record": body,
+                    "bbox": bbox,
+                    "attributes": dict(rec.attributes),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return boundaries.mapInPandas(run, schema=RECORD_SCHEMA)
+
+
+def shp_field_name(name: str) -> str:
+    """DBF field names are max 10 chars; strip namespace then truncate —
+    the reference's shapefile dictionary rule (attrname.rs:37-48)."""
+    if ":" in name:
+        name = name.split(":", 1)[1]
+    return name[:10]
+
+
+def _shp_header(file_len_words: int, bbox: list[float]) -> bytes:
+    h = bytearray(100)
+    struct.pack_into(">i", h, 0, 9994)  # magic
+    struct.pack_into(">i", h, 24, file_len_words)
+    struct.pack_into("<i", h, 28, 1000)  # version
+    struct.pack_into("<i", h, 32, SHAPE_POLYGONZ)
+    struct.pack_into("<4d", h, 36, *bbox)
+    # z/m ranges left zero
+    return bytes(h)
+
+
+def pack_shapefile(records: list[dict], base_path: str) -> None:
+    """Single-writer .shp/.shx/.dbf packing for one table."""
+    recs = sorted(records, key=lambda r: r["obj_id"])
+    bbox = [min(r["bbox"][0] for r in recs), min(r["bbox"][1] for r in recs),
+            max(r["bbox"][2] for r in recs), max(r["bbox"][3] for r in recs)]
+    shp = bytearray()
+    shx = bytearray()
+    offset_words = 50
+    for i, r in enumerate(recs):
+        body = r["shp_record"]
+        content_words = len(body) // 2
+        shp += struct.pack(">ii", i + 1, content_words)
+        shp += body
+        shx += struct.pack(">ii", offset_words, content_words)
+        offset_words += 4 + content_words
+    with open(base_path + ".shp", "wb") as f:
+        f.write(_shp_header(50 + len(shp) // 2, bbox))
+        f.write(bytes(shp))
+    with open(base_path + ".shx", "wb") as f:
+        f.write(_shp_header(50 + len(shx) // 2, bbox))
+        f.write(bytes(shx))
+
+    # DBF: obj_id + attribute keys as 10-char character fields
+    keys = sorted({k for r in recs for k in r["attributes"]})
+    fields = [("obj_id", 64)] + [(shp_field_name(k), 64) for k in keys]
+    dbf = bytearray()
+    n_rec = len(recs)
+    rec_len = 1 + sum(w for _, w in fields)
+    header_len = 32 + 32 * len(fields) + 1
+    dbf += struct.pack("<BBBBIHH20x", 3, 24, 1, 1, n_rec, header_len, rec_len)
+    for fname, width in fields:
+        fb = fname.encode("ascii", "replace")[:10]
+        dbf += fb + b"\x00" * (11 - len(fb)) + b"C" + b"\x00" * 4
+        dbf += struct.pack("<BB", width, 0) + b"\x00" * 14
+    dbf += b"\x0d"
+    for r in recs:
+        row = b" "
+        vals = [r["obj_id"]] + [r["attributes"].get(k, "") for k in keys]
+        for (_, width), v in zip(fields, vals):
+            vb = str(v).encode("utf-8", "replace")[:width]
+            row += vb + b" " * (width - len(vb))
+        dbf += row
+    dbf += b"\x1a"
+    with open(base_path + ".dbf", "wb") as f:
+        f.write(bytes(dbf))
+
+
+def write_shapefiles(boundaries: DataFrame, output_dir: str) -> list[str]:
+    """Distributed record prep, per-type single-writer pack (the same
+    serialization point the reference has)."""
+    import os
+
+    staged = boundaries_to_shp_records(boundaries).toPandas()
+    out = []
+    os.makedirs(output_dir, exist_ok=True)
+    for tname, group in staged.groupby("table_name"):
+        base = os.path.join(output_dir, tname)
+        pack_shapefile(group.to_dict("records"), base)
+        out.append(base)
+    return out

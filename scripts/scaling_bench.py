@@ -43,12 +43,15 @@ bench.flagship_tile_assign(spark, 50000)
 bench.build_pages(spark, n)
 bench.flagship_spatial_join(spark, n)   # cache-warming pass, untimed
 bench.flagship_tile_assign(spark, n)
-t_join = min(_timed(lambda: bench.flagship_spatial_join(spark, n))
-             for _ in range(3))
-t_tile = min(_timed(lambda: bench.flagship_tile_assign(spark, n))
-             for _ in range(3))
-print(json.dumps({{"cpus": int(cpus), "n": n, "join_s": t_join,
-                  "tile_s": t_tile}}))
+# the sandbox VM is noisy (shared host, ~9 MB/s cold disk): take the min of
+# several reps — the compute floor is the stable, comparable quantity
+join_reps = [_timed(lambda: bench.flagship_spatial_join(spark, n))
+             for _ in range(5)]
+tile_reps = [_timed(lambda: bench.flagship_tile_assign(spark, n))
+             for _ in range(5)]
+print(json.dumps({{"cpus": int(cpus), "n": n, "join_s": min(join_reps),
+                  "tile_s": min(tile_reps), "join_reps": join_reps,
+                  "tile_reps": tile_reps}}))
 """
 
 
@@ -62,7 +65,7 @@ def run_level(cpus: int, n_pages: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     levels = [8, 32]
     results = {}
     for cpus in levels:
