@@ -72,7 +72,10 @@ def flagship_tile_assign(spark, n_pages):
     lng, lat = geo.point_udeg_cols(F.col("doc_id"))
     pts = base.select("doc_id", lng, lat)
     tiles = ta.assign_point_tiles(pts, 7, 15, with_tile_id=True)
-    return tiles.groupBy("z").agg(F.count(F.lit(1)).alias("n")).count()
+    # aggregate over every derived column so Catalyst cannot prune the
+    # Hilbert UDF / tile math out of the measured work
+    return tiles.agg(F.sum("tile_id"), F.max("x"), F.max("y"),
+                     F.count(F.lit(1))).collect()
 
 
 def main():

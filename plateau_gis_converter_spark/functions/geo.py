@@ -58,6 +58,46 @@ def with_point_tiles(df, z: Column, lng_udeg: str = "lng_udeg",
               .withColumn("y", tile_y(z, my)))
 
 
+def hilbert_id_expr(df, z: str = "z", x: str = "x", y: str = "y",
+                    out: str = "tile_id", max_zoom: int = 20):
+    """PMTiles Hilbert id as PURE Catalyst expressions — the unrolled
+    bit-fold of nusamai-mvt/src/tileid/hilbert.rs:18-39 (same math as
+    kernels/hilbert.zxy_to_id), so the 10^12-row tile path needs no Python
+    at all. i64 two's-complement arithmetic is congruent mod 2^64 with the
+    reference's u64 wrapping (low bits identical; ids < 2^63 for z <= 31).
+
+    Adds ``out`` via a chain of withColumns (one per bit level, masked by
+    ``level < z``) that whole-stage-codegen collapses into one stage.
+    """
+    # integer DIV keeps acc exact (double division could round at 2^40)
+    acc = F.expr(f"(CAST(pow(2.0, {z} * 2) AS BIGINT) - 1) DIV 3")
+    df = (df.withColumn("_h_acc", acc.cast("bigint"))
+            .withColumn("_h_tx", F.col(x).cast("bigint"))
+            .withColumn("_h_ty", F.col(y).cast("bigint")))
+    for a in range(max_zoom - 1, -1, -1):
+        s = 1 << a
+        active = F.col(z) > a
+        rx = F.shiftright(F.col("_h_tx"), a).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_h_ty"), a).bitwiseAND(F.lit(1))
+        # rotate (hilbert.rs:30-39): ry==0 -> maybe flip, then swap
+        flip = (ry == 0) & (rx == 1)
+        fx = F.when(flip, F.lit(s - 1) - F.col("_h_tx")).otherwise(F.col("_h_tx"))
+        fy = F.when(flip, F.lit(s - 1) - F.col("_h_ty")).otherwise(F.col("_h_ty"))
+        ntx = F.when(ry == 0, fy).otherwise(F.col("_h_tx"))
+        nty = F.when(ry == 0, fx).otherwise(F.col("_h_ty"))
+        step = (F.lit(s).cast("bigint") * F.lit(s)
+                * (rx * 3).bitwiseXOR(ry).cast("bigint"))
+        df = (df.withColumn("_h_acc", F.when(active, F.col("_h_acc") + step)
+                            .otherwise(F.col("_h_acc")))
+                .withColumn("_h_ntx", F.when(active, ntx).otherwise(F.col("_h_tx")))
+                .withColumn("_h_nty", F.when(active, nty).otherwise(F.col("_h_ty")))
+                .drop("_h_tx", "_h_ty")
+                .withColumnRenamed("_h_ntx", "_h_tx")
+                .withColumnRenamed("_h_nty", "_h_ty"))
+    return (df.withColumn(out, F.col("_h_acc"))
+              .drop("_h_acc", "_h_tx", "_h_ty"))
+
+
 def salted_key(key: Column, salt_buckets: int, salt_source: Column) -> Column:
     """Skew-salting helper: append a deterministic salt in [0, salt_buckets)
     derived from another column (e.g. hash(url)) so a hot key (dense Tokyo

@@ -37,12 +37,16 @@ def hilbert_id_udf(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 def assign_point_tiles(df: DataFrame, min_z: int = 7, max_z: int = 15,
-                       with_tile_id: bool = True) -> DataFrame:
+                       with_tile_id: bool = True,
+                       tile_id_impl: str = "catalyst") -> DataFrame:
     """Explode geocoded pages into (z, x, y[, tile_id]) tile assignments.
 
     Input needs lng_udeg/lat_udeg (see operators/geocode.py). The mercator
     transform is computed once per page, the per-zoom floor is a cheap
-    codegen'd expression — no shuffle in this operator at all.
+    codegen'd expression — no shuffle in this operator at all. The Hilbert
+    id defaults to the pure-Catalyst unrolled fold
+    (functions/geo.hilbert_id_expr) so the whole operator is JVM codegen;
+    ``tile_id_impl='arrow'`` keeps the NumPy-kernel UDF path.
     """
     mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
     my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
@@ -55,8 +59,11 @@ def assign_point_tiles(df: DataFrame, min_z: int = 7, max_z: int = 15,
            .withColumn("y", geo.tile_y(F.col("z"), F.col("_my")))
            .drop("_mx", "_my"))
     if with_tile_id:
-        out = out.withColumn("tile_id",
-                             hilbert_id_udf(F.col("z"), F.col("x"), F.col("y")))
+        if tile_id_impl == "catalyst":
+            out = geo.hilbert_id_expr(out, max_zoom=max_z + 1)
+        else:
+            out = out.withColumn(
+                "tile_id", hilbert_id_udf(F.col("z"), F.col("x"), F.col("y")))
     return out
 
 
