@@ -35,14 +35,20 @@ def build_pages(spark, n):
 
     from plateau_gis_converter_spark.functions import geo
 
+    base = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pages = base.select(
+        "doc_id",
+        F.format_string("地点 lat_udeg=%d lng_udeg=%d 東京", lat, lng)
+        .alias("text"))
+    if os.environ.get("SPARK_GRAFT_BENCH_INPLAN") == "1":
+        # pure-compute mode for scaling measurements: this sandbox's virtio
+        # disk reads ~9 MB/s cold and the page cache is unreliable under the
+        # hypervisor, so a staged-parquet scan measures the device, not the
+        # engine. Production scans a distributed store.
+        return pages
     key = (id(spark), n)
     if key not in _STAGED:
-        base = spark.range(0, n).select(F.col("id").alias("doc_id"))
-        lng, lat = geo.point_udeg_cols(F.col("doc_id"))
-        pages = base.select(
-            "doc_id",
-            F.format_string("地点 lat_udeg=%d lng_udeg=%d 東京", lat, lng)
-            .alias("text"))
         path = tempfile.mkdtemp(prefix="bench_pages_") + "/pages.parquet"
         pages.write.mode("overwrite").parquet(path)
         _STAGED[key] = path
