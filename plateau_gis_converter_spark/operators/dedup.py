@@ -72,7 +72,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     > max_df docs) bounds the join fan-out on pathological common shingles —
     the standard guard for web-scale corpora.
     """
-    sh = shingles(docs, n, text_col)
+    # the shingle relation feeds three plan branches (both join sides and
+    # the per-doc sizes); persist so the tokenize+explode runs once. At
+    # 10^12-doc scale this is a staged intermediate table instead.
+    sh = shingles(docs, n, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -152,7 +155,7 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     """LSH candidates verified by exact Jaccard (the production dedup path:
     probabilistic recall, exact precision)."""
     cand = minhash_lsh_candidates(docs, num_hashes, bands, n, text_col)
-    sh = shingles(docs, n, text_col)
+    sh = shingles(docs, n, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
