@@ -888,9 +888,74 @@ GROUP BY source, lang
 """
 
 
+def q_knn(spark, sf_dir):
+    """kNN via tile ring expansion (operators/knn.py): every 25th doc-point
+    queries its 3 nearest neighbor points (haversine, deterministic
+    vec-id tie-break). Distances reported in integer millimeters."""
+    from ..operators import knn as knn_op
+
+    pts = _points_df(spark, sf_dir).select(
+        F.col("doc_id").alias("point_id"), "lng_udeg", "lat_udeg")
+    queries = (pts.where(F.col("point_id") % 25 == 0)
+               .select(F.col("point_id").alias("query_id"),
+                       "lng_udeg", "lat_udeg"))
+    out = knn_op.knn_ring_expansion(spark, pts,
+                                    queries.where(F.col("query_id") >= 0),
+                                    k=3)
+    # a query point is itself in the point set at distance 0 (rank 1)
+    return out.select(
+        "query_id", "point_id", "rank",
+        F.floor(F.col("dist_m") * 1000 + F.lit(0.5)).cast("bigint")
+        .alias("dist_mm"))
+
+
+# haversine in shared SQL form — same op order as operators/knn._haversine_m
+_HAV = ("2.0 * 6371000.0 * asin(sqrt("
+        "sin(radians(p.lat_udeg/1000000.0 - q.lat_udeg/1000000.0) / 2)"
+        " * sin(radians(p.lat_udeg/1000000.0 - q.lat_udeg/1000000.0) / 2)"
+        " + cos(radians(q.lat_udeg/1000000.0)) * cos(radians(p.lat_udeg/1000000.0))"
+        " * sin(radians(p.lng_udeg/1000000.0 - q.lng_udeg/1000000.0) / 2)"
+        " * sin(radians(p.lng_udeg/1000000.0 - q.lng_udeg/1000000.0) / 2)))")
+
+SQL_KNN = f"""
+WITH {POINTS_CTE},
+p AS (SELECT doc_id AS point_id, lng_udeg, lat_udeg FROM pts),
+q AS (SELECT doc_id AS query_id, lng_udeg, lat_udeg FROM pts
+      WHERE doc_id % 25 = 0),
+d AS (
+  SELECT q.query_id, p.point_id, {_HAV} AS dist_m
+  FROM q, p
+),
+r AS (
+  SELECT query_id, point_id, dist_m,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist_m ASC, point_id ASC) AS INT) AS rank
+  FROM d
+)
+SELECT query_id, point_id, rank,
+       CAST(floor(dist_m * 1000 + 0.5) AS BIGINT) AS dist_mm
+FROM r WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL oracle — probabilistic / UDF-defined semantics)
 # ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal binary plumbing (operators/multimodal.py): build an html
+    binary column from the derived pages and extract typed metadata via the
+    Arrow-batched sniffing UDF (rows-only check — the decode step is a
+    documented stub)."""
+    from ..operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"))
+    return mm.media_metadata(pages)
 
 def q_minhash_lsh_verified(spark, sf_dir):
     """LSH-candidates → exact-Jaccard verification (probabilistic recall;
@@ -943,6 +1008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_rollup": q_tile_rollup,
     "tiles_3d_scheme": q_tiles_3d_scheme,
     "geometric_error": q_geometric_error,
+    "knn_ring_expansion": q_knn,
     # relational
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -968,6 +1034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near,
     "ann_lsh_topk": q_ann_lsh_topk,
     "boundary_tiles": q_boundary_tiles,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 ORACLES: dict[str, str] = {
@@ -979,6 +1046,7 @@ ORACLES: dict[str, str] = {
     "tile_rollup": SQL_TILE_ROLLUP,
     "tiles_3d_scheme": SQL_TILES_3D,
     "geometric_error": SQL_GEOMETRIC_ERROR,
+    "knn_ring_expansion": SQL_KNN,
     "pricing_summary": SQL_PRICING,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "window_top_orders": SQL_WINDOW_TOP,
