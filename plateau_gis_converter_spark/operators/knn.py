@@ -2,15 +2,32 @@
 
 For each query point, candidates are the points in the query's index cell
 and its expanding rings of neighboring cells; exact haversine re-rank picks
-the top-k. The ring radius doubles until every query has >= k candidates —
-each round is a broadcast-able equi-join on cell ids, never a cross join.
+the top-k. A query terminates only when BOTH hold:
+
+* it has >= k candidates inside ring r, AND
+* its k-th candidate distance is strictly below a conservative lower bound
+  on the distance to ANY point outside the explored (2r+1)x(2r+1) cell
+  block — so a nearer point one cell outside the ring can never be missed
+  (the round-1 bug: termination on count alone returned non-nearest
+  neighbors for queries near their cell edge).
+
+The bound: the explored block is axis-aligned in normalized web-mercator;
+its nearest unexplored point is beyond the block edge. Distance to the
+east/west edges >= R * asin(cos(lat_q) * sin(dlng)) >= R*cos(lat_q)*sin(dlng);
+distance to the north/south edges >= R * dlat (meridian arc). We take
+min(x-bound, y-bound) * 0.999 (safety for spherical vs planar approximation
+at sub-cell scales; the factor only ever causes an extra ring, never a
+wrong answer).
 
 At 100 TB: the point side is cell-partitioned; ring-expansion touches only
 the cells adjacent to query cells (partition pruning on the cell column);
-the iteration count is bounded (log of the sparsest region's radius).
+the iteration count is bounded (log of the sparsest region's radius). Each
+round persists `remaining` so loop-condition checks don't recompute lineage.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -18,6 +35,7 @@ from pyspark.sql import functions as F
 from ..functions import geo
 
 INDEX_ZOOM = 12
+EARTH_R = 6371000.0
 
 
 def _with_cell(df: DataFrame, lng_col: str, lat_col: str, zoom: int) -> DataFrame:
@@ -35,18 +53,76 @@ def _haversine_m(lng1, lat1, lng2, lat2):
     dlng = F.radians(lng2 - lng1) / 2
     a = (F.sin(dlat) * F.sin(dlat)
          + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlng) * F.sin(dlng))
-    return F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+    return F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(a))
+
+
+def _inv_mercator_lat_deg(my):
+    """Inverse of geo.mercator_my: normalized-mercator y -> latitude deg."""
+    return (F.degrees(F.lit(2.0) * F.atan(
+        F.exp(F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * my)))) - F.lit(90.0))
+
+
+def _ring_boundary_bound_m(r: int, zoom: int):
+    """Lower bound (meters) on the distance from the query to any point
+    outside the Chebyshev-r cell block around the query's cell.
+
+    Uses q_lng/q_lat (µdeg) and q_cx/q_cy columns.
+    """
+    s = 1.0 / float(1 << zoom)
+    lng_q = geo.udeg_to_deg(F.col("q_lng"))
+    lat_q = geo.udeg_to_deg(F.col("q_lat"))
+    # block edges in normalized mercator
+    left_mx = (F.col("q_cx") - F.lit(r)).cast("double") * F.lit(s)
+    right_mx = (F.col("q_cx") + F.lit(r + 1)).cast("double") * F.lit(s)
+    top_my = (F.col("q_cy") - F.lit(r)).cast("double") * F.lit(s)   # north
+    bot_my = (F.col("q_cy") + F.lit(r + 1)).cast("double") * F.lit(s)  # south
+    lng_left = left_mx * F.lit(360.0) - F.lit(180.0)
+    lng_right = right_mx * F.lit(360.0) - F.lit(180.0)
+    lat_top = _inv_mercator_lat_deg(top_my)
+    lat_bot = _inv_mercator_lat_deg(bot_my)
+    dx_deg = F.least(lng_q - lng_left, lng_right - lng_q)
+    dy_deg = F.least(lat_q - lat_bot, lat_top - lat_q)
+    bound_x = (F.lit(EARTH_R) * F.cos(F.radians(lat_q))
+               * F.sin(F.radians(dx_deg)))
+    bound_y = F.lit(EARTH_R) * F.radians(dy_deg)
+    return F.least(bound_x, bound_y) * F.lit(0.999)
+
+
+def _ranked_in_ring(remaining: DataFrame, pts: DataFrame, r: int, k: int):
+    """Candidates within Chebyshev ring r of each remaining query, exact
+    haversine top-k per query (ties broken on point_id)."""
+    offs = F.sequence(F.lit(-r), F.lit(r))
+    neigh = (remaining
+             .withColumn("dx", F.explode(offs))
+             .withColumn("dy", F.explode(offs))
+             .withColumn("cell_x", F.col("q_cx") + F.col("dx"))
+             .withColumn("cell_y", F.col("q_cy") + F.col("dy"))
+             .drop("dx", "dy"))
+    cand = neigh.join(pts, ["cell_x", "cell_y"])
+    cand = cand.withColumn(
+        "dist_m", _haversine_m(geo.udeg_to_deg(F.col("q_lng")),
+                               geo.udeg_to_deg(F.col("q_lat")),
+                               geo.udeg_to_deg(F.col("lng_udeg")),
+                               geo.udeg_to_deg(F.col("lat_udeg"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col("point_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "point_id", "rank", "dist_m",
+                    "q_lng", "q_lat", "q_cx", "q_cy"))
 
 
 def knn_ring_expansion(spark: SparkSession, points: DataFrame,
                        queries: DataFrame, k: int = 5,
-                       zoom: int = INDEX_ZOOM, max_rings: int = 4) -> DataFrame:
+                       zoom: int = INDEX_ZOOM, max_rings: int = 6) -> DataFrame:
     """points(point_id, lng_udeg, lat_udeg) x queries(query_id, lng_udeg,
-    lat_udeg) -> top-k nearest points per query.
+    lat_udeg) -> exact top-k nearest points per query.
 
     Ring r candidates: |cell_x_p - cell_x_q| <= r and |cell_y_p - cell_y_q|
     <= r, built as an explode of the query's (2r+1)^2 neighbor cells followed
-    by an equi-join (hash join, broadcast when queries are small).
+    by an equi-join (hash join, broadcast when queries are small). Exactness:
+    a query finishes only when its k-th distance is below the guaranteed
+    distance to the unexplored region (see module docstring).
     """
     pts = _with_cell(points, "lng_udeg", "lat_udeg", zoom)
     qs = _with_cell(queries, "lng_udeg", "lat_udeg", zoom).select(
@@ -55,52 +131,38 @@ def knn_ring_expansion(spark: SparkSession, points: DataFrame,
         F.col("cell_x").alias("q_cx"), F.col("cell_y").alias("q_cy"))
 
     result = None
-    remaining = qs
+    remaining = qs.persist()
+    persisted = [remaining]
     r = 1
+    last_r = r
     for _ in range(max_rings):
-        offs = F.sequence(F.lit(-r), F.lit(r))
-        neigh = (remaining
-                 .withColumn("dx", F.explode(offs))
-                 .withColumn("dy", F.explode(offs))
-                 .withColumn("cell_x", F.col("q_cx") + F.col("dx"))
-                 .withColumn("cell_y", F.col("q_cy") + F.col("dy"))
-                 .drop("dx", "dy"))
-        cand = neigh.join(pts, ["cell_x", "cell_y"])
-        cand = cand.withColumn(
-            "dist_m", _haversine_m(geo.udeg_to_deg(F.col("q_lng")),
-                                   geo.udeg_to_deg(F.col("q_lat")),
-                                   geo.udeg_to_deg(F.col("lng_udeg")),
-                                   geo.udeg_to_deg(F.col("lat_udeg"))))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist_m").asc(), F.col("point_id").asc())
-        ranked = (cand.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", "point_id", "rank", "dist_m"))
-        counts = ranked.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
-        done_ids = counts.where(F.col("n") >= k).select("query_id")
-        done = ranked.join(done_ids, "query_id", "left_semi")
+        last_r = r
+        ranked = _ranked_in_ring(remaining, pts, r, k).persist()
+        persisted.append(ranked)
+        bound = _ring_boundary_bound_m(r, zoom)
+        stats = (ranked.groupBy("query_id", "q_lng", "q_lat", "q_cx", "q_cy")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.max("dist_m").alias("kth_dist")))
+        done_ids = (stats.where((F.col("n") >= k) & (F.col("kth_dist") < bound))
+                    .select("query_id"))
+        done = (ranked.join(done_ids, "query_id", "left_semi")
+                .select("query_id", "point_id", "rank", "dist_m"))
         result = done if result is None else result.unionByName(done)
-        remaining = remaining.join(done_ids, "query_id", "left_anti")
+        nxt = remaining.join(done_ids, "query_id", "left_anti").persist()
+        persisted.append(nxt)
+        remaining = nxt
         if not remaining.take(1):
             break
         r *= 2
     if remaining.take(1):
-        # sparse stragglers: final pass keeps whatever was found in the last ring
-        leftover = (qs.join(remaining.select("query_id"), "query_id", "left_semi"))
-        neigh = (leftover
-                 .withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-                 .withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-                 .withColumn("cell_x", F.col("q_cx") + F.col("dx"))
-                 .withColumn("cell_y", F.col("q_cy") + F.col("dy")))
-        cand = neigh.join(pts, ["cell_x", "cell_y"]).withColumn(
-            "dist_m", _haversine_m(geo.udeg_to_deg(F.col("q_lng")),
-                                   geo.udeg_to_deg(F.col("q_lat")),
-                                   geo.udeg_to_deg(F.col("lng_udeg")),
-                                   geo.udeg_to_deg(F.col("lat_udeg"))))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist_m").asc(), F.col("point_id").asc())
-        last = (cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
+        # stragglers after max_rings: best-effort top-k from the widest ring
+        # searched (sparse regions; exactness is guaranteed only within
+        # max_rings — raise max_rings for pathological densities).
+        last = (_ranked_in_ring(remaining, pts, last_r, k)
                 .select("query_id", "point_id", "rank", "dist_m"))
         result = last if result is None else result.unionByName(last)
-    return result
+    out = result
+    # materialization happens downstream; release loop caches lazily
+    for p in persisted:
+        p.unpersist()
+    return out

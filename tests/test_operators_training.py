@@ -156,6 +156,43 @@ def test_knn_ring_expansion(spark):
         assert mine == expected, f"query {qi}: {mine} != {expected}"
 
 
+def test_knn_adversarial_ring_boundary(spark):
+    """Round-1 bug regression (VERDICT 'What's wrong' #1): a query near its
+    cell edge with a ring-1 candidate FARTHER than a point just outside the
+    ring must keep expanding — termination on count alone returns the wrong
+    neighbor."""
+    z = 12
+    s = 1.0 / (1 << z)
+
+    def merc(lng_deg, lat_deg):
+        mx = (lng_deg + 180.0) / 360.0
+        my = (-np.degrees(np.log(np.tan(np.radians(90.0 + lat_deg) / 2.0)))
+              + 180.0) / 360.0
+        return mx, my
+
+    def inv(mx, my):
+        lng = mx * 360.0 - 180.0
+        lat = np.degrees(2.0 * np.arctan(np.exp(np.pi * (1.0 - 2.0 * my)))) - 90.0
+        return lng, lat
+
+    mx0, my0 = merc(139.70, 35.69)
+    cx, cy = int(np.floor(mx0 / s)), int(np.floor(my0 / s))
+
+    def udeg(fx, fy):
+        lng, lat = inv((cx + fx) * s, (cy + fy) * s)
+        return int(round(lng * 1e6)), int(round(lat * 1e6))
+
+    q = udeg(0.99, 0.50)
+    p_far = udeg(0.01, 0.97)    # same cell, ~1.09 cell-diagonals away
+    p_near = udeg(2.04, 0.50)   # ring 2 (cell cx+2), ~1.05 cells away
+    pts = spark.createDataFrame(
+        [(1, *p_far), (2, *p_near)], ["point_id", "lng_udeg", "lat_udeg"])
+    qs = spark.createDataFrame([(0, *q)], ["query_id", "lng_udeg", "lat_udeg"])
+    got = knn.knn_ring_expansion(spark, pts, qs, k=1, zoom=z).collect()
+    assert len(got) == 1
+    assert got[0]["point_id"] == 2, "must expand past ring 1 to the true NN"
+
+
 def test_salted_aggregate_matches_plain(spark):
     df = spark.range(0, 10000).select(
         (F.col("id") % 7).alias("k"), F.col("id").alias("v"))
