@@ -63,19 +63,34 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text") -> DataFrame:
-    """EXACT n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard >= τ).
+                        text_col: str = "text",
+                        max_df: int | None = None) -> DataFrame:
+    """n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard >= τ).
 
     candidates = docs sharing >= 1 shingle (equi-join on the shingle);
     |A∩B| = count of shared shingles; |A∪B| = |A| + |B| - |A∩B|.
-    Shuffles on the shingle key; a frequency cap (drop shingles appearing in
-    > max_df docs) bounds the join fan-out on pathological common shingles —
-    the standard guard for web-scale corpora.
+    Shuffles on the shingle key.
+
+    ``max_df``: drop shingles appearing in more than max_df documents BEFORE
+    the self-join — the standard web-scale guard: one boilerplate shingle
+    with df=10^6 would otherwise emit 5*10^11 candidate pairs from a single
+    key; the cap bounds per-key fan-out at max_df^2/2. With the cap the
+    result is the EXACT Jaccard over the capped shingle sets (sizes are
+    computed on the same capped sets, so the measure stays self-consistent);
+    pairs whose overlap lies only in boilerplate shingles are intentionally
+    dropped. ``max_df=None`` keeps full exactness.
     """
     # the shingle relation feeds three plan branches (both join sides and
     # the per-doc sizes); persist so the tokenize+explode runs once. At
     # 10^12-doc scale this is a staged intermediate table instead.
-    sh = shingles(docs, n, text_col).persist()
+    sh = shingles(docs, n, text_col)
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -195,16 +210,30 @@ def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text") -> DataFram
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        bits: int = 60, text_col: str = "text") -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
-    blocking (Manku et al.: if d <= 3 of 64 bits differ, at least one of 4
-    bands is identical)."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming via banded
+    blocking with ``bands = max_hamming + 1`` (Manku et al. WWW'07
+    pigeonhole: if <= d bits differ, at least one of d+1 disjoint bands is
+    identical) — so recall is EXACTLY 1 for the requested radius, at the
+    cost of shorter band keys (bits/(d+1)) and therefore bigger buckets as
+    d grows. Precision is exact (hamming verified on the full fingerprint).
+    """
+    bands = max_hamming + 1
+    if bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than "
+                         f"bits={bits}")
     sh = simhash(docs, bits, text_col)
-    band_bits = bits // 4
-    mask = (1 << band_bits) - 1
+    base, rem = divmod(bits, bands)
+    starts, widths = [], []
+    pos = 0
+    for i in range(bands):
+        w = base + (1 if i < rem else 0)
+        starts.append(pos)
+        widths.append(w)
+        pos += w
     bandc = [F.struct(F.lit(i).alias("band"),
-                      F.shiftright(F.col("simhash"), i * band_bits)
-                      .bitwiseAND(F.lit(mask)).alias("key"))
-             for i in range(4)]
+                      F.shiftright(F.col("simhash"), starts[i])
+                      .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key"))
+             for i in range(bands)]
     blocks = (sh.select("doc_id", "simhash", F.explode(F.array(*bandc)).alias("bk"))
               .select("doc_id", "simhash", "bk.band", "bk.key"))
     a = blocks.alias("a")

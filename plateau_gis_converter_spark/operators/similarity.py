@@ -5,18 +5,31 @@ array<float>, label).
   vectors: broadcast the (small) query side, dot products via Catalyst
   higher-order ``aggregate``/``zip_with`` (JVM-side), window top-k.
   This is the correctness baseline and the oracle-checkable path.
-* ``cosine_topk_lsh`` — scale path: random-hyperplane LSH bucketing
-  (sign-bit sketch, deterministic planes), candidates from bucket equi-join,
-  exact re-rank inside buckets. At 10^12 rows the bucket join bounds the
-  candidate set; multi-probe = more sketches.
-* ``near_dup_pairs_cosine`` — embedding near-dup pairs (cos >= τ) within the
-  corpus via the same LSH blocking.
+* ``cosine_topk_lsh`` — scale path: banded multi-table random-hyperplane
+  LSH (b bands x r sign bits each, like the MinHash band construction),
+  candidates from the union of per-band bucket equi-joins, exact re-rank.
+  At 10^12 rows, per-band key width r bounds bucket sizes (2^r buckets per
+  band); raise r and add bands to trade shuffle width for recall.
+* ``near_dup_pairs_cosine`` — embedding near-dup pairs (cos >= τ) within
+  the corpus via the same banded blocking, with an optional bucket-size cap
+  (``max_bucket``): oversized buckets are re-split by additional sign
+  planes so no single bucket ever produces an unbounded self-join (the
+  round-1 design had one global 2^8-bucket table — quadratic at scale).
+
+Determinism (CORRECTNESS-gate requirement): embeddings are quantized to
+integers (e4) and hyperplane coefficients are integer numerators over 1e6,
+so every sign bit and every candidate set is exact integer arithmetic —
+bit-identical across Spark, DuckDB, and runs. Final cosines divide the
+integer dot by integer-norm square roots in a fixed op order.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+EMB_SCALE = 10_000          # embedding quantization (e4)
+PLANE_SCALE = 1_000_000     # plane coefficient = numerator / PLANE_SCALE
 
 
 def _dot(a, b):
@@ -50,65 +63,153 @@ def cosine_topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
             .select("query_id", "vec_id", "rank", "cosine"))
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded LCG, no RNG state)."""
+def plane_numerators(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane coefficients as INTEGER
+    numerators in [-1e6, 1e6] (value = num / PLANE_SCALE). Seeded
+    xorshift64 — no RNG state, reproducible everywhere; the sign of
+    sum(qe_i * num_i) over e4-quantized embeddings is exact int64 math
+    (|dot| < 64 * 1e4 * 1e6 = 6.4e11 << 2^63)."""
     planes = []
     state = 88172645463325252
     for _ in range(n_planes):
         v = []
         for _ in range(dim):
-            # xorshift64
             state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
             state ^= state >> 7
             state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
-            v.append(((state % 2000001) - 1000000) / 1000000.0)
+            v.append((state % 2000001) - 1000000)
         planes.append(v)
     return planes
 
 
-def lsh_bucket(embedding, planes: list[list[float]]):
-    """Sign-bit sketch of the embedding against fixed hyperplanes -> bigint."""
-    bucket = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        dot = _dot(embedding, F.array(*[F.lit(float(x)) for x in p]))
-        bit = F.when(dot >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint"))
-        bucket = bucket + bit * F.lit(1 << i).cast("bigint")
-    return bucket
+def quantized_embedding(emb_col) -> F.Column:
+    """array<float> -> array<bigint> at e4 (exact, engine-portable)."""
+    return F.transform(
+        emb_col, lambda e: F.floor(e.cast("double") * EMB_SCALE + F.lit(0.5))
+        .cast("bigint"))
+
+
+def _int_dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def _int_norm2(a):
+    return F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v)
+
+
+def band_key(qe_col, band_planes: list[list[int]]) -> F.Column:
+    """Key of one band: r sign bits of integer plane dots, packed LSB-first."""
+    key = F.lit(0).cast("bigint")
+    for j, nums in enumerate(band_planes):
+        dot = _int_dot(qe_col, F.array(*[F.lit(int(n)).cast("bigint")
+                                         for n in nums]))
+        key = key + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)) \
+                     .cast("bigint")
+    return key
+
+
+def banded_buckets(df: DataFrame, id_col: str, qe_col: str,
+                   planes: list[list[int]], bands: int,
+                   planes_per_band: int) -> DataFrame:
+    """(id, band, key) — one row per (row, band). `planes` must hold
+    bands*planes_per_band rows (extra planes beyond that are for re-split,
+    see near_dup_pairs_cosine)."""
+    cols = []
+    for b in range(bands):
+        bp = planes[b * planes_per_band:(b + 1) * planes_per_band]
+        cols.append(F.struct(F.lit(b).alias("band"),
+                             band_key(F.col(qe_col), bp).alias("key")))
+    return (df.select(id_col, qe_col, F.explode(F.array(*cols)).alias("bk"))
+            .select(id_col, qe_col, F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
 
 
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 8, dim: int | None = None) -> DataFrame:
-    """ANN top-k: candidates share the LSH bucket; exact rerank in-bucket.
-    (Recall < 1; production would multi-probe neighboring buckets.)"""
+                    bands: int = 4, planes_per_band: int = 4,
+                    dim: int | None = None) -> DataFrame:
+    """ANN top-k: candidates share any band bucket; exact integer-quantized
+    rerank. Recall < 1 by design (raise bands for recall, planes_per_band
+    for bucket selectivity); candidates are the union of b equi-joins —
+    never a global self-join. `dim` is required (no driver-side sniffing).
+    """
     if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    e = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-    q = (queries.select("query_id", F.col("embedding").alias("q_emb"))
-         .withColumn("bucket", lsh_bucket(F.col("q_emb"), planes)))
-    cand = (e.join(F.broadcast(q), "bucket")
-            .where(F.col("vec_id") != F.col("query_id")))
-    cand = with_cosine(cand, "q_emb", "embedding", "cosine")
+        raise ValueError("pass dim explicitly (embedding length)")
+    planes = plane_numerators(dim, bands * planes_per_band)
+    e = embeddings.select("vec_id", quantized_embedding(F.col("embedding"))
+                          .alias("qe"))
+    q = queries.select(F.col("query_id"),
+                       quantized_embedding(F.col("embedding")).alias("q_qe"))
+    eb = banded_buckets(e, "vec_id", "qe", planes, bands, planes_per_band)
+    qb = banded_buckets(q, "query_id", "q_qe", planes, bands, planes_per_band)
+    cand_ids = (eb.select("vec_id", "band", "key")
+                .join(F.broadcast(qb.select("query_id", "band", "key")),
+                      ["band", "key"])
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id").distinct())
+    cand = (cand_ids.join(e, "vec_id")
+            .join(F.broadcast(q), "query_id"))
+    cos = (_int_dot(F.col("q_qe"), F.col("qe")).cast("double")
+           / (F.sqrt(_int_norm2(F.col("q_qe")).cast("double"))
+              * F.sqrt(_int_norm2(F.col("qe")).cast("double"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("vec_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank", "cosine"))
 
 
 def near_dup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.95,
-                          n_planes: int = 8, dim: int | None = None) -> DataFrame:
-    """Embedding near-duplicate pairs via LSH blocking + exact verify."""
+                          bands: int = 8, planes_per_band: int = 8,
+                          dim: int | None = None,
+                          max_bucket: int | None = None,
+                          split_planes: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs via banded LSH blocking + exact
+    verification on the integer-quantized cosine.
+
+    With ``max_bucket`` set, buckets holding more than that many vectors are
+    re-split by ``split_planes`` additional sign bits (subkey 1+extra vs 0
+    for normal buckets — disjoint key spaces), bounding every self-join
+    input to ~max_bucket/2^split_planes rows per bucket. Pairs whose two
+    members land in different sub-buckets of an oversized bucket are lost
+    from THAT band only — other bands still catch them (the standard
+    bounded-bucket recall trade; multi-probe would recover more).
+    """
     if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    e = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("emb_a"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("emb_b"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-    pairs = with_cosine(pairs, "emb_a", "emb_b", "cosine")
-    return (pairs.where(F.col("cosine") >= threshold)
-            .select("vec_a", "vec_b", "cosine").distinct())
+        raise ValueError("pass dim explicitly (embedding length)")
+    n_planes = bands * planes_per_band + split_planes
+    planes = plane_numerators(dim, n_planes)
+    e = embeddings.select("vec_id", quantized_embedding(F.col("embedding"))
+                          .alias("qe"))
+    b = banded_buckets(e, "vec_id", "qe", planes, bands, planes_per_band)
+    if max_bucket is not None:
+        extra = planes[bands * planes_per_band:]
+        sizes = (b.groupBy("band", "key")
+                 .agg(F.count(F.lit(1)).alias("n_bucket")))
+        oversized = sizes.where(F.col("n_bucket") > max_bucket) \
+                         .select("band", "key", F.lit(True).alias("_big"))
+        b = (b.join(F.broadcast(oversized), ["band", "key"], "left")
+             .withColumn("subkey",
+                         F.when(F.col("_big").isNotNull(),
+                                F.lit(1).cast("bigint")
+                                + band_key(F.col("qe"), extra))
+                         .otherwise(F.lit(0).cast("bigint")))
+             .drop("_big"))
+        join_keys = ["band", "key", "subkey"]
+    else:
+        join_keys = ["band", "key"]
+    lhs = b.select(F.col("vec_id").alias("vec_a"), *join_keys)
+    rhs = b.select(F.col("vec_id").alias("vec_b"), *join_keys)
+    cand = (lhs.join(rhs, join_keys)
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qe_a"))
+    eb2 = e.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qe_b"))
+    pairs = cand.join(ea, "vec_a").join(eb2, "vec_b")
+    cos = (_int_dot(F.col("qe_a"), F.col("qe_b")).cast("double")
+           / (F.sqrt(_int_norm2(F.col("qe_a")).cast("double"))
+              * F.sqrt(_int_norm2(F.col("qe_b")).cast("double"))))
+    return (pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine"))

@@ -666,11 +666,16 @@ FROM documents GROUP BY 1
 """
 
 
+NGRAM_MAX_DF = 20
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """EXACT 3-gram Jaccard near-dup pairs at τ=0.5 (operators/dedup.py);
-    jaccard reported in exact integer parts (n_inter, n_union)."""
+    """3-gram Jaccard near-dup pairs at τ=0.5 with the web-scale shingle
+    frequency cap (df <= NGRAM_MAX_DF; exact Jaccard over the capped
+    shingle sets — the oracle applies the identical cap)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                   max_df=NGRAM_MAX_DF)
     return (pairs.withColumn("n_union_x_j",
                              F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
                              .cast("bigint"))
@@ -679,10 +684,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = f"""
 WITH {SHINGLES_CTE},
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {NGRAM_MAX_DF}) keep USING (shingle)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS ni
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -939,14 +949,15 @@ FROM r WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (no SQL oracle — probabilistic / UDF-defined semantics)
+# probabilistic-blocking queries — deterministic (md5 / integer-sign LSH), so
+# each carries a full SQL oracle replicating the exact blocking + verify
 # ---------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal binary plumbing (operators/multimodal.py): build an html
     binary column from the derived pages and extract typed metadata via the
-    Arrow-batched sniffing UDF (rows-only check — the decode step is a
-    documented stub)."""
+    Arrow-batched sniffing UDF. Oracle-checkable: the metadata (magic-prefix
+    type, byte length, 8-byte header hex) is pure byte math."""
     from ..operators import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents")
@@ -957,9 +968,24 @@ def q_multimodal_meta(spark, sf_dir):
                           F.lit("</body></html>")), "utf-8").alias("html"))
     return mm.media_metadata(pages)
 
+
+SQL_MULTIMODAL_META = """
+WITH pages AS (
+  SELECT concat('https://', source, '/doc/', CAST(doc_id AS VARCHAR)) AS url,
+         encode('<html><body>' || text || '</body></html>') AS blob
+  FROM documents
+)
+SELECT url, 'text/html' AS media_type,
+       CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+       lower(substring(hex(blob), 1, 16)) AS header_hex
+FROM pages
+"""
+
+
 def q_minhash_lsh_verified(spark, sf_dir):
-    """LSH-candidates → exact-Jaccard verification (probabilistic recall;
-    precision checked exactly — pytest asserts candidates ⊆ exact pairs)."""
+    """MinHash-LSH candidates → exact-Jaccard verification (the production
+    dedup path). Blocking is md5-derived and deterministic, so the oracle
+    replicates the banded buckets + verify exactly."""
     docs = _t(spark, sf_dir, "documents")
     out = dd.minhash_dedup_pairs(docs, threshold=0.5)
     return out.select("doc_a", "doc_b",
@@ -967,31 +993,185 @@ def q_minhash_lsh_verified(spark, sf_dir):
                       .cast("bigint").alias("jaccard_e6"))
 
 
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of dedup.minhash_dedup_pairs: signatures -> banded md5
+    bucket keys -> distinct candidate pairs -> exact Jaccard verify."""
+    p = (1 << 31) - 1
+    rows_per_band = num_hashes // bands
+    cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 104729 * (i + 1)
+        cols.append(f"min((h % {p} * {a} + {b}) % {p}) AS mh{i}")
+    band_selects = []
+    for bi in range(bands):
+        parts = ", ".join(f"mh{i}" for i in range(bi * rows_per_band,
+                                                  (bi + 1) * rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws('_', {parts})) AS key"
+            " FROM sig")
+    return f"""
+WITH {SHINGLES_CTE},
+hs AS (SELECT doc_id, {_hex60_sql('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {', '.join(cols)} FROM hs GROUP BY doc_id),
+bk AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(floor(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) * 1000000
+       + 0.5) AS BIGINT) AS jaccard_e6
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
+"""
+
+
+SQL_MINHASH_LSH = _minhash_lsh_sql()
+
+
 def q_simhash_near(spark, sf_dir):
+    """Simhash near-dup pairs at hamming <= 3 via (d+1)-band blocking —
+    recall is exactly 1 by the Manku pigeonhole, so the all-pairs SQL oracle
+    must agree exactly."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_near_pairs(docs, max_hamming=12)
+    return dd.simhash_near_pairs(docs, max_hamming=3)
+
+
+def _simhash_near_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    comb = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(u.tok) AS tok
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'),
+                      x -> x <> '') AS t
+        FROM documents), UNNEST(t) AS u(tok)
+),
+hs AS (SELECT doc_id, {_hex60_sql('tok')} AS h FROM toks),
+agg AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id),
+s AS (SELECT doc_id, {comb} AS simhash FROM agg)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEAR = _simhash_near_sql()
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k via banded multi-table sign-LSH over integer-quantized
+    embeddings (operators/similarity.py) — every sign bit is exact int64
+    math, so the oracle replicates the blocking bit-for-bit."""
     from ..operators import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") % 50 == 0)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = sim.cosine_topk_lsh(emb, queries, k=5, dim=64)
+    out = sim.cosine_topk_lsh(emb, queries, k=5, bands=4, planes_per_band=4,
+                              dim=64)
     return out.select("query_id", "vec_id", "rank",
                       F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
                       .cast("bigint").alias("cos_e6"))
 
 
+def _ann_lsh_sql(dim: int = 64, bands: int = 4, planes_per_band: int = 4,
+                 k: int = 5) -> str:
+    """DuckDB replica of similarity.cosine_topk_lsh with the same integer
+    plane numerators (similarity.plane_numerators) inlined as literals."""
+    from ..operators import similarity as sim
+
+    planes = sim.plane_numerators(dim, bands * planes_per_band)
+    band_selects = []
+    for b in range(bands):
+        bits = []
+        for j in range(planes_per_band):
+            nums = planes[b * planes_per_band + j]
+            dot = " + ".join(f"qe[{i + 1}]*({n})" for i, n in enumerate(nums))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, CAST({' + '.join(bits)} AS BIGINT)"
+            " AS key FROM q")
+    rng = f"range(1, {dim + 1})"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+b AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT qq.vec_id AS query_id, e.vec_id AS vec_id
+  FROM b e JOIN b qq ON e.band = qq.band AND e.key = qq.key
+  WHERE qq.vec_id % 50 = 0 AND e.vec_id <> qq.vec_id
+),
+sc AS (
+  SELECT c.query_id, c.vec_id,
+    CAST(list_sum(list_transform({rng}, i -> qq.qe[i] * a.qe[i])) AS BIGINT) AS dot,
+    CAST(list_sum(list_transform({rng}, i -> qq.qe[i] * qq.qe[i])) AS BIGINT) AS nq,
+    CAST(list_sum(list_transform({rng}, i -> a.qe[i] * a.qe[i])) AS BIGINT) AS ne
+  FROM cand c JOIN q a ON a.vec_id = c.vec_id
+              JOIN q qq ON qq.vec_id = c.query_id
+),
+r AS (
+  SELECT query_id, vec_id,
+    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) AS cos,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+      CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) DESC,
+      vec_id ASC) AS INT) AS rank
+  FROM sc
+)
+SELECT query_id, vec_id, rank,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM r WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
+
+
 def q_boundary_tiles(spark, sf_dir):
-    """Polygon→tile slicing of the 23 ward polygons at z 12..14 (geojson-vt
-    kernel through mapInPandas; kernel-level goldens carry the parity)."""
+    """Polygon→tile slicing of the 25 boundary polygons at z 12..14
+    (geojson-vt kernel through mapInPandas). The oracle is a golden table
+    generated by an INDEPENDENT exact-rational reimplementation of the
+    slicing rule (scripts/gen_boundary_tiles_golden.py), so kernel and
+    oracle are derived separately from the same reference semantics."""
     bdf = fx.boundaries_df(spark)
     sliced = ta.slice_boundary_polygons(bdf, 12, 14)
     return (sliced.groupBy("feature_id", "typename", "z")
             .agg(F.count(F.lit(1)).alias("n_tiles"))
             .orderBy("feature_id", "z"))
+
+
+def _boundary_tiles_sql() -> str:
+    from .boundary_tiles_golden import ROWS
+
+    vals = ",\n  ".join(f"('{f}', '{t}', {z}, {n})" for f, t, z, n in ROWS)
+    return ("SELECT feature_id, typename, CAST(z AS INT) AS z, "
+            "CAST(n_tiles AS BIGINT) AS n_tiles FROM (VALUES\n  "
+            f"{vals}) AS g(feature_id, typename, z, n_tiles)")
+
+
+SQL_BOUNDARY_TILES = _boundary_tiles_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1029,12 +1209,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    # rows-only (no SQL oracle)
+    # deterministic LSH blocking / binary plumbing (full oracles)
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "simhash_near_pairs": q_simhash_near,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "boundary_tiles": q_boundary_tiles,
     "multimodal_meta": q_multimodal_meta,
+    # oracle = golden table from an independent exact-rational reimpl
+    "boundary_tiles": q_boundary_tiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1065,4 +1246,9 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "embedding_topk": SQL_EMB_TOPK,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    "minhash_lsh_verified": SQL_MINHASH_LSH,
+    "simhash_near_pairs": SQL_SIMHASH_NEAR,
+    "ann_lsh_topk": SQL_ANN_LSH,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "boundary_tiles": SQL_BOUNDARY_TILES,
 }

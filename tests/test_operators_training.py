@@ -93,8 +93,56 @@ def test_lsh_topk_subset_quality(spark, emb):
     queries = (emb.where(F.col("vec_id") % 100 == 0)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = similarity.cosine_topk_lsh(emb, queries, k=3, dim=64).toPandas()
-    # every returned neighbor shares the bucket — just sanity: ranked <= 3
+    # every returned neighbor shares a band bucket — sanity: ranked <= 3
     assert (out["rank"] <= 3).all()
+
+
+def _exact_cos_pairs_np(emb_pdf, threshold):
+    """Ground truth with numpy over the same e4 quantization the operator
+    uses (exact integers, so the sets are directly comparable)."""
+    M = np.stack(emb_pdf["embedding"].map(
+        lambda v: np.floor(np.asarray(v, dtype=np.float64) * 10000 + 0.5)))
+    ids = emb_pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cos[i, j] >= threshold:
+                a, b = int(ids[i]), int(ids[j])
+                out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_near_dup_lsh_recall_and_precision(spark, emb):
+    """Banded multi-table LSH: precision exact (verified cosine), recall
+    >= 0.8 vs the numpy all-pairs ground truth at cos >= 0.9."""
+    sub = emb.where(F.col("vec_id") < 400)
+    exact = _exact_cos_pairs_np(sub.toPandas(), 0.9)
+    got = similarity.near_dup_pairs_cosine(
+        sub, threshold=0.9, bands=8, planes_per_band=4, dim=64).toPandas()
+    mine = {(int(min(a, b)), int(max(a, b)))
+            for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert mine <= exact, "verified pairs must be a subset of exact pairs"
+    if exact:
+        assert len(mine) / len(exact) >= 0.8, \
+            f"recall {len(mine)}/{len(exact)} below 0.8"
+
+
+def test_near_dup_bucket_cap_keeps_subset(spark, emb):
+    """Bucket-size cap (oversized-bucket re-split): output remains a subset
+    of the exact pairs and keeps most of the uncapped recall."""
+    sub = emb.where(F.col("vec_id") < 400)
+    exact = _exact_cos_pairs_np(sub.toPandas(), 0.9)
+    got = similarity.near_dup_pairs_cosine(
+        sub, threshold=0.9, bands=8, planes_per_band=4, dim=64,
+        max_bucket=40, split_planes=4).toPandas()
+    mine = {(int(min(a, b)), int(max(a, b)))
+            for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert mine <= exact
+    if exact:
+        assert len(mine) / len(exact) >= 0.6
 
 
 def test_text_features_and_langid(spark):
