@@ -82,13 +82,18 @@ class LineageLog:
 
 def run_stage_partitioned(df: DataFrame, stage: str, key_col: str,
                           lineage: LineageLog, sink_fn) -> int:
-    """Run a stage partitioned by ``key_col`` with resume: keys already in
-    the lineage log are anti-joined away; each completed key commits a
-    lineage row. ``sink_fn(key, pandas_df) -> bytes_out`` runs on the driver
-    loop over per-key collected groups ONLY when groups are small (tile
-    encode path does it distributed via applyInPandas + foreachPartition;
-    this helper is the generic resumable wrapper used by tests).
+    """Run a stage partitioned by ``key_col`` with resume.
+
+    Keys already in the lineage log are anti-joined away; the remainder is
+    processed DISTRIBUTED via ``groupBy(key).applyInPandas`` — one executor
+    task per key runs ``sink_fn(key, pandas_df) -> bytes_out`` (the sink
+    closure must be serializable and write to executor-visible storage).
+    Only the per-key metadata rows (rows_out/bytes_out/wall_ms — O(keys),
+    the same cardinality as the lineage log itself) return to the driver,
+    which appends the lineage commits; no unbounded data is ever collected.
     """
+    import pandas as pd
+
     done = lineage.completed_partitions(stage)
     if done:
         done_df = lineage.spark.createDataFrame(
@@ -96,14 +101,27 @@ def run_stage_partitioned(df: DataFrame, stage: str, key_col: str,
                 [T.StructField(key_col, T.StringType())]))
         df = df.join(F.broadcast(done_df),
                      df[key_col].cast("string") == done_df[key_col], "left_anti")
-    n_done = 0
-    keys = [r[0] for r in
-            df.select(F.col(key_col).cast("string")).distinct().collect()]
-    for key in sorted(keys):
+
+    result_schema = T.StructType([
+        T.StructField("partition_key", T.StringType()),
+        T.StructField("rows_out", T.LongType()),
+        T.StructField("bytes_out", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+    ])
+
+    def process(pdf: "pd.DataFrame") -> "pd.DataFrame":
         t0 = time.time()
-        part = df.where(F.col(key_col).cast("string") == key).toPandas()
-        bytes_out = sink_fn(key, part)
-        lineage.commit(stage, key, len(part), bytes_out,
-                       int((time.time() - t0) * 1000))
-        n_done += 1
-    return n_done
+        key = str(pdf["_pk"].iloc[0])
+        bytes_out = sink_fn(key, pdf.drop(columns=["_pk"]))
+        return pd.DataFrame({
+            "partition_key": [key], "rows_out": [len(pdf)],
+            "bytes_out": [int(bytes_out)],
+            "wall_ms": [int((time.time() - t0) * 1000)]})
+
+    results = (df.withColumn("_pk", F.col(key_col).cast("string"))
+               .groupBy("_pk").applyInPandas(process, result_schema)
+               .collect())
+    for r in sorted(results, key=lambda r: r["partition_key"]):
+        lineage.commit(stage, r["partition_key"], r["rows_out"],
+                       r["bytes_out"], r["wall_ms"])
+    return len(results)

@@ -33,14 +33,39 @@ RECORD_SCHEMA = T.StructType([
 ])
 
 
+def _shoelace2(ring: list[tuple[float, float]]) -> float:
+    """Twice the signed area of an open ring in the (x, y) plane
+    (positive = counter-clockwise in standard math orientation)."""
+    s = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _oriented(ring: list[tuple[float, float]], clockwise: bool):
+    """ESRI winding rule: outer rings clockwise, holes counter-clockwise
+    (ESRI shapefile whitepaper §PolygonZ; the reference writer reorders
+    windings the same way via PolygonRing::Outer/Inner,
+    nusamai-shapefile/src/conversion.rs)."""
+    cw = _shoelace2(ring) < 0.0
+    return list(ring) if cw == clockwise else list(reversed(ring))
+
+
 def polygonz_record(rings_deg: list[list[tuple[float, float]]],
                     z: float = 0.0) -> tuple[bytes, list[float]]:
     """One PolygonZ shape record body (without the record header).
 
-    rings: list of rings, each a closed-implied list of (x=lng, y=lat);
-    shapefile rings are closed explicitly (first point repeated).
+    rings: list of rings, each a closed-implied list of (x=lng, y=lat),
+    exterior first; windings are normalized to the ESRI rule (exterior CW,
+    holes CCW) regardless of input orientation; shapefile rings are closed
+    explicitly (first point repeated).
     """
-    closed = [list(r) + [r[0]] for r in rings_deg]
+    oriented = [_oriented(r, clockwise=(i == 0))
+                for i, r in enumerate(rings_deg)]
+    closed = [list(r) + [r[0]] for r in oriented]
     all_pts = [p for r in closed for p in r]
     xs = [p[0] for p in all_pts]
     ys = [p[1] for p in all_pts]
@@ -157,15 +182,32 @@ def pack_shapefile(records: list[dict], base_path: str) -> None:
 
 
 def write_shapefiles(boundaries: DataFrame, output_dir: str) -> list[str]:
-    """Distributed record prep, per-type single-writer pack (the same
-    serialization point the reference has)."""
+    """Distributed record prep, then per-type packing as ONE TASK PER TYPE
+    via ``groupBy(table_name).applyInPandas`` — the .shp format is
+    single-writer per file (like the reference's sequential ShapeWriter),
+    but types pack in parallel and no unbounded data ever reaches the
+    driver (only the per-type path/count rows come back).
+
+    ``output_dir`` must be visible to executors (local-mode tmp dir here;
+    shared storage on a cluster — same constraint as any file sink).
+    """
     import os
 
-    staged = boundaries_to_shp_records(boundaries).toPandas()
-    out = []
     os.makedirs(output_dir, exist_ok=True)
-    for tname, group in staged.groupby("table_name"):
+    staged = boundaries_to_shp_records(boundaries)
+    result_schema = T.StructType([
+        T.StructField("table_name", T.StringType()),
+        T.StructField("base_path", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+    ])
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        tname = pdf["table_name"].iloc[0]
         base = os.path.join(output_dir, tname)
-        pack_shapefile(group.to_dict("records"), base)
-        out.append(base)
-    return out
+        pack_shapefile(pdf.to_dict("records"), base)
+        return pd.DataFrame({"table_name": [tname], "base_path": [base],
+                             "n_records": [len(pdf)]})
+
+    done = (staged.groupBy("table_name").applyInPandas(pack_one, result_schema)
+            .collect())
+    return sorted(r["base_path"] for r in done)

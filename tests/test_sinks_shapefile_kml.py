@@ -33,6 +33,43 @@ def test_write_shapefiles(spark, tmp_path):
     assert n_rec == 23
 
 
+def _shoelace(ring):
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def test_polygonz_winding_follows_esri_rule(spark, tmp_path):
+    """Exterior rings must be CW (negative shoelace), holes CCW — the
+    fixtures orient exteriors CCW-in-lnglat, so the writer must flip them
+    (reference behavior: PolygonRing::Outer/Inner reorder on write)."""
+    bdf = fx.boundaries_df(spark)
+    shp.write_shapefiles(bdf, str(tmp_path))
+    data = (tmp_path / "urf_UrbanPlanningOverlay.shp").read_bytes()
+    pos = 100
+    n_polys = 0
+    while pos < len(data):
+        content_words = struct.unpack(">i", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + content_words * 2]
+        nparts, npoints = struct.unpack("<ii", body[36:44])
+        parts = struct.unpack(f"<{nparts}i", body[44:44 + 4 * nparts])
+        pts_off = 44 + 4 * nparts
+        pts = struct.unpack(f"<{npoints * 2}d",
+                            body[pts_off:pts_off + 16 * npoints])
+        pts = [(pts[2 * i], pts[2 * i + 1]) for i in range(npoints)]
+        bounds = list(parts) + [npoints]
+        for ri in range(nparts):
+            ring = pts[bounds[ri]:bounds[ri + 1]][:-1]  # drop closing pt
+            if ri == 0:
+                assert _shoelace(ring) < 0, "exterior must be CW"
+            else:
+                assert _shoelace(ring) > 0, "hole must be CCW"
+        n_polys += 1
+        pos += 8 + content_words * 2
+    assert n_polys == 2  # both overlay polygons carry one hole each
+
+
 def test_shp_field_name_rule():
     assert shp.shp_field_name("urf:function") == "function"
     assert shp.shp_field_name("bldg:measuredHeight") == "measuredHe"
