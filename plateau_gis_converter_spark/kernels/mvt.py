@@ -159,6 +159,41 @@ class TagsEncoder:
         return list(self.keys.keys()), list(self.values.keys())
 
 
+_INT_RE = None
+_FLOAT_RE = None
+
+
+def sniff_tag_value(s: str) -> tuple:
+    """Typed MVT value from a stringified attribute.
+
+    The reference's convert_properties (nusamai/src/sink/mvt/mod.rs:443-478)
+    emits typed values from the typed attribute tree (String/Uint/Sint/
+    Double/Bool); our staging schema stringifies attributes, so this
+    restores the type for canonical JSON scalar spellings:
+    'true'/'false' -> Bool, integer literal -> Uint/Sint (the reference's
+    from-i64 rule, tag.rs:113-121), decimal/exponent literal -> Double,
+    anything else (incl. dates like '2014-04-01') -> String.
+    """
+    global _INT_RE, _FLOAT_RE
+    if _INT_RE is None:
+        import re
+        _INT_RE = re.compile(r"-?\d+\Z")
+        _FLOAT_RE = re.compile(
+            r"-?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?\Z|-?\d+[eE][+-]?\d+\Z")
+    if s == "true":
+        return TagsEncoder.v_bool(True)
+    if s == "false":
+        return TagsEncoder.v_bool(False)
+    if _INT_RE.match(s):
+        v = int(s)
+        if -(1 << 63) <= v < (1 << 63):
+            return TagsEncoder.v_int(v)
+        return TagsEncoder.v_string(s)
+    if _FLOAT_RE.match(s):
+        return TagsEncoder.v_double(float(s))
+    return TagsEncoder.v_string(s)
+
+
 def quantize_ring(ring: np.ndarray, extent: int) -> np.ndarray:
     """Tile-local [0,1] f64 coords -> i16 grid (mod.rs:366-370).
 

@@ -50,7 +50,9 @@ def _encode_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
     for rec in pdf.itertuples(index=False):
         attrs = []
         for k in sorted(rec.attributes):
-            attrs.append((k, mvt_kernel.TagsEncoder.v_string(rec.attributes[k])))
+            # typed tags (uint/sint/double/bool/string) like the reference's
+            # convert_properties — see kernels/mvt.sniff_tag_value
+            attrs.append((k, mvt_kernel.sniff_tag_value(rec.attributes[k])))
         feats.append({
             "layer": rec.typename,
             "feature_id": rec.feature_id,

@@ -53,6 +53,23 @@ def test_tags_encoder_golden():
     ]
 
 
+def test_sniff_tag_value_typing():
+    """Stringified attributes regain the reference's typed MVT values
+    (convert_properties, mod.rs:443-478 + tag.rs:113-121)."""
+    s = mvt.sniff_tag_value
+    assert s("true") == mvt.TagsEncoder.v_bool(True)
+    assert s("false") == mvt.TagsEncoder.v_bool(False)
+    assert s("42") == ("uint", 42)
+    assert s("-7") == ("sint", -7)
+    assert s("10.5") == mvt.TagsEncoder.v_double(10.5)
+    assert s("1e3") == mvt.TagsEncoder.v_double(1000.0)
+    assert s("2014-04-01") == ("string", "2014-04-01")
+    assert s("residential") == ("string", "residential")
+    assert s("") == ("string", "")
+    # over-range integer literals stay strings (no silent wrap)
+    assert s(str(1 << 70)) == ("string", str(1 << 70))
+
+
 def test_feature_id_hash():
     # djb2 variant: fold(5381, a*33 ^ byte) — check against a direct fold.
     def ref(s):

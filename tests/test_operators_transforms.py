@@ -189,3 +189,79 @@ def test_geometry_stats():
     attrs = dict((k, v["v"]) for k, v in out["attrs"])
     assert attrs["maxHeight"] == 12.0
     assert attrs["minHeight"] == -1.0
+
+
+# --- pure-Catalyst flat-schema variants (T2/T5/T8) ---------------------------
+
+def _flat_df(spark):
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("feature_id", T.StringType()),
+        T.StructField("typename", T.StringType()),
+        T.StructField("geometries", T.ArrayType(T.StructType([
+            T.StructField("type", T.StringType()),
+            T.StructField("lod", T.IntegerType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("len", T.LongType()),
+        ]))),
+        T.StructField("vertices", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("function", T.StringType()),
+    ])
+    rows = [
+        ("f1", "bldg:Building",
+         [("Solid", 1, 0, 4), ("Solid", 2, 4, 8)],
+         [[0.0, 0.0, 5.0], [1.0, 0.0, 12.5], [1.0, 1.0, -1.0]], "residential"),
+        ("f2", "bldg:Building", [("Solid", 0, 0, 4)],
+         [[0.0, 0.0, 3.0]], "commercial"),
+        ("f3", "bldg:Building", [], [], "empty"),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_catalyst_filter_lod_matches_tree_walk(spark):
+    from plateau_gis_converter_spark.operators import transforms_catalyst as tc
+
+    df = _flat_df(spark)
+    hi = {r["feature_id"]: [g["lod"] for g in r["geometries"]]
+          for r in tc.filter_lod(df, "highest").collect()}
+    lo = {r["feature_id"]: [g["lod"] for g in r["geometries"]]
+          for r in tc.filter_lod(df, "lowest").collect()}
+    assert hi == {"f1": [2], "f2": [0]}   # f3 dropped (no lods)
+    assert lo == {"f1": [1], "f2": [0]}
+    # tree-walk reference on the same feature
+    tree = _feature("bldg:Building", "f1", lods=(1, 2))
+    kept = tr.filter_lod(tree, "highest")
+    assert [g["lod"] for g in kept["geometries"]] == [2]
+    # mask: restrict to lod<=1 -> highest becomes 1
+    hi_masked = {r["feature_id"]: [g["lod"] for g in r["geometries"]]
+                 for r in tc.filter_lod(df, "highest", mask=0b00011).collect()}
+    assert hi_masked == {"f1": [1], "f2": [0]}
+
+
+def test_catalyst_geometry_stats_and_jsonify(spark):
+    import json as _json
+
+    from plateau_gis_converter_spark.operators import transforms_catalyst as tc
+
+    df = tc.geometry_stats(_flat_df(spark))
+    got = {r["feature_id"]: (r["maxHeight"], r["minHeight"])
+           for r in df.collect()}
+    assert got["f1"] == (12.5, -1.0)
+    assert got["f2"] == (3.0, 3.0)
+    assert got["f3"] == (None, None)  # empty vertex list -> null stats
+    j = tc.jsonify(df, ["typename", "function"]).collect()[0]
+    parsed = _json.loads(j["attributes_json"])
+    assert parsed["typename"] == "bldg:Building"
+
+
+def test_catalyst_chain_has_no_python_stage(spark):
+    """The MVT requirements chain on flat rows must compile to pure JVM
+    expressions — no Python/Arrow eval operator anywhere in the plan."""
+    from plateau_gis_converter_spark.operators import transforms_catalyst as tc
+
+    out = tc.mvt_requirements_chain(_flat_df(spark), "highest",
+                                    attr_cols=["typename", "function"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Python", "ArrowEval", "FlatMapsInPandas", "mapInPandas"):
+        assert marker not in plan, f"unexpected {marker} stage:\n{plan}"
+    assert out.count() == 2
