@@ -82,3 +82,22 @@ def to_ecef(df: DataFrame, col: str = "vertices") -> DataFrame:
         return np.stack([x, y, z], axis=1)
 
     return df.withColumn(col, _vertices_udf(fn)(F.col(col)))
+
+
+def jgd2011_to_wgs84(df: DataFrame, grid, col: str = "vertices") -> DataFrame:
+    """T1 vertical shift (vshift): JGD2011 Geographic 3D (EPSG:6697) ->
+    WGS84 Geographic 3D (EPSG:4979) — lng/lat unchanged, ellipsoidal height
+    = geoid undulation + input height (nusamai-projection/src/vshift.rs:
+    16-21). ``grid`` is a kernels.geoid.GeoidGrid (bilinear sampler; the
+    production GSIGEO2011 asset loads at runtime — licensed data, not
+    embedded). The grid ships to executors once via plain-dict broadcast."""
+    from ..kernels.geoid import GeoidGrid
+
+    bc = df.sparkSession.sparkContext.broadcast(grid.to_broadcastable())
+
+    def fn(arr):
+        g = GeoidGrid.from_broadcastable(bc.value)
+        h = g.height(arr[:, 0], arr[:, 1])
+        return np.stack([arr[:, 0], arr[:, 1], h + arr[:, 2]], axis=1)
+
+    return df.withColumn(col, _vertices_udf(fn)(F.col(col)))

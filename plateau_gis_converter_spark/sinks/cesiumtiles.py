@@ -20,8 +20,13 @@ Parity notes (all against /root/reference):
   tiling/tree.rs:70-208 content-tree fold, done on aggregated per-tile rows
   (small) exactly like the reference's single-threaded tree build.
 
-glTF content encoding (S11) is out of parity scope (SURVEY §2.1); content
-URIs point at the per-tile feature groups.
+Per-tile glb content (S7 content / G11): ``encode_tile_glbs`` groups the
+sliced features by tile and builds a binary glTF per tile — ECEF y-up
+center-translated f32 vertices, Newell normals, plane-projected earcut
+triangulation, vertex interning by f32 bit pattern (kernels/gltf.py,
+reference mod.rs:269-420 + utils.rs:6-43 + gltf.rs). Textures/materials are
+out of the graft's scope: the 9-float vertex layout keeps u=v=0 so the
+accessor byte layout still matches gltf.rs:36-120.
 """
 
 from __future__ import annotations
@@ -176,6 +181,63 @@ def slice_boundaries_3d(boundaries: DataFrame, min_zoom: int = 12,
                 yield pd.DataFrame(rows)
 
     return boundaries.mapInPandas(run, schema=SLICED3D_SCHEMA)
+
+
+GLB_TILE_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("n_features", T.IntegerType()),
+    T.StructField("n_vertices", T.IntegerType()),
+    T.StructField("n_triangles", T.IntegerType()),
+    T.StructField("glb", T.BinaryType()),
+])
+
+
+def _encode_tile_glb(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..kernels import gltf as gltf_kernel
+
+    z, x, y = (int(key[0]), int(key[1]), int(key[2]))
+    min_lat, max_lat = tiling.y_slice_range(z, y)
+    xs = int(np.asarray(tiling.x_step(z, y)).reshape(-1)[0])
+    min_lng, max_lng = tiling.x_slice_range(z, int(x), xs)
+    translation = gltf_kernel.tile_translation(
+        float(min_lng), float(max_lng), float(min_lat), float(max_lat))
+    # within-tile feature order: canonical (typename, feature_id) sort — the
+    # reference's arrival order is thread-nondeterministic (SURVEY §7.4.2)
+    pdf = pdf.sort_values(["typename", "feature_id"], kind="mergesort")
+    features = []
+    for fi, rec in enumerate(pdf.itertuples(index=False)):
+        features.append((fi, rec.mpoly))
+    glb, n_vert, n_tri = gltf_kernel.encode_features_to_glb(
+        features, translation)
+    return pd.DataFrame([{
+        "z": z, "x": x, "y": y, "n_features": len(features),
+        "n_vertices": n_vert, "n_triangles": n_tri, "glb": glb,
+    }])
+
+
+def encode_tile_glbs(sliced3d: DataFrame) -> DataFrame:
+    """sliced3d (slice_boundaries_3d output) -> one row per tile with the
+    encoded glb bytes (mod.rs:259-420 dataflow: group by tile, encode)."""
+    return (sliced3d.repartition("z", "x", "y")
+            .groupBy("z", "x", "y")
+            .applyInPandas(_encode_tile_glb, schema=GLB_TILE_SCHEMA))
+
+
+def write_tile_glbs(tiles: DataFrame, output_dir: str) -> int:
+    """Write z/x/y.glb files (mod.rs:404-410 layout). Returns tile count."""
+    import os
+
+    def write_partition(rows):
+        for r in rows:
+            path = os.path.join(output_dir, str(r.z), str(r.x))
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, f"{r.y}.glb"), "wb") as f:
+                f.write(bytes(r.glb))
+            yield 1
+
+    return tiles.rdd.mapPartitions(write_partition).count()
 
 
 def tile_regions(sliced3d: DataFrame) -> DataFrame:

@@ -52,3 +52,46 @@ def test_ecef_operator(spark):
     assert abs(out[0] - -3906851.9770472576) < 1e-7
     assert abs(out[1] - 3278238.0530045824) < 1e-7
     assert abs(out[2] - 3817423.251099322) < 1e-7
+
+
+# --- T1 vshift (vshift.rs:16-21, fixture style of :29-43) --------------------
+
+def test_geoid_bilinear_reproduces_bilinear_function():
+    import numpy as np
+
+    from plateau_gis_converter_spark.kernels.geoid import GeoidGrid
+
+    # a bilinear function is reproduced EXACTLY by bilinear interpolation
+    lng0, lat0, dlng, dlat, nx, ny = 139.0, 35.0, 0.05, 0.04, 21, 16
+    jj, ii = np.meshgrid(np.arange(nx), np.arange(ny))
+    lngs = lng0 + jj * dlng
+    lats = lat0 + ii * dlat
+    f = lambda lng, lat: 30.0 + 2.0 * (lng - 139.0) + 3.0 * (lat - 35.0) \
+        + 1.5 * (lng - 139.0) * (lat - 35.0)
+    g = GeoidGrid(lng0, lat0, dlng, dlat, f(lngs, lats))
+    qlng = np.array([139.123, 139.777, 139.0, 140.0])
+    qlat = np.array([35.111, 35.599, 35.0, 35.6])
+    got = g.height(qlng, qlat)
+    assert np.allclose(got, f(qlng, qlat), rtol=0, atol=1e-9)
+    # outside the grid -> NaN (the reference's grid covers Japan only)
+    assert np.isnan(g.height(138.0, 35.1))
+    assert np.isnan(g.height(139.1, 90.0))
+
+
+def test_jgd2011_to_wgs84_contract(spark):
+    """vshift.rs:29-43 contract: lng/lat unchanged; height becomes geoid
+    undulation + input elevation."""
+    import numpy as np
+
+    from plateau_gis_converter_spark.kernels.geoid import synthetic_tokyo_grid
+    from plateau_gis_converter_spark.operators import projection as prj
+
+    grid = synthetic_tokyo_grid()
+    rows = [("f1", [[139.70, 35.69, 0.0], [139.75, 35.66, 12.5]])]
+    df = spark.createDataFrame(rows, ["feature_id", "vertices"])
+    out = prj.jgd2011_to_wgs84(df, grid).collect()[0]["vertices"]
+    for (lng, lat, h), (olng, olat, oh) in zip(rows[0][1], out):
+        assert olng == lng and olat == lat  # (lng, lat) must not change
+        expect = float(grid.height(lng, lat)) + h
+        assert abs(oh - expect) < 1e-9
+        assert 35.0 < oh - h < 41.0  # Kanto-magnitude undulation

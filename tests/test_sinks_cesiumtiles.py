@@ -74,3 +74,79 @@ def test_tileset_rollup(spark):
             walk(ch, depth + 1)
 
     walk(root)
+
+
+# --- glb content encode (S7 content / G11) -----------------------------------
+
+def test_earcut_square_and_hole_area():
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    sq = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]
+    tris = g.earcut(sq, [])
+    assert len(tris) == 6  # 2 triangles
+    # square with centered hole: triangle areas sum to outer - hole
+    hole = [(0.8, 0.8), (1.2, 0.8), (1.2, 1.2), (0.8, 1.2)]
+    pts = sq + list(reversed(hole))  # hole CW (any orientation accepted)
+    tris = g.earcut(pts, [4])
+    area = 0.0
+    for k in range(0, len(tris), 3):
+        a, b, c = pts[tris[k]], pts[tris[k + 1]], pts[tris[k + 2]]
+        area += abs((b[0] - a[0]) * (c[1] - a[1])
+                    - (b[1] - a[1]) * (c[0] - a[0])) / 2
+    assert abs(area - (4.0 - 0.16)) < 1e-9
+
+
+def test_calculate_normal_matches_reference_semantics():
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    # planar square in z=5 plane, CCW -> +z normal
+    n = g.calculate_normal([(0, 0, 5.0), (1, 0, 5.0), (1, 1, 5.0), (0, 1, 5.0)])
+    assert n is not None
+    assert abs(n[0]) < 1e-12 and abs(n[1]) < 1e-12 and abs(n[2] - 1.0) < 1e-12
+    # degenerate (collinear) -> None
+    assert g.calculate_normal([(0, 0, 0), (1, 0, 0), (2, 0, 0)]) is None
+
+
+def test_glb_roundtrip_single_quad():
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    ring = [[139.70, 35.68, 0.0], [139.71, 35.68, 0.0],
+            [139.71, 35.69, 20.0], [139.70, 35.69, 20.0]]
+    tr = g.tile_translation(139.70, 139.71, 35.68, 35.69)
+    glb, n_vert, n_tri = g.encode_features_to_glb([(0, [[ring]])], tr)
+    assert n_tri == 2 and n_vert == 4  # interning collapses shared corners
+    gltf, bin_chunk = g.parse_glb(glb)
+    acc = {a["name"]: a for a in gltf["accessors"]}
+    assert acc["positions"]["count"] == 4
+    assert acc["indices"]["count"] == 6
+    assert gltf["buffers"][0]["byteLength"] == len(bin_chunk)
+    # translation is near the ECEF of the tile center (f32-rounded)
+    import struct as st
+    node_tr = gltf["nodes"][0]["translation"]
+    assert all(st.unpack("<f", st.pack("<f", v))[0] == v for v in node_tr)
+    # positions are small (centered): all within a few km of origin
+    floats = st.unpack(f"<{len(bin_chunk) // 4}I", bin_chunk)  # noqa: F841
+    pos = [st.unpack_from("<3f", bin_chunk, 36 * i) for i in range(4)]
+    assert all(abs(c) < 5000.0 for p in pos for c in p)
+    # normals unit length
+    nrm = [st.unpack_from("<3f", bin_chunk, 36 * i + 12) for i in range(4)]
+    for n in nrm:
+        assert abs(sum(c * c for c in n) - 1.0) < 1e-5
+
+
+def test_encode_tile_glbs_end_to_end(spark, tmp_path):
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    bdf = fx.boundaries_df(spark)
+    sliced = ct.slice_boundaries_3d(bdf, 12, 13)
+    tiles = ct.encode_tile_glbs(sliced)
+    rows = tiles.collect()
+    assert len(rows) > 0
+    assert all(r["n_triangles"] > 0 for r in rows if r["n_vertices"] >= 3)
+    gltf, bin_chunk = g.parse_glb(bytes(rows[0]["glb"]))
+    assert gltf["asset"]["version"] == "2.0"
+    n = ct.write_tile_glbs(tiles, str(tmp_path))
+    assert n == len(rows)
+    import glob
+    files = glob.glob(str(tmp_path / "*" / "*" / "*.glb"))
+    assert len(files) == n
