@@ -70,7 +70,8 @@ def adaptive_cell_split(df: DataFrame, base_zoom: int = 12,
     rows, flow to the driver-side loop condition; the row-level reassign is
     a join + column swap, no collect of data rows).
     """
-    out = with_cell(df, base_zoom)
+    out = with_cell(df, base_zoom).persist()
+    cached = [out]
     for zoom in range(base_zoom, base_zoom + max_extra_levels):
         counts = (out.where(F.col("cell_z") == zoom)
                   .groupBy("cell_z", "cell_x", "cell_y")
@@ -90,5 +91,10 @@ def adaptive_cell_split(df: DataFrame, base_zoom: int = 12,
                    .withColumn("cell_z", z_next)
                    .withColumn("cell_x", geo.tile_x(z_next, mx))
                    .withColumn("cell_y", geo.tile_y(z_next, my)))
-        out = rest.unionByName(resplit)
+        out = rest.unionByName(resplit).persist()
+        cached.append(out)
+    # each level's loop condition + joins read the persisted previous level,
+    # never the full re-derived lineage; caches release lazily downstream
+    for c in cached[:-1]:
+        c.unpersist()
     return out
