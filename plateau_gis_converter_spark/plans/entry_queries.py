@@ -37,7 +37,19 @@ from ..sources import fixtures as fx
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a table, spreading single-split small files across the cores.
+
+    The sf0.001..0.1 parquet fixtures are one file -> ONE input split, so
+    every expensive map-side pipeline (tokenize/shingle/explode, embedding
+    dots) would otherwise run single-threaded — a local-only artifact: the
+    production table has thousands of splits and never needs this. Results
+    are partitioning-independent (all gate aggregations are integer-exact
+    and the compare is order-insensitive)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 2, 2):
+        df = df.repartition(par)
+    return df
 
 
 def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:

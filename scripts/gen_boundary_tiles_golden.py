@@ -13,9 +13,10 @@ re-derived from the reference semantics (nusamai/src/sink/mvt/slice.rs):
   vertices after tile-local normalization and closing-point removal.
 
 `python scripts/gen_boundary_tiles_golden.py` rewrites
-plateau_gis_converter_spark/plans/boundary_tiles_golden.py; a pytest
-(tests/test_plans.py) asserts the golden equals the production kernel's
-output, so the oracle is doubly derived.
+plateau_gis_converter_spark/plans/boundary_tiles_golden.py; the correctness
+gate (tests/test_entry_correctness.py::boundary_tiles and the driver's
+CORRECTNESS run) compares the production kernel's output against this
+golden, so the oracle is doubly derived.
 """
 from __future__ import annotations
 

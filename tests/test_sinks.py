@@ -96,3 +96,164 @@ def test_adaptive_detail_reduction_on_fat_tile():
                       "mpoly": [[ring]], "attrs": []})
     data, detail = mvt_kernel.make_tile_adaptive(feats)
     assert detail < 12
+
+
+# --- end-to-end decoded-tile assertions (the reference asserts per-sink
+# whole-pipeline behavior in nusamai/tests/sink.rs:15-130) -------------------
+
+def _varint(buf, pos):
+    v = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _fields(buf):
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _varint(buf, pos)
+            v = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            v = buf[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            v = buf[pos:pos + 8]
+            pos += 8
+        else:
+            raise AssertionError(f"wire {wire}")
+        yield field, wire, v
+
+
+def _decode_mvt(data):
+    tile = {}
+    for field, _, v in _fields(data):
+        assert field == 3
+        layer = {"features": [], "keys": [], "values": []}
+        for f2, w2, v2 in _fields(v):
+            if f2 == 1:
+                layer["name"] = v2.decode()
+            elif f2 == 2:
+                feat = {"tags": [], "geometry": []}
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1:
+                        feat["id"] = v3
+                    elif f3 == 2:
+                        pos = 0
+                        while pos < len(v3):
+                            t, pos = _varint(v3, 0 + pos)
+                            feat["tags"].append(t)
+                    elif f3 == 3:
+                        feat["type"] = v3
+                    elif f3 == 4:
+                        pos = 0
+                        while pos < len(v3):
+                            g, pos = _varint(v3, pos)
+                            feat["geometry"].append(g)
+                layer["features"].append(feat)
+            elif f2 == 3:
+                layer["keys"].append(v2.decode())
+            elif f2 == 4:
+                val = None
+                for f4, w4, v4 in _fields(v2):
+                    kinds = {1: "string", 2: "float", 3: "double", 4: "int",
+                             5: "uint", 6: "sint", 7: "bool"}
+                    val = (kinds[f4],
+                           v4.decode() if f4 == 1 else v4)
+                layer["values"].append(val)
+            elif f2 == 5:
+                layer["extent"] = v2
+        tile[layer["name"]] = layer
+    return tile
+
+
+def _decode_rings(geometry, extent):
+    import struct as st
+    rings = []
+    cur = None
+    x = y = 0
+    i = 0
+    while i < len(geometry):
+        cmd = geometry[i]
+        op, cnt = cmd & 7, cmd >> 3
+        i += 1
+        if op == 1:  # MoveTo
+            assert cnt == 1
+            dx, dy = geometry[i], geometry[i + 1]
+            i += 2
+            x += (dx >> 1) ^ -(dx & 1)
+            y += (dy >> 1) ^ -(dy & 1)
+            cur = [(x, y)]
+        elif op == 2:  # LineTo
+            for _ in range(cnt):
+                dx, dy = geometry[i], geometry[i + 1]
+                i += 2
+                x += (dx >> 1) ^ -(dx & 1)
+                y += (dy >> 1) ^ -(dy & 1)
+                cur.append((x, y))
+        elif op == 7:  # ClosePath
+            rings.append(cur)
+            cur = None
+    return rings
+
+
+def test_mvt_end_to_end_decoded_tile(spark, sliced):
+    """Whole-pipeline golden: slice the fixture boundaries, encode tiles,
+    decode a pbf back and assert layer names, feature counts, geometry
+    validity (winding, extent bounds), and typed tag values."""
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.sinks import mvt as mvt_sink
+
+    tiles = mvt_sink.encode_tiles(sliced).collect()
+    expected = {(r["z"], r["x"], r["y"]): r for r in
+                (sliced.groupBy("z", "x", "y")
+                 .agg(F.count(F.lit(1)).alias("n_feats"),
+                      F.collect_set("typename").alias("types"))
+                 .collect())}
+    assert len(tiles) == len(expected)
+    checked_tags = 0
+    for t in tiles:
+        exp = expected[(t["z"], t["x"], t["y"])]
+        tile = _decode_mvt(bytes(t["pbf"]))
+        assert set(tile.keys()) <= set(exp["types"])
+        n_feats = sum(len(l["features"]) for l in tile.values())
+        assert n_feats <= exp["n_feats"]  # degenerate slivers may drop
+        assert n_feats == t["n_features"] or n_feats <= exp["n_feats"]
+        for lname, layer in tile.items():
+            extent = layer["extent"]
+            assert extent == 1 << t["detail"]
+            buffer = extent * 5 // 256 + 1
+            for feat in layer["features"]:
+                assert feat["type"] == 3
+                rings = _decode_rings(feat["geometry"], extent)
+                assert rings
+                for ring in rings:
+                    for (xx, yy) in ring:
+                        assert -buffer - extent <= xx <= 2 * extent + buffer
+                        assert -buffer - extent <= yy <= 2 * extent + buffer
+                # tags reference valid key/value slots, typed values match
+                tags = feat["tags"]
+                assert len(tags) % 2 == 0
+                for ki, vi in zip(tags[0::2], tags[1::2]):
+                    assert ki < len(layer["keys"])
+                    assert vi < len(layer["values"])
+                    key = layer["keys"][ki]
+                    kind, val = layer["values"][vi]
+                    if key == "urf:function":
+                        assert kind == "string"
+                        assert val in ("residential", "commercial", "overlay")
+                        checked_tags += 1
+                    if key == "urf:validFrom":
+                        assert kind == "string"  # dates stay strings
+    assert checked_tags > 0
