@@ -69,10 +69,11 @@ bench.flagship_spatial_join(spark, 50000)
 bench.flagship_tile_assign(spark, 50000)
 bench.flagship_spatial_join(spark, n)   # JIT warm pass at full size, untimed
 bench.flagship_tile_assign(spark, n)
+reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
 join_reps = [_timed(lambda: bench.flagship_spatial_join(spark, n), pid)
-             for _ in range(5)]
+             for _ in range(reps)]
 tile_reps = [_timed(lambda: bench.flagship_tile_assign(spark, n), pid)
-             for _ in range(5)]
+             for _ in range(reps)]
 
 def floor(reps):
     wall, cpu = min(reps, key=lambda r: r[0])
@@ -124,7 +125,7 @@ def hardware_ceiling() -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     hw = hardware_ceiling()
     print(json.dumps({"hardware": hw}))
     levels = [8, 16, 32]
@@ -165,7 +166,8 @@ broadcast spatial join vs 23 ward polygons + exact integer PIP -> per-ward
 agg; and z7..15 tile assignment + pure-Catalyst Hilbert ids) on the same
 deterministic {n_pages:,}-page in-plan input, at local[8] / local[16] /
 local[32], one JVM per level. Per level: untimed JIT warm pass, then min of
-5 reps (this sandbox VM is noisy — shared hypervisor, ~10x minute-scale
+{os.environ.get("SPARK_GRAFT_SCALING_REPS", "4")} reps (this sandbox VM is
+noisy — shared hypervisor, ~10x minute-scale
 throughput swings; the rep floor is the comparable compute quantity; every
 rep incl. JVM cpu-seconds is in the raw block). "util" = JVM cpu-seconds /
 (wall * cores) for the floor rep — direct evidence of whether cores were
