@@ -1187,6 +1187,160 @@ SQL_BOUNDARY_TILES = _boundary_tiles_sql()
 
 
 # ---------------------------------------------------------------------------
+# T1 vshift + T3/J1 appearance gate queries (round 2)
+# ---------------------------------------------------------------------------
+
+def q_vshift_geoid(spark, sf_dir):
+    """T1 vertical shift over the synthetic geoid grid: derived doc points
+    get ellipsoidal height = bilinear undulation + (doc_id % 17). Exact
+    cross-engine arithmetic: the grid values are integer-formula-derived,
+    and the bilinear expression uses the identical op order in the SQL
+    oracle (kernels/geoid.py; vshift.rs:16-21 contract)."""
+    from ..kernels.geoid import synthetic_tokyo_grid
+    from ..operators import projection as prj
+
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pts = docs.select("doc_id", lng, lat)
+    verts = F.array(F.array(F.col("lng_udeg") / 1e6, F.col("lat_udeg") / 1e6,
+                            (F.col("doc_id") % 17).cast("double")))
+    df = pts.select("doc_id", verts.alias("vertices"))
+    out = prj.jgd2011_to_wgs84(df, synthetic_tokyo_grid())
+    return out.select(
+        "doc_id",
+        F.floor(F.col("vertices")[0][2] * 1000000 + F.lit(0.5)).cast("bigint")
+        .alias("ellips_h_e6"))
+
+
+def _vshift_sql() -> str:
+    # the synthetic grid's constants, with exact double literals (repr
+    # round-trips bit-exactly through DuckDB's decimal parser)
+    n_lng, n_lat = 25, 21
+    dlng = (139.92 - 139.56) / (n_lng - 1)
+    dlat = (35.82 - 35.52) / (n_lat - 1)
+
+    def v(i, j):
+        # grid value at (lat idx i, lng idx j) — same op order as
+        # geoid.synthetic_tokyo_grid: (36 + .08j + .05i) + ripple
+        i, j = f"({i})", f"({j})"
+        return (f"((36.0 + 0.08*{j}) + 0.05*{i}) + "
+                f"CAST((({i}*7919 + {j}*104729) % 101 - 50) AS DOUBLE)/1000.0")
+
+    return f"""
+WITH {POINTS_CTE},
+g AS (
+  SELECT doc_id,
+    LEAST(GREATEST((lng_udeg/1000000.0 - 139.56)/{dlng!r}, 0.0), {n_lng - 1}.0) AS fx,
+    LEAST(GREATEST((lat_udeg/1000000.0 - 35.52)/{dlat!r}, 0.0), {n_lat - 1}.0) AS fy,
+    CAST(doc_id % 17 AS DOUBLE) AS h0
+  FROM pts
+),
+c AS (
+  SELECT doc_id, h0, fx, fy,
+    LEAST(CAST(floor(fx) AS BIGINT), {n_lng - 2}) AS jx,
+    LEAST(CAST(floor(fy) AS BIGINT), {n_lat - 2}) AS iy
+  FROM g
+),
+b AS (
+  SELECT doc_id, h0, fx - jx AS tx, fy - iy AS ty,
+    ({v('iy', 'jx')}) AS v00,
+    ({v('iy', 'jx + 1')}) AS v01,
+    ({v('iy + 1', 'jx')}) AS v10,
+    ({v('iy + 1', 'jx + 1')}) AS v11
+  FROM c
+)
+SELECT doc_id,
+  CAST(floor((v00*(1-tx)*(1-ty) + v01*tx*(1-ty) + v10*(1-tx)*ty + v11*tx*ty
+              + h0) * 1000000 + 0.5) AS BIGINT) AS ellips_h_e6
+FROM b
+"""
+
+
+SQL_VSHIFT = _vshift_sql()
+
+
+def q_appearance_resolve(spark, sf_dir):
+    """T3/J1: theme resolution + span->material painting over deterministic
+    dimension tables derived from documents. Entities: one per doc with
+    1 + doc_id%3 polygons; themes: rgbTexture iff doc_id%3==0, FMETheme iff
+    doc_id%2==0 (some both, some neither); spans: one covering span
+    (surface 10*doc_id -> material doc_id%7 under rgbTexture, 99 under
+    FMETheme) plus, when doc_id%4==0, a later span over poly 0 only
+    (surface 10*doc_id+1 -> material (doc_id+1)%7, rgbTexture only) that
+    must win the overlap."""
+    from ..operators import appearance as ap
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("entity_id"),
+                       (F.lit(1) + F.col("doc_id") % 3).alias("n_polys"))
+    polys = base.select("entity_id",
+                        F.explode(F.sequence(F.lit(0), F.col("n_polys") - 1))
+                        .alias("poly_idx"))
+    themes = (base.where(F.col("entity_id") % 3 == 0)
+              .select("entity_id", F.lit("rgbTexture").alias("theme_name"))
+              .unionByName(
+                  base.where(F.col("entity_id") % 2 == 0)
+                  .select("entity_id", F.lit("FMETheme").alias("theme_name"))))
+    span0 = base.select("entity_id", F.lit(0).alias("span_idx"),
+                        (F.col("entity_id") * 10).alias("surface_id"),
+                        F.lit(0).alias("start"), F.col("n_polys").alias("end"))
+    span1 = (base.where(F.col("entity_id") % 4 == 0)
+             .select("entity_id", F.lit(1).alias("span_idx"),
+                     (F.col("entity_id") * 10 + 1).alias("surface_id"),
+                     F.lit(0).alias("start"), F.lit(1).alias("end")))
+    spans = span0.unionByName(span1)
+    s2m = (base.select("entity_id", F.lit("rgbTexture").alias("theme_name"),
+                       (F.col("entity_id") * 10).alias("surface_id"),
+                       (F.col("entity_id") % 7).alias("material_idx"))
+           .unionByName(base.select(
+               "entity_id", F.lit("rgbTexture").alias("theme_name"),
+               (F.col("entity_id") * 10 + 1).alias("surface_id"),
+               ((F.col("entity_id") + 1) % 7).alias("material_idx")))
+           .unionByName(base.select(
+               "entity_id", F.lit("FMETheme").alias("theme_name"),
+               (F.col("entity_id") * 10).alias("surface_id"),
+               F.lit(99).alias("material_idx"))))
+    resolved = ap.resolve_theme(themes)
+    out = ap.polygon_materials(polys, spans, s2m, resolved)
+    return out.select("entity_id", "poly_idx",
+                      F.coalesce(F.col("material_idx"), F.lit(-1))
+                      .cast("bigint").alias("material_idx"))
+
+
+SQL_APPEARANCE = """
+WITH base AS (SELECT doc_id AS entity_id, 1 + doc_id % 3 AS n_polys
+              FROM documents),
+polys AS (
+  SELECT entity_id, CAST(u.p AS INT) AS poly_idx
+  FROM base, UNNEST(range(0, n_polys)) AS u(p)
+),
+theme AS (
+  -- rgbTexture preferred over FMETheme; NULL when neither
+  SELECT entity_id,
+    CASE WHEN entity_id % 3 = 0 THEN 'rgbTexture'
+         WHEN entity_id % 2 = 0 THEN 'FMETheme' END AS theme
+  FROM base
+),
+mat AS (
+  -- span 0 paints [0, n_polys); span 1 (doc%4==0, rgbTexture only) paints
+  -- poly 0 and wins the overlap (later span). FMETheme maps surface0 -> 99
+  -- and has no entry for surface1.
+  SELECT p.entity_id, p.poly_idx,
+    CASE
+      WHEN t.theme = 'rgbTexture' AND p.entity_id % 4 = 0 AND p.poly_idx = 0
+        THEN (p.entity_id + 1) % 7
+      WHEN t.theme = 'rgbTexture' THEN p.entity_id % 7
+      WHEN t.theme = 'FMETheme' THEN 99
+    END AS material_idx
+  FROM polys p JOIN theme t USING (entity_id)
+)
+SELECT entity_id, poly_idx,
+       CAST(coalesce(material_idx, -1) AS BIGINT) AS material_idx
+FROM mat
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1228,6 +1382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     # oracle = golden table from an independent exact-rational reimpl
     "boundary_tiles": q_boundary_tiles,
+    # round-2 operators
+    "vshift_geoid": q_vshift_geoid,
+    "appearance_resolve": q_appearance_resolve,
 }
 
 ORACLES: dict[str, str] = {
@@ -1263,4 +1420,6 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "boundary_tiles": SQL_BOUNDARY_TILES,
+    "vshift_geoid": SQL_VSHIFT,
+    "appearance_resolve": SQL_APPEARANCE,
 }
