@@ -307,7 +307,9 @@ def build_glb(translation, vertices: list[tuple], indices: list[int]) -> bytes:
 
 def encode_features_to_glb(features, translation) -> tuple[bytes, int, int]:
     """features: iterable of (feature_idx, mpoly) where mpoly is a list of
-    polygons, each a list of [lng, lat, h] rings (exterior first).
+    polygons, each a list of [lng, lat, h] or [lng, lat, h, u, v] rings
+    (exterior first; the 5-dim form carries texture coordinates through —
+    packed as (u, 1-v) per the reference's v-flip, mod.rs:348).
 
     Per polygon: ECEF/y-up/translate, exterior normal (skip if degenerate),
     plane projection, earcut with hole offsets, vertex interning by f32
@@ -329,6 +331,7 @@ def encode_features_to_glb(features, translation) -> tuple[bytes, int, int]:
     for feature_idx, mpoly in features:
         for rings in mpoly:
             pts3d = []
+            uvs = []
             hole_indices = []
             for ri, ring in enumerate(rings):
                 if ri > 0:
@@ -337,6 +340,9 @@ def encode_features_to_glb(features, translation) -> tuple[bytes, int, int]:
                     pts3d.append(ecef_yup_translated(
                         float(c[0]), float(c[1]),
                         float(c[2]) if len(c) > 2 else 0.0, translation))
+                    # v is flipped on write (mod.rs:348: [.., u, 1.0 - v])
+                    uvs.append((float(c[3]), 1.0 - float(c[4]))
+                               if len(c) >= 5 else (0.0, 0.0))
             num_outer = hole_indices[0] if hole_indices else len(pts3d)
             normal = calculate_normal(pts3d[:num_outer])
             if normal is None:
@@ -348,7 +354,8 @@ def encode_features_to_glb(features, translation) -> tuple[bytes, int, int]:
             nx, ny, nz = normal
             for idx in tris:
                 x, y, z = pts3d[idx]
-                indices.append(intern((x, y, z, nx, ny, nz, 0.0, 0.0,
+                u, v = uvs[idx]
+                indices.append(intern((x, y, z, nx, ny, nz, u, v,
                                        float(feature_idx))))
             n_tris += len(tris) // 3
     return build_glb(translation, vertices, indices), len(vertices), n_tris

@@ -95,8 +95,10 @@ def _closed(ring):
 
 
 def slice_polygon_3d(zoom: int, rings_xyz) -> dict:
-    """One polygon ([lng,lat,h] rings) -> {(z,x,y): polygon rings} in the
-    3D-Tiles scheme (slice.rs:216-391 without the uv dims)."""
+    """One polygon -> {(z,x,y): polygon rings} in the 3D-Tiles scheme
+    (slice.rs:216-391). Points may be [lng, lat, h] or [lng, lat, h, u, v]:
+    the t-form clip interpolates EVERY extra dimension, so UVs ride through
+    exactly like the reference's [x, y, z, u, v] slicing (G6)."""
     out: dict = {}
     ext = rings_xyz[0]
     if not ext:

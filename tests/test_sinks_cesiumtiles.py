@@ -150,3 +150,43 @@ def test_encode_tile_glbs_end_to_end(spark, tmp_path):
     import glob
     files = glob.glob(str(tmp_path / "*" / "*" / "*.glb"))
     assert len(files) == n
+
+
+def test_slice_3d_carries_uv_dims():
+    """G6: the t-form clip interpolates every extra dimension — UVs set to
+    an affine function of (lng, lat) must still satisfy it at every clipped
+    vertex (the interpolation is linear along edges)."""
+    def uv_of(lng, lat):
+        return ((lng - 139.60) / 0.30, (lat - 35.60) / 0.20)
+
+    ring = []
+    for lng, lat, h in [(139.60, 35.60, 5.0), (139.90, 35.60, 5.0),
+                        (139.90, 35.80, 5.0), (139.60, 35.80, 5.0)]:
+        u, v = uv_of(lng, lat)
+        ring.append([lng, lat, h, u, v])
+    out = ct.slice_polygon_3d(13, [ring])
+    assert out
+    n_checked = 0
+    for (z, x, y), polys in out.items():
+        for rings in polys:
+            for r in rings:
+                for c in r:
+                    assert len(c) == 5
+                    eu, ev = uv_of(c[0], c[1])
+                    assert abs(c[3] - eu) < 1e-9 and abs(c[4] - ev) < 1e-9
+                    n_checked += 1
+    assert n_checked > 20
+
+
+def test_glb_packs_uv_texcoords():
+    from plateau_gis_converter_spark.kernels import gltf as g
+    import struct as st
+
+    ring = [[139.70, 35.68, 0.0, 0.0, 0.0], [139.71, 35.68, 0.0, 1.0, 0.0],
+            [139.71, 35.69, 0.0, 1.0, 1.0], [139.70, 35.69, 0.0, 0.0, 1.0]]
+    tr = g.tile_translation(139.70, 139.71, 35.68, 35.69)
+    glb, n_vert, _ = g.encode_features_to_glb([(0, [[ring]])], tr)
+    gltf, bin_chunk = g.parse_glb(glb)
+    uvs = {st.unpack_from("<2f", bin_chunk, 36 * i + 24) for i in range(n_vert)}
+    # v flipped on write: (u, 1-v)
+    assert uvs == {(0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)}
