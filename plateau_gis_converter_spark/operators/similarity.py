@@ -160,6 +160,66 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "vec_id", "rank", "cosine"))
 
 
+def ivf_assign(embeddings: DataFrame, stride: int = 37) -> DataFrame:
+    """IVF coarse quantizer, training-free and deterministic: centroids are
+    the vectors with vec_id % stride == 0 (a fixed 1/stride sample — at
+    10^12 rows you'd k-means these, but any fixed centroid set gives the
+    same IVF mechanics); every vector joins its nearest centroid by
+    integer-quantized cosine (ties -> smaller centroid id). Output:
+    (vec_id, qe, cent_id). One broadcast join + argmax — no shuffle of the
+    vector side beyond its partitioning."""
+    e = embeddings.select("vec_id", quantized_embedding(F.col("embedding"))
+                          .alias("qe"))
+    cents = e.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("c_qe"))
+    cand = e.join(F.broadcast(cents))
+    cos = (_int_dot(F.col("qe"), F.col("c_qe")).cast("double")
+           / (F.sqrt(_int_norm2(F.col("qe")).cast("double"))
+              * F.sqrt(_int_norm2(F.col("c_qe")).cast("double"))))
+    best = (cand.withColumn("_c", cos)
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("_c").alias("c"),
+                                (-F.col("cent_id")).alias("nid"))).alias("b")))
+    return (e.join(best, "vec_id")
+            .select("vec_id", "qe", (-F.col("b.nid")).alias("cent_id")))
+
+
+def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    stride: int = 37, nprobe: int = 4) -> DataFrame:
+    """ANN top-k via IVF: queries probe their nprobe nearest centroids and
+    rerank exactly within those cells. At scale the index is partitioned BY
+    cent_id, so a probe reads nprobe partitions — the classic IVF pruning;
+    recall grows with nprobe. Deterministic end-to-end (integer-quantized
+    cosines, id tie-breaks), so the gate oracle replicates it exactly."""
+    idx = ivf_assign(embeddings, stride)
+    q = queries.select("query_id", quantized_embedding(F.col("embedding"))
+                       .alias("q_qe"))
+    cents = (embeddings.where(F.col("vec_id") % stride == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     quantized_embedding(F.col("embedding")).alias("c_qe")))
+    pcos = (_int_dot(F.col("q_qe"), F.col("c_qe")).cast("double")
+            / (F.sqrt(_int_norm2(F.col("q_qe")).cast("double"))
+               * F.sqrt(_int_norm2(F.col("c_qe")).cast("double"))))
+    wp = Window.partitionBy("query_id").orderBy(F.col("_pc").desc(),
+                                                F.col("cent_id").asc())
+    probes = (q.join(F.broadcast(cents))
+              .withColumn("_pc", pcos)
+              .withColumn("_pr", F.row_number().over(wp))
+              .where(F.col("_pr") <= nprobe)
+              .select("query_id", "q_qe", "cent_id"))
+    cand = (idx.join(F.broadcast(probes), "cent_id")
+            .where(F.col("vec_id") != F.col("query_id")))
+    cos = (_int_dot(F.col("q_qe"), F.col("qe")).cast("double")
+           / (F.sqrt(_int_norm2(F.col("q_qe")).cast("double"))
+              * F.sqrt(_int_norm2(F.col("qe")).cast("double"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("vec_id").asc())
+    return (cand.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "cosine"))
+
+
 def near_dup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.95,
                           bands: int = 8, planes_per_band: int = 8,
                           dim: int | None = None,

@@ -1186,6 +1186,77 @@ def _boundary_tiles_sql() -> str:
 SQL_BOUNDARY_TILES = _boundary_tiles_sql()
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN top-k via IVF cells (operators/similarity.cosine_topk_ivf):
+    deterministic training-free centroids (vec_id % 37), nprobe=4; exact
+    integer-quantized rerank. The oracle replicates assignment, probing,
+    and rerank bit-for-bit."""
+    from ..operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = sim.cosine_topk_ivf(emb, queries, k=5, stride=37, nprobe=4)
+    return out.select("query_id", "vec_id", "rank",
+                      F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+                      .cast("bigint").alias("cos_e6"))
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """Integer-quantized cosine with the same op order as similarity._int_dot
+    / _int_norm2 composition: dot / (sqrt(norm_a) * sqrt(norm_b))."""
+    rng = f"range(1, {dim + 1})"
+    return (f"(CAST(list_sum(list_transform({rng}, i -> {a}[i] * {b}[i])) AS DOUBLE)"
+            f" / (sqrt(CAST(list_sum(list_transform({rng}, i -> {a}[i] * {a}[i])) AS DOUBLE))"
+            f" * sqrt(CAST(list_sum(list_transform({rng}, i -> {b}[i] * {b}[i])) AS DOUBLE))))")
+
+
+def _ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, qe AS c_qe FROM q
+          WHERE vec_id % {stride} = 0),
+assign AS (
+  SELECT vec_id, qe, cent_id FROM (
+    SELECT v.vec_id, v.qe, c.cent_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos_sql('v.qe', 'c.c_qe')} DESC, c.cent_id ASC) AS rn
+    FROM q v, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, q_qe, cent_id FROM (
+    SELECT qq.vec_id AS query_id, qq.qe AS q_qe, c.cent_id,
+      row_number() OVER (PARTITION BY qq.vec_id
+        ORDER BY {_cos_sql('qq.qe', 'c.c_qe')} DESC, c.cent_id ASC) AS rn
+    FROM q qq, cents c WHERE qq.vec_id % 50 = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql('p.q_qe', 'a.qe')} AS cos
+  FROM probes p JOIN assign a USING (cent_id)
+  WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM r WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF = _ann_ivf_sql()
+
+
 # ---------------------------------------------------------------------------
 # T1 vshift + T3/J1 appearance gate queries (round 2)
 # ---------------------------------------------------------------------------
@@ -1385,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-2 operators
     "vshift_geoid": q_vshift_geoid,
     "appearance_resolve": q_appearance_resolve,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1422,4 +1494,5 @@ ORACLES: dict[str, str] = {
     "boundary_tiles": SQL_BOUNDARY_TILES,
     "vshift_geoid": SQL_VSHIFT,
     "appearance_resolve": SQL_APPEARANCE,
+    "ann_ivf_topk": SQL_ANN_IVF,
 }

@@ -272,3 +272,19 @@ def test_adaptive_cell_split_bounds_cells(spark):
     base = (skew.with_cell(pts, 12).groupBy("cell_x", "cell_y")
             .agg(F.count(F.lit(1)).alias("n")).toPandas())
     assert counts["n"].max() < base["n"].max()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    """IVF with nprobe=4 over ~14 cells: the true nearest neighbor usually
+    shares the query's cell, so top-1 recall must be substantial; returned
+    ranks are exact within the probed cells."""
+    queries = (emb.where(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=1).toPandas()
+    ivf = similarity.cosine_topk_ivf(emb, queries, k=1, stride=37,
+                                     nprobe=4).toPandas()
+    e = dict(zip(exact["query_id"], exact["vec_id"]))
+    g = dict(zip(ivf["query_id"], ivf["vec_id"]))
+    hits = sum(1 for qid, v in e.items() if g.get(qid) == v)
+    assert hits / len(e) >= 0.6, f"top-1 recall {hits}/{len(e)}"
+    assert (ivf["rank"] == 1).all()
