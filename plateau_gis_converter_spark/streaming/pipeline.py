@@ -53,3 +53,45 @@ def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
             .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("value").alias("sum_value")))
+
+
+def streaming_dedup_first_seen(pages: DataFrame,
+                               text_col: str = "text") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit each
+    document fingerprint's FIRST occurrence across the unbounded stream and
+    suppress every later duplicate — the streaming form of
+    operators/dedup.exact_duplicates (a training-data pipeline dedups at
+    ingest exactly like this). State per fingerprint key: the count of
+    occurrences seen so far (O(1) per key, keyed state store scales with
+    distinct fingerprints, not rows).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("n_dups_so_far", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        (fingerprint,) = key
+        seen = state.get[0] if state.exists else 0
+        first_url = None
+        n = 0
+        for pdf in pdf_iter:
+            if seen == 0 and n == 0 and len(pdf) > 0:
+                first_url = pdf["url"].iloc[0]
+            n += len(pdf)
+        state.update((seen + n,))
+        if seen == 0 and n > 0:
+            yield pd.DataFrame({"fingerprint": [fingerprint],
+                                "url": [first_url],
+                                "n_dups_so_far": [n]})
+
+    keyed = pages.withColumn("fingerprint", F.md5(F.col(text_col)))
+    return (keyed.groupBy("fingerprint")
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

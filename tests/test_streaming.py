@@ -72,3 +72,44 @@ def test_streaming_sessionize(spark, tmp_path):
     out = spark.sql("SELECT user_id, n_events FROM sessions").toPandas()
     by_user = out.groupby("user_id").size().to_dict()
     assert by_user == {1: 2, 2: 2}  # user1: 2 sessions, user2: 2 sessions
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState keyed state survives micro-batches: a
+    fingerprint seen in batch 1 is suppressed when it reappears in batch 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "pages"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pq.write_table(pa.table({
+            "url": pa.array([r[0] for r in rows]),
+            "text": pa.array([r[1] for r in rows]),
+        }), str(d / name))
+
+    write_batch("b0.parquet", [("u1", "alpha"), ("u2", "beta"),
+                               ("u3", "alpha")])
+    schema = "url string, text string"
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = sp.streaming_dedup_first_seen(stream)
+    q = (out.writeStream.format("memory").queryName("first_seen")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT * FROM first_seen").toPandas()
+        # batch 1: alpha (first u1, dup u3 counted) + beta
+        assert len(got1) == 2
+        alpha = got1[got1.url == "u1"]
+        assert len(alpha) == 1 and int(alpha["n_dups_so_far"].iloc[0]) == 2
+        # batch 2: alpha AGAIN (must be suppressed) + gamma (new)
+        write_batch("b1.parquet", [("u4", "alpha"), ("u5", "gamma")])
+        q.processAllAvailable()
+        got2 = spark.sql("SELECT * FROM first_seen").toPandas()
+        assert len(got2) == 3
+        assert set(got2["url"]) == {"u1", "u2", "u5"}
+    finally:
+        q.stop()
