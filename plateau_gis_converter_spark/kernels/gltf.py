@@ -243,8 +243,18 @@ def ecef_yup_translated(lng: float, lat: float, height: float,
 VERTEX_FLOATS = 9  # x y z nx ny nz u v feature_id (gltf.rs:42)
 
 
-def build_glb(translation, vertices: list[tuple], indices: list[int]) -> bytes:
-    """vertices: interned 9-float tuples; indices: u32 triangle list."""
+def build_glb(translation, vertices: list[tuple], indices,
+              materials: list[dict] | None = None) -> bytes:
+    """vertices: interned 9-float tuples. ``indices``: either a flat u32
+    triangle list (single primitive) or an ordered dict
+    {material_idx_or_None: [u32 ...]} — one primitive per material sharing
+    the interleaved vertex buffer view, like the reference's per-material
+    Primitives map (gltf.rs:12-17, 126-160). ``materials``: optional glTF
+    material dicts (index = material_idx)."""
+    if not isinstance(indices, dict):
+        indices = {None: list(indices)}
+    if not indices:
+        indices = {None: []}
     bin_content = bytearray()
     pos_min = [float("inf")] * 3
     pos_max = [float("-inf")] * 3
@@ -255,9 +265,39 @@ def build_glb(translation, vertices: list[tuple], indices: list[int]) -> bytes:
             pos_max[i] = max(pos_max[i], f32[i])
         bin_content += struct.pack("<9f", *v)
     vertices_len = len(bin_content)
-    indices_offset = len(bin_content)
-    for idx in indices:
-        bin_content += struct.pack("<I", idx)
+    accessors = [
+        {"name": "positions", "bufferView": 0, "componentType": 5126,
+         "count": len(vertices), "type": "VEC3",
+         "min": pos_min, "max": pos_max},
+        {"name": "normals", "bufferView": 0, "byteOffset": 12,
+         "componentType": 5126, "count": len(vertices), "type": "VEC3"},
+        {"name": "texcoords", "bufferView": 0, "byteOffset": 24,
+         "componentType": 5126, "count": len(vertices), "type": "VEC2"},
+        {"name": "_feature_ids", "bufferView": 0, "byteOffset": 32,
+         "componentType": 5126, "count": len(vertices), "type": "SCALAR"},
+    ]
+    buffer_views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": vertices_len,
+         "byteStride": 4 * VERTEX_FLOATS, "target": 34962},
+    ]
+    primitives = []
+    for mat_idx, idx_list in indices.items():
+        off = len(bin_content)
+        for idx in idx_list:
+            bin_content += struct.pack("<I", idx)
+        buffer_views.append({"buffer": 0, "byteOffset": off,
+                             "byteLength": 4 * len(idx_list),
+                             "target": 34963})
+        accessors.append({"name": "indices",
+                          "bufferView": len(buffer_views) - 1,
+                          "componentType": 5125, "count": len(idx_list),
+                          "type": "SCALAR"})
+        prim = {"attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2,
+                               "_FEATURE_ID_0": 3},
+                "indices": len(accessors) - 1, "mode": 4}
+        if mat_idx is not None:
+            prim["material"] = int(mat_idx)
+        primitives.append(prim)
     while len(bin_content) % 4:
         bin_content += b"\x00"
 
@@ -266,32 +306,13 @@ def build_glb(translation, vertices: list[tuple], indices: list[int]) -> bytes:
         "scene": 0,
         "scenes": [{"nodes": [0]}],
         "nodes": [{"mesh": 0, "translation": list(translation)}],
-        "meshes": [{"primitives": [{
-            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2,
-                           "_FEATURE_ID_0": 3},
-            "indices": 4, "mode": 4,
-        }]}],
-        "bufferViews": [
-            {"buffer": 0, "byteOffset": 0, "byteLength": vertices_len,
-             "byteStride": 4 * VERTEX_FLOATS, "target": 34962},
-            {"buffer": 0, "byteOffset": indices_offset,
-             "byteLength": 4 * len(indices), "target": 34963},
-        ],
-        "accessors": [
-            {"name": "positions", "bufferView": 0, "componentType": 5126,
-             "count": len(vertices), "type": "VEC3",
-             "min": pos_min, "max": pos_max},
-            {"name": "normals", "bufferView": 0, "byteOffset": 12,
-             "componentType": 5126, "count": len(vertices), "type": "VEC3"},
-            {"name": "texcoords", "bufferView": 0, "byteOffset": 24,
-             "componentType": 5126, "count": len(vertices), "type": "VEC2"},
-            {"name": "_feature_ids", "bufferView": 0, "byteOffset": 32,
-             "componentType": 5126, "count": len(vertices), "type": "SCALAR"},
-            {"name": "indices", "bufferView": 1, "componentType": 5125,
-             "count": len(indices), "type": "SCALAR"},
-        ],
+        "meshes": [{"primitives": primitives}],
+        "bufferViews": buffer_views,
+        "accessors": accessors,
         "buffers": [{"byteLength": len(bin_content)}],
     }
+    if materials:
+        gltf["materials"] = materials
     json_bytes = json.dumps(gltf, separators=(",", ":")).encode("utf-8")
     while len(json_bytes) % 4:
         json_bytes += b" "
@@ -305,18 +326,25 @@ def build_glb(translation, vertices: list[tuple], indices: list[int]) -> bytes:
     return bytes(out)
 
 
-def encode_features_to_glb(features, translation) -> tuple[bytes, int, int]:
-    """features: iterable of (feature_idx, mpoly) where mpoly is a list of
-    polygons, each a list of [lng, lat, h] or [lng, lat, h, u, v] rings
-    (exterior first; the 5-dim form carries texture coordinates through —
-    packed as (u, 1-v) per the reference's v-flip, mod.rs:348).
+def encode_features_to_glb(features, translation,
+                           materials: list[dict] | None = None
+                           ) -> tuple[bytes, int, int]:
+    """features: iterable of (feature_idx, mpoly[, poly_material_ids])
+    where mpoly is a list of polygons, each a list of [lng, lat, h] or
+    [lng, lat, h, u, v] rings (exterior first; the 5-dim form carries
+    texture coordinates through — packed as (u, 1-v) per the reference's
+    v-flip, mod.rs:348). With the optional third element (one material idx
+    or None per polygon — the appearance pipeline's polygon_materials
+    output), triangles group into one glTF primitive per material like the
+    reference's Primitives map (mod.rs:361-370); ``materials`` then lists
+    the glTF material dicts.
 
     Per polygon: ECEF/y-up/translate, exterior normal (skip if degenerate),
     plane projection, earcut with hole offsets, vertex interning by f32
     bits. Returns (glb_bytes, n_vertices, n_triangles)."""
     interned: dict[bytes, int] = {}
     vertices: list[tuple] = []
-    indices: list[int] = []
+    indices: dict = {}
 
     def intern(v: tuple) -> int:
         key = struct.pack("<9f", *v)
@@ -328,8 +356,11 @@ def encode_features_to_glb(features, translation) -> tuple[bytes, int, int]:
         return i
 
     n_tris = 0
-    for feature_idx, mpoly in features:
-        for rings in mpoly:
+    for feat in features:
+        feature_idx, mpoly = feat[0], feat[1]
+        mat_ids = feat[2] if len(feat) > 2 else [None] * len(mpoly)
+        for rings, mat_idx in zip(mpoly, mat_ids):
+            prim_indices = indices.setdefault(mat_idx, [])
             pts3d = []
             uvs = []
             hole_indices = []
@@ -355,10 +386,11 @@ def encode_features_to_glb(features, translation) -> tuple[bytes, int, int]:
             for idx in tris:
                 x, y, z = pts3d[idx]
                 u, v = uvs[idx]
-                indices.append(intern((x, y, z, nx, ny, nz, u, v,
-                                       float(feature_idx))))
+                prim_indices.append(intern((x, y, z, nx, ny, nz, u, v,
+                                            float(feature_idx))))
             n_tris += len(tris) // 3
-    return build_glb(translation, vertices, indices), len(vertices), n_tris
+    glb = build_glb(translation, vertices, indices, materials=materials)
+    return glb, len(vertices), n_tris
 
 
 def parse_glb(data: bytes) -> tuple[dict, bytes]:

@@ -190,3 +190,34 @@ def test_glb_packs_uv_texcoords():
     uvs = {st.unpack_from("<2f", bin_chunk, 36 * i + 24) for i in range(n_vert)}
     # v flipped on write: (u, 1-v)
     assert uvs == {(0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)}
+
+
+def test_glb_per_material_primitives():
+    """With per-polygon material ids (the appearance pipeline's output),
+    triangles group into one primitive per material sharing the vertex
+    buffer (reference's Primitives map)."""
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    r1 = [[139.70, 35.68, 0.0], [139.71, 35.68, 0.0],
+          [139.71, 35.69, 0.0], [139.70, 35.69, 0.0]]
+    r2 = [[139.72, 35.68, 5.0], [139.73, 35.68, 5.0],
+          [139.73, 35.69, 5.0], [139.72, 35.69, 5.0]]
+    r3 = [[139.74, 35.68, 9.0], [139.75, 35.68, 9.0],
+          [139.75, 35.69, 9.0], [139.74, 35.69, 9.0]]
+    mats = [{"pbrMetallicRoughness": {"baseColorFactor": [1, 0, 0, 1]}},
+            {"pbrMetallicRoughness": {"baseColorFactor": [0, 1, 0, 1]}}]
+    tr = g.tile_translation(139.70, 139.75, 35.68, 35.69)
+    glb, n_vert, n_tri = g.encode_features_to_glb(
+        [(0, [[r1], [r2], [r3]], [0, 1, None])], tr, materials=mats)
+    gltf, bin_chunk = g.parse_glb(glb)
+    prims = gltf["meshes"][0]["primitives"]
+    assert len(prims) == 3
+    by_mat = {p.get("material"): p for p in prims}
+    assert set(by_mat) == {0, 1, None}
+    assert len(gltf["materials"]) == 2
+    assert n_tri == 6 and n_vert == 12
+    for p in prims:
+        acc = gltf["accessors"][p["indices"]]
+        assert acc["count"] == 6  # 2 triangles per quad
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        assert bv["target"] == 34963
