@@ -74,3 +74,95 @@ def test_simplify_keeps_endpoints(pts):
     assert (s[0] == ring[0]).all()
     assert (s[-1] == ring[-1]).all()
     assert len(s) <= len(ring)
+
+
+# --- earcut + geoid (round 2 kernels) ----------------------------------------
+
+def _tri_area(pts, tris):
+    area = 0.0
+    for k in range(0, len(tris), 3):
+        a, b, c = pts[tris[k]], pts[tris[k + 1]], pts[tris[k + 2]]
+        area += abs((b[0] - a[0]) * (c[1] - a[1])
+                    - (b[1] - a[1]) * (c[0] - a[0])) / 2
+    return area
+
+
+def _poly_area(pts):
+    s = 0.0
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2
+
+
+@given(st.lists(st.tuples(st.floats(0.01, 0.99), st.floats(0.01, 0.99)),
+                min_size=5, max_size=24))
+@settings(max_examples=80, deadline=None)
+def test_earcut_convex_polygon_area_property(raw):
+    """Convex hull of random points: earcut must produce exactly n-2
+    triangles whose areas sum to the polygon area, with valid indices."""
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    pts = sorted(set(raw))
+    if len(pts) < 4:
+        return
+    # convex hull (monotone chain)
+    def cross(o, a, b):
+        return (a[0]-o[0])*(b[1]-o[1]) - (a[1]-o[1])*(b[0]-o[0])
+    lower, upper = [], []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 4:
+        return
+    tris = g.earcut(hull, [])
+    assert len(tris) == 3 * (len(hull) - 2)
+    assert all(0 <= i < len(hull) for i in tris)
+    assert abs(_tri_area(hull, tris) - _poly_area(hull)) < 1e-9
+
+
+@given(st.floats(0.15, 0.45), st.floats(0.15, 0.45),
+       st.floats(0.02, 0.12), st.floats(0.02, 0.12))
+@settings(max_examples=60, deadline=None)
+def test_earcut_hole_area_property(cx, cy, hw, hh):
+    """Unit square with a random rectangular hole: triangulated area equals
+    square minus hole."""
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    outer = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    hole = [(cx - hw, cy - hh), (cx + hw, cy - hh),
+            (cx + hw, cy + hh), (cx - hw, cy + hh)]
+    pts = outer + hole
+    tris = g.earcut(pts, [4])
+    assert abs(_tri_area(pts, tris) - (1.0 - 4 * hw * hh)) < 1e-9
+
+
+@given(st.floats(30.0, 45.0), st.floats(-2.0, 2.0), st.floats(-2.0, 2.0),
+       st.floats(-1.0, 1.0),
+       st.lists(st.tuples(st.floats(0.001, 0.999), st.floats(0.001, 0.999)),
+                min_size=1, max_size=8))
+@settings(max_examples=80, deadline=None)
+def test_geoid_bilinear_exactness_property(a, b, c, d, queries):
+    """Bilinear interpolation reproduces any bilinear function exactly at
+    arbitrary in-grid query points."""
+    from plateau_gis_converter_spark.kernels.geoid import GeoidGrid
+
+    lng0, lat0, dlng, dlat, nx, ny = 139.0, 35.0, 0.05, 0.04, 13, 11
+    jj, ii = np.meshgrid(np.arange(nx), np.arange(ny))
+    lngs = lng0 + jj * dlng
+    lats = lat0 + ii * dlat
+    f = lambda lng, lat: a + b * (lng - lng0) + c * (lat - lat0) \
+        + d * (lng - lng0) * (lat - lat0)
+    g = GeoidGrid(lng0, lat0, dlng, dlat, f(lngs, lats))
+    for fx, fy in queries:
+        qlng = lng0 + fx * (nx - 1) * dlng
+        qlat = lat0 + fy * (ny - 1) * dlat
+        assert abs(float(g.height(qlng, qlat)) - f(qlng, qlat)) < 1e-9
