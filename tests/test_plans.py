@@ -77,3 +77,50 @@ def test_spatial_join_stays_codegen(spark, pages_small):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan     # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan     # catalyst path: no Python at all
+
+
+def test_gate_queries_python_free_unless_whitelisted(spark):
+    """Plan audit across the WHOLE gate registry: physical plans must not
+    contain Python/Arrow eval stages except where the operator is
+    Python-by-design (kernel flatMaps / scheme UDFs / multimodal decode).
+    Catches hot-path regressions the per-operator tests might miss."""
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    PYTHON_BY_DESIGN = {
+        "tiles_3d_scheme",    # NumPy scheme kernel via Arrow UDF
+        "geometric_error",    # NumPy kernel via Arrow UDF
+        "boundary_tiles",     # geojson-vt clip kernel flatMap
+        "multimodal_meta",    # binary sniffing mapInPandas
+        "vshift_geoid",       # geoid grid sampler Arrow UDF
+    }
+    markers = ("EvalPython", "InPandas", "ArrowEval", "PythonUDF")
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in eq.QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        has_python = any(m in plan for m in markers)
+        if has_python and name not in PYTHON_BY_DESIGN:
+            offenders.append(name)
+        if not has_python and name in PYTHON_BY_DESIGN:
+            # whitelist entry went pure-JVM — tighten the whitelist
+            offenders.append(f"{name} (stale whitelist)")
+    assert not offenders, f"unexpected Python stages: {offenders}"
+
+
+def test_gate_scans_prune_columns(spark):
+    """Column pruning reaches the parquet scan: pricing_summary must read
+    only the lineitem columns it uses (ReadSchema check)."""
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    plan = (eq.QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, f"no FileScan in plan:\n{plan}"
+    cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+    expected = {"l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"}
+    assert cols == expected, f"scan reads {sorted(cols)}"
+    # and the shipdate predicate reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan
