@@ -125,7 +125,8 @@ def main():
                   "events_sessionize", "events_windowed", "dedup_ngram_jaccard",
                   "minhash_signatures", "simhash", "embedding_topk",
                   "hilbert_tile_id", "tile_rollup", "spatial_join_pip",
-                  "text_features"]:
+                  "text_features", "ann_ivf_topk", "vshift_geoid",
+                  "appearance_resolve", "knn_ring_expansion"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 
