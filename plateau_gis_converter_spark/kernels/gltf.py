@@ -33,8 +33,59 @@ from .projection import geodetic_to_geocentric, wgs84
 __all__ = [
     "calculate_normal", "project3d_to_2d", "earcut", "signed_area2",
     "ecef_yup_translated", "tile_translation", "build_glb",
-    "encode_features_to_glb", "parse_glb",
+    "build_material_arrays", "encode_features_to_glb", "parse_glb",
 ]
+
+
+def build_material_arrays(material_specs: list[dict]):
+    """Reference-style material set -> glTF materials/textures/images
+    arrays (material.rs:28-66, gltf.rs:193-213).
+
+    Each spec: {"base_color": [r, g, b, a],
+                "base_texture_uri": str | None,
+                "image_bytes": bytes | None,   # embed instead of URI ref
+                "mime_type": "image/png" | "image/jpeg" | None}
+
+    Textures dedup by URI into a texture set; images dedup by URI into an
+    image set (the reference's two IndexSets) — materials sharing a texture
+    share its index. Returns (gltf_materials, gltf_textures, image_specs)
+    where image_specs entries are {"uri": u} or
+    {"bytes": b, "mime": m, "uri_name": u} for build_glb to embed in the
+    BIN chunk (material.rs:80-112 embeds file content as a bufferView)."""
+    textures: dict[str, int] = {}
+    images: dict[str, int] = {}
+    image_specs: list[dict] = []
+    gltf_textures: list[dict] = []
+    gltf_materials: list[dict] = []
+    for spec in material_specs:
+        base_color = [float(c) for c in spec.get("base_color",
+                                                 [1.0, 1.0, 1.0, 1.0])]
+        uri = spec.get("base_texture_uri")
+        pbr = {
+            "baseColorFactor": base_color,
+            "metallicFactor": 0.2,
+            "roughnessFactor": 0.5,
+        }
+        if uri is not None:
+            tex_idx = textures.get(uri)
+            if tex_idx is None:
+                img_idx = images.get(uri)
+                if img_idx is None:
+                    img_idx = len(image_specs)
+                    images[uri] = img_idx
+                    if spec.get("image_bytes") is not None:
+                        image_specs.append({
+                            "bytes": spec["image_bytes"],
+                            "mime": spec.get("mime_type", "image/png"),
+                            "uri_name": uri})
+                    else:
+                        image_specs.append({"uri": uri})
+                tex_idx = len(gltf_textures)
+                textures[uri] = tex_idx
+                gltf_textures.append({"source": img_idx})
+            pbr["baseColorTexture"] = {"index": tex_idx, "texCoord": 0}
+        gltf_materials.append({"pbrMetallicRoughness": pbr})
+    return gltf_materials, gltf_textures, image_specs
 
 
 def calculate_normal(vertices) -> tuple[float, float, float] | None:
@@ -244,17 +295,39 @@ VERTEX_FLOATS = 9  # x y z nx ny nz u v feature_id (gltf.rs:42)
 
 
 def build_glb(translation, vertices: list[tuple], indices,
-              materials: list[dict] | None = None) -> bytes:
+              materials: list[dict] | None = None,
+              textures: list[dict] | None = None,
+              images: list[dict] | None = None) -> bytes:
     """vertices: interned 9-float tuples. ``indices``: either a flat u32
     triangle list (single primitive) or an ordered dict
     {material_idx_or_None: [u32 ...]} — one primitive per material sharing
     the interleaved vertex buffer view, like the reference's per-material
     Primitives map (gltf.rs:12-17, 126-160). ``materials``: optional glTF
-    material dicts (index = material_idx)."""
+    material dicts (index = material_idx). ``textures``/``images``: from
+    build_material_arrays — image entries carrying bytes are embedded as
+    BIN-chunk bufferViews with their mimeType (material.rs:80-112); URI
+    entries stay external references. A primitive whose material has no
+    baseColorTexture omits TEXCOORD_0 (gltf.rs:149-153)."""
     if not isinstance(indices, dict):
         indices = {None: list(indices)}
-    if not indices:
-        indices = {None: []}
+    # glTF 2.0 validity (ADVICE r2 #5): accessor.count must be >= 1 and
+    # min/max finite — never emit a primitive for an empty index list, and
+    # with no vertices at all emit a mesh-less (but valid) glb.
+    indices = {m: lst for m, lst in indices.items() if lst}
+    if not vertices or not indices:
+        # no mesh -> nothing can reference materials/textures/images;
+        # emit the minimal valid mesh-less glb
+        gltf = {"asset": {"version": "2.0"}, "scene": 0,
+                "scenes": [{"nodes": [0]}],
+                "nodes": [{"translation": list(translation)}]}
+        json_bytes = json.dumps(gltf, separators=(",", ":")).encode("utf-8")
+        while len(json_bytes) % 4:
+            json_bytes += b" "
+        out = bytearray()
+        out += struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(json_bytes))
+        out += struct.pack("<II", len(json_bytes), 0x4E4F534A)
+        out += json_bytes
+        return bytes(out)
     bin_content = bytearray()
     pos_min = [float("inf")] * 3
     pos_max = [float("-inf")] * 3
@@ -292,12 +365,34 @@ def build_glb(translation, vertices: list[tuple], indices,
                           "bufferView": len(buffer_views) - 1,
                           "componentType": 5125, "count": len(idx_list),
                           "type": "SCALAR"})
-        prim = {"attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2,
-                               "_FEATURE_ID_0": 3},
+        attrs = {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2,
+                 "_FEATURE_ID_0": 3}
+        if (mat_idx is not None and materials
+                and "baseColorTexture" not in materials[int(mat_idx)]
+                .get("pbrMetallicRoughness", {"baseColorTexture": 1})):
+            # untextured material: no TEXCOORD_0 attribute (gltf.rs:149-153)
+            del attrs["TEXCOORD_0"]
+        prim = {"attributes": attrs,
                 "indices": len(accessors) - 1, "mode": 4}
         if mat_idx is not None:
             prim["material"] = int(mat_idx)
         primitives.append(prim)
+    # embedded texture images: one bufferView per byte payload
+    # (material.rs:80-112); URI images stay external
+    gltf_images = []
+    for im in (images or []):
+        if "bytes" in im:
+            while len(bin_content) % 4:
+                bin_content += b"\x00"
+            off = len(bin_content)
+            bin_content += im["bytes"]
+            buffer_views.append({"buffer": 0, "byteOffset": off,
+                                 "byteLength": len(im["bytes"]),
+                                 "name": "image"})
+            gltf_images.append({"mimeType": im["mime"],
+                                "bufferView": len(buffer_views) - 1})
+        else:
+            gltf_images.append({"uri": im["uri"]})
     while len(bin_content) % 4:
         bin_content += b"\x00"
 
@@ -313,6 +408,10 @@ def build_glb(translation, vertices: list[tuple], indices,
     }
     if materials:
         gltf["materials"] = materials
+    if textures:
+        gltf["textures"] = textures
+    if gltf_images:
+        gltf["images"] = gltf_images
     json_bytes = json.dumps(gltf, separators=(",", ":")).encode("utf-8")
     while len(json_bytes) % 4:
         json_bytes += b" "
@@ -327,7 +426,8 @@ def build_glb(translation, vertices: list[tuple], indices,
 
 
 def encode_features_to_glb(features, translation,
-                           materials: list[dict] | None = None
+                           materials: list[dict] | None = None,
+                           material_specs: list[dict] | None = None
                            ) -> tuple[bytes, int, int]:
     """features: iterable of (feature_idx, mpoly[, poly_material_ids])
     where mpoly is a list of polygons, each a list of [lng, lat, h] or
@@ -389,17 +489,24 @@ def encode_features_to_glb(features, translation,
                 prim_indices.append(intern((x, y, z, nx, ny, nz, u, v,
                                             float(feature_idx))))
             n_tris += len(tris) // 3
-    glb = build_glb(translation, vertices, indices, materials=materials)
+    textures = images = None
+    if material_specs is not None:
+        materials, textures, images = build_material_arrays(material_specs)
+    glb = build_glb(translation, vertices, indices, materials=materials,
+                    textures=textures, images=images)
     return glb, len(vertices), n_tris
 
 
 def parse_glb(data: bytes) -> tuple[dict, bytes]:
-    """Decode a GLB container into (gltf_json, bin_chunk) — test helper."""
+    """Decode a GLB container into (gltf_json, bin_chunk) — test helper.
+    The BIN chunk is optional (mesh-less glbs omit it per spec)."""
     magic, version, total = struct.unpack_from("<III", data, 0)
     assert magic == 0x46546C67 and version == 2 and total == len(data)
     jlen, jtype = struct.unpack_from("<II", data, 12)
     assert jtype == 0x4E4F534A
     gltf = json.loads(data[20:20 + jlen])
+    if 20 + jlen == len(data):
+        return gltf, b""
     blen, btype = struct.unpack_from("<II", data, 20 + jlen)
     assert btype == 0x004E4942
     bin_chunk = data[28 + jlen:28 + jlen + blen]

@@ -186,10 +186,22 @@ def sniff_tag_value(s: str) -> tuple:
         return TagsEncoder.v_bool(False)
     if _INT_RE.match(s):
         v = int(s)
+        # Only canonical integer spellings convert: identifier-like strings
+        # with leading zeros ('013104' municipal codes) or '-0' stay String,
+        # matching the reference's typed-tree behavior where such attributes
+        # are String to begin with (convert_properties never sees them as
+        # ints).
+        if str(v) != s:
+            return TagsEncoder.v_string(s)
         if -(1 << 63) <= v < (1 << 63):
             return TagsEncoder.v_int(v)
         return TagsEncoder.v_string(s)
     if _FLOAT_RE.match(s):
+        # Same leading-zero rule for doubles: a zero-padded mantissa
+        # ('01.5', '-007e2') is an identifier spelling, not a number.
+        mant = s[1:] if s[0] == "-" else s
+        if len(mant) > 1 and mant[0] == "0" and mant[1].isdigit():
+            return TagsEncoder.v_string(s)
         return TagsEncoder.v_double(float(s))
     return TagsEncoder.v_string(s)
 

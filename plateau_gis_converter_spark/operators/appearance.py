@@ -59,7 +59,11 @@ def polygon_materials(polys: DataFrame, spans: DataFrame, s2m: DataFrame,
     """Materialize polygon_materials: polys (entity_id, poly_idx) gain a
     nullable material_idx (appearance.rs:26-40). Later spans win on overlap
     (the reference writes spans in order into the vec)."""
-    exploded = (spans.withColumn(
+    # Empty spans (start == end) must paint NOTHING: the reference iterates
+    # [start, end), but Spark's sequence(start, start-1) counts DOWN and
+    # would paint two polygons — pre-filter them out.
+    exploded = (spans.where(F.col("end") > F.col("start"))
+                .withColumn(
         "poly_idx", F.explode(F.sequence(F.col("start"),
                                          F.col("end") - F.lit(1)))))
     hit = (exploded

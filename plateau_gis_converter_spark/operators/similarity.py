@@ -160,18 +160,75 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "vec_id", "rank", "cosine"))
 
 
-def ivf_assign(embeddings: DataFrame, stride: int = 37) -> DataFrame:
-    """IVF coarse quantizer, training-free and deterministic: centroids are
-    the vectors with vec_id % stride == 0 (a fixed 1/stride sample — at
-    10^12 rows you'd k-means these, but any fixed centroid set gives the
-    same IVF mechanics); every vector joins its nearest centroid by
-    integer-quantized cosine (ties -> smaller centroid id). Output:
-    (vec_id, qe, cent_id). One broadcast join + argmax — no shuffle of the
-    vector side beyond its partitioning."""
+def ivf_centroids(embeddings: DataFrame, k_centroids: int = 32) -> DataFrame:
+    """Fixed-size deterministic centroid seed set: the ``k_centroids``
+    vectors whose md5(vec_id) sorts lowest. Unlike a modulo rule the set
+    size is INDEPENDENT of n — the downstream broadcast is O(k·dim) bytes
+    and assignment is O(n·k) no matter how big the corpus grows. md5 over
+    the decimal id string is engine-portable (Spark and DuckDB agree), so
+    the CORRECTNESS oracle can reproduce the exact set. The orderBy+limit
+    compiles to TakeOrderedAndProject: per-partition partial top-k, only
+    k rows cross the wire."""
     e = embeddings.select("vec_id", quantized_embedding(F.col("embedding"))
                           .alias("qe"))
-    cents = e.where(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("qe").alias("c_qe"))
+    return (e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+            .limit(k_centroids)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("qe").alias("c_qe")))
+
+
+def ivf_kmeans_refine(embeddings: DataFrame, cents: DataFrame,
+                      iters: int = 2) -> DataFrame:
+    """Optional Lloyd refinement of the seed centroids, entirely as Spark
+    aggregations: assign each vector to its nearest centroid (broadcast
+    O(k·dim)), recompute each centroid as the member mean per dimension
+    (posexplode → groupBy(cent_id, pos) → avg → re-assemble, all partial-agg
+    shuffles of O(k·dim) result size), repeat. Output schema matches
+    ivf_centroids (cent_id, c_qe) with c_qe the rounded integer mean.
+    Not in the oracle path (float means are not engine-portable); pytest
+    checks it against a NumPy Lloyd run."""
+    e = embeddings.select("vec_id", quantized_embedding(F.col("embedding"))
+                          .alias("qe"))
+    for _ in range(iters):
+        cand = e.join(F.broadcast(cents))
+        cos = (_int_dot(F.col("qe"), F.col("c_qe")).cast("double")
+               / (F.sqrt(_int_norm2(F.col("qe")).cast("double"))
+                  * F.sqrt(_int_norm2(F.col("c_qe")).cast("double"))))
+        assign = (cand.withColumn("_c", cos)
+                  .groupBy("vec_id")
+                  .agg(F.max(F.struct(F.col("_c").alias("c"),
+                                      (-F.col("cent_id")).alias("nid"),
+                                      F.col("qe").alias("qe"))).alias("b"))
+                  .select((-F.col("b.nid")).alias("cent_id"),
+                          F.col("b.qe").alias("qe")))
+        dims = assign.select("cent_id",
+                             F.posexplode(F.col("qe")).alias("pos", "v"))
+        means = (dims.groupBy("cent_id", "pos")
+                 .agg(F.avg(F.col("v")).alias("m")))
+        cents = (means.groupBy("cent_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("cent_id",
+                         F.transform(F.col("pm"),
+                                     lambda s: F.floor(s["m"] + F.lit(0.5))
+                                     .cast("bigint")).alias("c_qe")))
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, k_centroids: int = 32,
+               cents: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantizer: every vector joins its nearest centroid by
+    integer-quantized cosine (ties -> smaller centroid id). Centroids
+    default to the fixed-size deterministic seed set (``ivf_centroids``);
+    pass a refined set (``ivf_kmeans_refine``) for better cell balance.
+    Output: (vec_id, qe, cent_id). One O(k·dim) broadcast join + argmax —
+    no shuffle of the vector side beyond its partitioning, and the
+    broadcast no longer scales with n."""
+    e = embeddings.select("vec_id", quantized_embedding(F.col("embedding"))
+                          .alias("qe"))
+    if cents is None:
+        cents = ivf_centroids(embeddings, k_centroids)
     cand = e.join(F.broadcast(cents))
     cos = (_int_dot(F.col("qe"), F.col("c_qe")).cast("double")
            / (F.sqrt(_int_norm2(F.col("qe")).cast("double"))
@@ -185,18 +242,30 @@ def ivf_assign(embeddings: DataFrame, stride: int = 37) -> DataFrame:
 
 
 def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                    stride: int = 37, nprobe: int = 4) -> DataFrame:
+                    k_centroids: int = 32, nprobe: int = 4,
+                    lloyd_iters: int = 0) -> DataFrame:
     """ANN top-k via IVF: queries probe their nprobe nearest centroids and
     rerank exactly within those cells. At scale the index is partitioned BY
     cent_id, so a probe reads nprobe partitions — the classic IVF pruning;
-    recall grows with nprobe. Deterministic end-to-end (integer-quantized
-    cosines, id tie-breaks), so the gate oracle replicates it exactly."""
-    idx = ivf_assign(embeddings, stride)
+    recall grows with nprobe. The centroid set is fixed-size (k_centroids,
+    independent of n) so every broadcast here is O(k·dim). Deterministic
+    end-to-end with lloyd_iters=0 (integer-quantized cosines, id
+    tie-breaks), so the gate oracle replicates it exactly; lloyd_iters>0
+    refines cell balance via Spark-native k-means (not oracle-portable)."""
+    cents = ivf_centroids(embeddings, k_centroids)
+    if lloyd_iters > 0:
+        cents = ivf_kmeans_refine(embeddings, cents, lloyd_iters)
+    # The centroid set is O(k·dim) scalars by construction — materialize it
+    # once as a local relation so the two consumers below (assignment and
+    # probing) broadcast a LocalTableScan instead of re-running the
+    # top-k/refinement scan twice. This is bounded driver metadata, not a
+    # data collect.
+    cent_rows = [(r["cent_id"], list(r["c_qe"])) for r in cents.collect()]
+    cents = embeddings.sparkSession.createDataFrame(
+        cent_rows, schema="cent_id bigint, c_qe array<bigint>")
+    idx = ivf_assign(embeddings, cents=cents)
     q = queries.select("query_id", quantized_embedding(F.col("embedding"))
                        .alias("q_qe"))
-    cents = (embeddings.where(F.col("vec_id") % stride == 0)
-             .select(F.col("vec_id").alias("cent_id"),
-                     quantized_embedding(F.col("embedding")).alias("c_qe")))
     pcos = (_int_dot(F.col("q_qe"), F.col("c_qe")).cast("double")
             / (F.sqrt(_int_norm2(F.col("q_qe")).cast("double"))
                * F.sqrt(_int_norm2(F.col("c_qe")).cast("double"))))

@@ -1188,15 +1188,16 @@ SQL_BOUNDARY_TILES = _boundary_tiles_sql()
 
 def q_ann_ivf_topk(spark, sf_dir):
     """ANN top-k via IVF cells (operators/similarity.cosine_topk_ivf):
-    deterministic training-free centroids (vec_id % 37), nprobe=4; exact
-    integer-quantized rerank. The oracle replicates assignment, probing,
-    and rerank bit-for-bit."""
+    fixed-size deterministic centroid set (the 16 vec_ids sorting lowest by
+    md5 — size independent of n, so the assignment broadcast is O(k·dim)),
+    nprobe=4; exact integer-quantized rerank. The oracle replicates
+    centroid selection, assignment, probing, and rerank bit-for-bit."""
     from ..operators import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") % 50 == 0)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = sim.cosine_topk_ivf(emb, queries, k=5, stride=37, nprobe=4)
+    out = sim.cosine_topk_ivf(emb, queries, k=5, k_centroids=16, nprobe=4)
     return out.select("query_id", "vec_id", "rank",
                       F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
                       .cast("bigint").alias("cos_e6"))
@@ -1211,7 +1212,7 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
             f" * sqrt(CAST(list_sum(list_transform({rng}, i -> {b}[i] * {b}[i])) AS DOUBLE))))")
 
 
-def _ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 5) -> str:
+def _ann_ivf_sql(k_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
     return f"""
 WITH q AS (
   SELECT vec_id,
@@ -1220,7 +1221,8 @@ WITH q AS (
   FROM embeddings
 ),
 cents AS (SELECT vec_id AS cent_id, qe AS c_qe FROM q
-          WHERE vec_id % {stride} = 0),
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+          LIMIT {k_centroids}),
 assign AS (
   SELECT vec_id, qe, cent_id FROM (
     SELECT v.vec_id, v.qe, c.cent_id,

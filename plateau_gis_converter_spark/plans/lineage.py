@@ -91,6 +91,15 @@ def run_stage_partitioned(df: DataFrame, stage: str, key_col: str,
     Only the per-key metadata rows (rows_out/bytes_out/wall_ms — O(keys),
     the same cardinality as the lineage log itself) return to the driver,
     which appends the lineage commits; no unbounded data is ever collected.
+
+    AT-LEAST-ONCE contract (ADVICE r2 #4): Spark task retries and
+    speculative execution can invoke ``sink_fn`` MORE than once for the
+    same key before the lineage commit, so ``sink_fn`` MUST be idempotent
+    per key — write to a deterministic per-key path with overwrite (every
+    sink in this package does), never append. The lineage log only
+    guarantees a key is skipped on a RESUMED run, not within one run.
+    Disable ``spark.speculation`` for this stage if the sink cannot be
+    made idempotent.
     """
     import pandas as pd
 

@@ -24,9 +24,12 @@ Per-tile glb content (S7 content / G11): ``encode_tile_glbs`` groups the
 sliced features by tile and builds a binary glTF per tile — ECEF y-up
 center-translated f32 vertices, Newell normals, plane-projected earcut
 triangulation, vertex interning by f32 bit pattern (kernels/gltf.py,
-reference mod.rs:269-420 + utils.rs:6-43 + gltf.rs). Textures/materials are
-out of the graft's scope: the 9-float vertex layout keeps u=v=0 so the
-accessor byte layout still matches gltf.rs:36-120.
+reference mod.rs:269-420 + utils.rs:6-43 + gltf.rs). Materials/textures:
+``encode_tile_glbs(material_specs=...)`` forwards reference-style material
+specs (base_color + base_texture uri/bytes) into per-material primitives
+with glTF texture/image arrays (material.rs:15-112, gltf.rs:149-160,
+193-248); rows may carry a ``poly_mats`` column (one material idx or null
+per polygon, the appearance pipeline's polygon_materials output).
 """
 
 from __future__ import annotations
@@ -196,35 +199,54 @@ GLB_TILE_SCHEMA = T.StructType([
 ])
 
 
-def _encode_tile_glb(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..kernels import gltf as gltf_kernel
+def _make_tile_glb_encoder(material_specs: list[dict] | None):
+    def _encode_tile_glb(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import gltf as gltf_kernel
 
-    z, x, y = (int(key[0]), int(key[1]), int(key[2]))
-    min_lat, max_lat = tiling.y_slice_range(z, y)
-    xs = int(np.asarray(tiling.x_step(z, y)).reshape(-1)[0])
-    min_lng, max_lng = tiling.x_slice_range(z, int(x), xs)
-    translation = gltf_kernel.tile_translation(
-        float(min_lng), float(max_lng), float(min_lat), float(max_lat))
-    # within-tile feature order: canonical (typename, feature_id) sort — the
-    # reference's arrival order is thread-nondeterministic (SURVEY §7.4.2)
-    pdf = pdf.sort_values(["typename", "feature_id"], kind="mergesort")
-    features = []
-    for fi, rec in enumerate(pdf.itertuples(index=False)):
-        features.append((fi, rec.mpoly))
-    glb, n_vert, n_tri = gltf_kernel.encode_features_to_glb(
-        features, translation)
-    return pd.DataFrame([{
-        "z": z, "x": x, "y": y, "n_features": len(features),
-        "n_vertices": n_vert, "n_triangles": n_tri, "glb": glb,
-    }])
+        z, x, y = (int(key[0]), int(key[1]), int(key[2]))
+        min_lat, max_lat = tiling.y_slice_range(z, y)
+        xs = int(np.asarray(tiling.x_step(z, y)).reshape(-1)[0])
+        min_lng, max_lng = tiling.x_slice_range(z, int(x), xs)
+        translation = gltf_kernel.tile_translation(
+            float(min_lng), float(max_lng), float(min_lat), float(max_lat))
+        # within-tile feature order: canonical (typename, feature_id) sort —
+        # the reference's arrival order is thread-nondeterministic
+        # (SURVEY §7.4.2)
+        pdf = pdf.sort_values(["typename", "feature_id"], kind="mergesort")
+        has_mats = "poly_mats" in pdf.columns
+        features = []
+        for fi, rec in enumerate(pdf.itertuples(index=False)):
+            if has_mats and rec.poly_mats is not None:
+                features.append((fi, rec.mpoly,
+                                 [None if m is None or m < 0 else int(m)
+                                  for m in rec.poly_mats]))
+            else:
+                features.append((fi, rec.mpoly))
+        glb, n_vert, n_tri = gltf_kernel.encode_features_to_glb(
+            features, translation, material_specs=material_specs)
+        return pd.DataFrame([{
+            "z": z, "x": x, "y": y, "n_features": len(features),
+            "n_vertices": n_vert, "n_triangles": n_tri, "glb": glb,
+        }])
+
+    return _encode_tile_glb
 
 
-def encode_tile_glbs(sliced3d: DataFrame) -> DataFrame:
+# default (texture-less) encoder kept importable for tests
+_encode_tile_glb = _make_tile_glb_encoder(None)
+
+
+def encode_tile_glbs(sliced3d: DataFrame,
+                     material_specs: list[dict] | None = None) -> DataFrame:
     """sliced3d (slice_boundaries_3d output) -> one row per tile with the
-    encoded glb bytes (mod.rs:259-420 dataflow: group by tile, encode)."""
+    encoded glb bytes (mod.rs:259-420 dataflow: group by tile, encode).
+    ``material_specs`` (reference material.rs Material structs as dicts)
+    ride the task closure — a small broadcast-by-serialization; per-polygon
+    material ids come from an optional ``poly_mats`` array column."""
     return (sliced3d.repartition("z", "x", "y")
             .groupBy("z", "x", "y")
-            .applyInPandas(_encode_tile_glb, schema=GLB_TILE_SCHEMA))
+            .applyInPandas(_make_tile_glb_encoder(material_specs),
+                           schema=GLB_TILE_SCHEMA))
 
 
 def write_tile_glbs(tiles: DataFrame, output_dir: str) -> int:

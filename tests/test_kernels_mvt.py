@@ -68,6 +68,14 @@ def test_sniff_tag_value_typing():
     assert s("") == ("string", "")
     # over-range integer literals stay strings (no silent wrap)
     assert s(str(1 << 70)) == ("string", str(1 << 70))
+    # identifier-like spellings stay strings: leading zeros (PLATEAU
+    # municipal/codelist codes) and '-0' must not become numbers
+    assert s("013104") == ("string", "013104")
+    assert s("-0") == ("string", "-0")
+    assert s("01.5") == ("string", "01.5")
+    assert s("-007e2") == ("string", "-007e2")
+    assert s("0.5") == mvt.TagsEncoder.v_double(0.5)
+    assert s("0") == ("uint", 0)
 
 
 def test_feature_id_hash():

@@ -102,6 +102,22 @@ def test_apply_appearance_materials_and_textures(spark, tables):
     assert ptex[("e1", 0)] == 5 and ptex[("e1", 1)] is None
 
 
+def test_empty_span_paints_nothing(spark, tables):
+    """ADVICE r2 #1: a span with start == end covers [start, start) — zero
+    polygons. Spark's sequence(start, start-1) counts DOWN, so an unguarded
+    explode would paint polys start and start-1; the reference
+    (appearance.rs paints [start, end)) leaves them untouched."""
+    polys, _, _, themes, s2m, _ = tables
+    spans = spark.createDataFrame(
+        [("e1", 0, 100, 2, 2)],  # empty span at poly 2
+        ["entity_id", "span_idx", "surface_id", "start", "end"])
+    resolved = ap.resolve_theme(themes)
+    out = ap.polygon_materials(polys, spans, s2m, resolved)
+    mats = {(r["entity_id"], r["poly_idx"]): r["material_idx"]
+            for r in out.collect()}
+    assert all(v is None for v in mats.values()), mats
+
+
 def test_appearance_dimension_joins_are_broadcast(spark, tables):
     """The theme-dimension joins (resolved theme, s2m, r2t) must be
     broadcast hash joins — the geometry side never shuffles for them. The

