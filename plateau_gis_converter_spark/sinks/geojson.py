@@ -40,6 +40,45 @@ def boundaries_to_geojson_features(boundaries: DataFrame) -> DataFrame:
     return boundaries.select("typename", feature.alias("feature_json"))
 
 
+def lines_to_geojson_features(lines: DataFrame) -> DataFrame:
+    """paths_udeg (list of paths of (lng, lat) µdeg ints) -> MultiLineString
+    Features (conversion.rs:88-117 multilinestring_to_value: parts emitted
+    as-is, no closing point). Output: (typename, feature_json)."""
+    coords = F.transform(
+        "paths_udeg",
+        lambda part: F.transform(
+            part, lambda pt: F.array(pt[0] / F.lit(1e6), pt[1] / F.lit(1e6))))
+    feature = F.to_json(F.struct(
+        F.lit("Feature").alias("type"),
+        F.col("feature_id").alias("id"),
+        F.struct(
+            F.lit("MultiLineString").alias("type"),
+            coords.alias("coordinates"),
+        ).alias("geometry"),
+        F.col("attributes").alias("properties"),
+    ))
+    return lines.select("typename", feature.alias("feature_json"))
+
+
+def points_to_geojson_features(points: DataFrame) -> DataFrame:
+    """points_udeg (list of (lng, lat) µdeg ints) -> MultiPoint Features
+    (conversion.rs:137-160 multipoint_to_value).
+    Output: (typename, feature_json)."""
+    coords = F.transform(
+        "points_udeg",
+        lambda pt: F.array(pt[0] / F.lit(1e6), pt[1] / F.lit(1e6)))
+    feature = F.to_json(F.struct(
+        F.lit("Feature").alias("type"),
+        F.col("feature_id").alias("id"),
+        F.struct(
+            F.lit("MultiPoint").alias("type"),
+            coords.alias("coordinates"),
+        ).alias("geometry"),
+        F.col("attributes").alias("properties"),
+    ))
+    return points.select("typename", feature.alias("feature_json"))
+
+
 def write_geojson(features: DataFrame, output_dir: str) -> None:
     """One directory per typename of newline-delimited Features
     (`.text` needs a single 'value' string column)."""

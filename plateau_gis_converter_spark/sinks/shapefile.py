@@ -22,11 +22,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+SHAPE_POLYLINEZ = 13
 SHAPE_POLYGONZ = 15
+SHAPE_MULTIPOINTZ = 18
 
 RECORD_SCHEMA = T.StructType([
     T.StructField("table_name", T.StringType()),
     T.StructField("obj_id", T.StringType()),
+    T.StructField("shape_type", T.IntegerType()),
     T.StructField("shp_record", T.BinaryType()),
     T.StructField("bbox", T.ArrayType(T.DoubleType())),  # xmin,ymin,xmax,ymax
     T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
@@ -92,6 +95,56 @@ def polygonz_record(rings_deg: list[list[tuple[float, float]]],
     return bytes(body), bbox
 
 
+def polylinez_record(paths_deg: list[list[tuple[float, float]]],
+                     z: float = 0.0) -> tuple[bytes, list[float]]:
+    """One PolylineZ shape record body (ESRI whitepaper §PolyLineZ;
+    reference conversion.rs:84-113 multilinestring_to_shape): parts are
+    written as-is — no winding rule, no closing point."""
+    all_pts = [p for part in paths_deg for p in part]
+    xs = [p[0] for p in all_pts]
+    ys = [p[1] for p in all_pts]
+    bbox = [min(xs), min(ys), max(xs), max(ys)]
+    body = bytearray()
+    body += struct.pack("<i", SHAPE_POLYLINEZ)
+    body += struct.pack("<4d", *bbox)
+    body += struct.pack("<ii", len(paths_deg), len(all_pts))
+    idx = 0
+    for part in paths_deg:
+        body += struct.pack("<i", idx)
+        idx += len(part)
+    for x, y in all_pts:
+        body += struct.pack("<dd", x, y)
+    n = len(all_pts)
+    body += struct.pack("<dd", z, z)
+    body += struct.pack(f"<{n}d", *([z] * n))
+    nodata = -1e39  # shapefile::NO_DATA, same as the polygon path
+    body += struct.pack("<dd", nodata, nodata)
+    body += struct.pack(f"<{n}d", *([nodata] * n))
+    return bytes(body), bbox
+
+
+def multipointz_record(points_deg: list[tuple[float, float]],
+                       z: float = 0.0) -> tuple[bytes, list[float]]:
+    """One MultiPointZ shape record body (ESRI whitepaper §MultiPointZ;
+    reference conversion.rs:116-141 multipoint_to_shape)."""
+    xs = [p[0] for p in points_deg]
+    ys = [p[1] for p in points_deg]
+    bbox = [min(xs), min(ys), max(xs), max(ys)]
+    body = bytearray()
+    body += struct.pack("<i", SHAPE_MULTIPOINTZ)
+    body += struct.pack("<4d", *bbox)
+    body += struct.pack("<i", len(points_deg))
+    for x, y in points_deg:
+        body += struct.pack("<dd", x, y)
+    n = len(points_deg)
+    body += struct.pack("<dd", z, z)
+    body += struct.pack(f"<{n}d", *([z] * n))
+    nodata = -1e39
+    body += struct.pack("<dd", nodata, nodata)
+    body += struct.pack(f"<{n}d", *([nodata] * n))
+    return bytes(body), bbox
+
+
 def boundaries_to_shp_records(boundaries: DataFrame) -> DataFrame:
     """Boundary rows -> per-type PolygonZ record bytes (distributed)."""
 
@@ -105,6 +158,7 @@ def boundaries_to_shp_records(boundaries: DataFrame) -> DataFrame:
                 rows.append({
                     "table_name": rec.typename.replace(":", "_"),
                     "obj_id": rec.feature_id,
+                    "shape_type": SHAPE_POLYGONZ,
                     "shp_record": body,
                     "bbox": bbox,
                     "attributes": dict(rec.attributes),
@@ -115,6 +169,56 @@ def boundaries_to_shp_records(boundaries: DataFrame) -> DataFrame:
     return boundaries.mapInPandas(run, schema=RECORD_SCHEMA)
 
 
+def lines_to_shp_records(lines: DataFrame) -> DataFrame:
+    """Line rows (typename, feature_id, paths_udeg, attributes) ->
+    PolylineZ records (S9 line path, conversion.rs:84-113)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                paths = [[(float(x) / 1e6, float(y) / 1e6) for x, y in part]
+                         for part in rec.paths_udeg]
+                body, bbox = polylinez_record(paths)
+                rows.append({
+                    "table_name": rec.typename.replace(":", "_"),
+                    "obj_id": rec.feature_id,
+                    "shape_type": SHAPE_POLYLINEZ,
+                    "shp_record": body,
+                    "bbox": bbox,
+                    "attributes": dict(rec.attributes),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return lines.mapInPandas(run, schema=RECORD_SCHEMA)
+
+
+def points_to_shp_records(points: DataFrame) -> DataFrame:
+    """Point rows (typename, feature_id, points_udeg, attributes) ->
+    MultiPointZ records (S9 point path, conversion.rs:116-141)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                pts = [(float(x) / 1e6, float(y) / 1e6)
+                       for x, y in rec.points_udeg]
+                body, bbox = multipointz_record(pts)
+                rows.append({
+                    "table_name": rec.typename.replace(":", "_"),
+                    "obj_id": rec.feature_id,
+                    "shape_type": SHAPE_MULTIPOINTZ,
+                    "shp_record": body,
+                    "bbox": bbox,
+                    "attributes": dict(rec.attributes),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return points.mapInPandas(run, schema=RECORD_SCHEMA)
+
+
 def shp_field_name(name: str) -> str:
     """DBF field names are max 10 chars; strip namespace then truncate —
     the reference's shapefile dictionary rule (attrname.rs:37-48)."""
@@ -123,20 +227,25 @@ def shp_field_name(name: str) -> str:
     return name[:10]
 
 
-def _shp_header(file_len_words: int, bbox: list[float]) -> bytes:
+def _shp_header(file_len_words: int, bbox: list[float],
+                shape_type: int = SHAPE_POLYGONZ) -> bytes:
     h = bytearray(100)
     struct.pack_into(">i", h, 0, 9994)  # magic
     struct.pack_into(">i", h, 24, file_len_words)
     struct.pack_into("<i", h, 28, 1000)  # version
-    struct.pack_into("<i", h, 32, SHAPE_POLYGONZ)
+    struct.pack_into("<i", h, 32, shape_type)
     struct.pack_into("<4d", h, 36, *bbox)
     # z/m ranges left zero
     return bytes(h)
 
 
 def pack_shapefile(records: list[dict], base_path: str) -> None:
-    """Single-writer .shp/.shx/.dbf packing for one table."""
+    """Single-writer .shp/.shx/.dbf packing for one table. The table's
+    shape type comes from its records (one type per .shp by format rule;
+    the reference keeps polygon/line/point features in separate tables the
+    same way, sink/shapefile/mod.rs:73-365)."""
     recs = sorted(records, key=lambda r: r["obj_id"])
+    shape_type = int(recs[0].get("shape_type") or SHAPE_POLYGONZ)
     bbox = [min(r["bbox"][0] for r in recs), min(r["bbox"][1] for r in recs),
             max(r["bbox"][2] for r in recs), max(r["bbox"][3] for r in recs)]
     shp = bytearray()
@@ -150,10 +259,10 @@ def pack_shapefile(records: list[dict], base_path: str) -> None:
         shx += struct.pack(">ii", offset_words, content_words)
         offset_words += 4 + content_words
     with open(base_path + ".shp", "wb") as f:
-        f.write(_shp_header(50 + len(shp) // 2, bbox))
+        f.write(_shp_header(50 + len(shp) // 2, bbox, shape_type))
         f.write(bytes(shp))
     with open(base_path + ".shx", "wb") as f:
-        f.write(_shp_header(50 + len(shx) // 2, bbox))
+        f.write(_shp_header(50 + len(shx) // 2, bbox, shape_type))
         f.write(bytes(shx))
 
     # DBF: obj_id + attribute keys as 10-char character fields
@@ -191,10 +300,18 @@ def write_shapefiles(boundaries: DataFrame, output_dir: str) -> list[str]:
     ``output_dir`` must be visible to executors (local-mode tmp dir here;
     shared storage on a cluster — same constraint as any file sink).
     """
+    return write_shp_records(boundaries_to_shp_records(boundaries),
+                             output_dir)
+
+
+def write_shp_records(staged: DataFrame, output_dir: str) -> list[str]:
+    """Pack pre-staged shapefile records (any mix of PolygonZ / PolylineZ /
+    MultiPointZ tables — one shape type per table) with one executor task
+    per table. Union the staging outputs of boundaries_to_shp_records /
+    lines_to_shp_records / points_to_shp_records before calling."""
     import os
 
     os.makedirs(output_dir, exist_ok=True)
-    staged = boundaries_to_shp_records(boundaries)
     result_schema = T.StructType([
         T.StructField("table_name", T.StringType()),
         T.StructField("base_path", T.StringType()),

@@ -263,3 +263,55 @@ def boundaries_df(spark):
              [[[int(x), int(y)] for x, y in ring] for ring in r["rings_udeg"]],
              r["attributes"]) for r in boundaries_records()]
     return spark.createDataFrame(rows, schema)
+
+
+def lines_df(spark):
+    """Deterministic line features (river/rail style) for the line sink
+    paths: (typename, feature_id, name, paths_udeg, attributes)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("typename", T.StringType(), False),
+        T.StructField("feature_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("paths_udeg", T.ArrayType(
+            T.ArrayType(T.ArrayType(T.LongType()))), False),
+        T.StructField("attributes", T.MapType(
+            T.StringType(), T.StringType()), False),
+    ])
+    rows = [
+        ("tran:Railway", "rail_01", "lineA",
+         [[[139_600_000, 35_600_000], [139_700_000, 35_650_000],
+           [139_800_000, 35_640_000]],
+          [[139_650_000, 35_700_000], [139_750_000, 35_710_000]]],
+         {"tran:function": "rail"}),
+        ("tran:Railway", "rail_02", "lineB",
+         [[[139_620_000, 35_580_000], [139_640_000, 35_620_000]]],
+         {"tran:function": "subway"}),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def points_df(spark):
+    """Deterministic point features (station style) for the point sink
+    paths: (typename, feature_id, name, points_udeg, attributes)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("typename", T.StringType(), False),
+        T.StructField("feature_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("points_udeg", T.ArrayType(
+            T.ArrayType(T.LongType())), False),
+        T.StructField("attributes", T.MapType(
+            T.StringType(), T.StringType()), False),
+    ])
+    rows = [
+        ("frn:CityFurniture", "pt_01", "stationA",
+         [[139_701_000, 35_658_000], [139_702_000, 35_659_000]],
+         {"frn:class": "station"}),
+        ("frn:CityFurniture", "pt_02", "stationB",
+         [[139_766_000, 35_681_000]],
+         {"frn:class": "kiosk"}),
+    ]
+    return spark.createDataFrame(rows, schema)

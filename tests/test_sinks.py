@@ -72,6 +72,88 @@ def test_gpkg_rows_and_pack(spark, tmp_path):
         "SELECT min_x, max_x FROM gpkg_contents WHERE table_name = "
         "'urf_UrbanPlanningArea'").fetchone()
     assert abs(bb[0] - 139.56) < 1e-6 and abs(bb[1] - 139.92) < 1e-6
+    # schema-less fallback: one TEXT column per attribute key, value kept
+    cols = {r[1]: r[2] for r in con.execute(
+        'PRAGMA table_info("urf_UrbanPlanningArea")').fetchall()}
+    assert cols["urf:function"] == "TEXT"
+    assert cols["urf:validFrom"] == "TEXT"
+    fn = con.execute('SELECT "urf:function" FROM "urf_UrbanPlanningArea" '
+                     "WHERE id = 'urf_13101'").fetchone()[0]
+    assert fn in ("residential", "commercial")
+
+
+def test_gpkg_typed_columns_roundtrip(tmp_path):
+    """VERDICT r2 missing #2 / next #3: TypeRef-driven SQLite column types
+    (sink/gpkg/table.rs:52-123) with value round-trip through SQLite type
+    affinity — String/Code TEXT, Integer INTEGER, Double/Measure REAL,
+    Boolean BOOLEAN (1/0), Date DATE, JsonString TEXT+mime."""
+    import sqlite3
+
+    schema = {"bldg_Building": {"kind": "feature", "attributes": {
+        "name": "string", "usage": "code", "storeys": "integer",
+        "height": "double", "hasBasement": "boolean",
+        "surveyDate": "date", "extra": "jsonString",
+        "weight": "measure", "homepage": "uri",
+        "center": "point",          # unsupported -> no column
+        "nested": "named",          # unsupported -> no column
+    }}}
+    infos = gpkg_sink.schema_to_table_infos(schema)
+    info = infos["bldg_Building"]
+    assert info["has_geometry"]
+    got_cols = {c["name"]: c["data_type"] for c in info["columns"]}
+    assert got_cols == {"name": "TEXT", "usage": "TEXT",
+                        "storeys": "INTEGER", "height": "REAL",
+                        "hasBasement": "BOOLEAN", "surveyDate": "DATE",
+                        "extra": "TEXT", "weight": "REAL",
+                        "homepage": "TEXT"}
+    mime = {c["name"]: c["mime_type"] for c in info["columns"]}
+    assert mime["extra"] == "application/json" and mime["name"] is None
+
+    # values bind as the reference's prepared strings (attributes.rs);
+    # SQLite affinity stores them per the declared type
+    rows = [{"table_name": "bldg_Building", "obj_id": "b1",
+             "geom_gpb": b"GPstub",
+             "attributes": {"name": "Tower", "usage": "0401",
+                            "storeys": "12", "height": "34.5",
+                            "hasBasement": "1", "surveyDate": "2014-04-01",
+                            "extra": '{"a":1}', "weight": "2.5",
+                            "homepage": "http://example.com"}}]
+    out = str(tmp_path / "typed.gpkg")
+    gpkg_sink.pack_gpkg(rows, [], out, table_infos=infos)
+    con = sqlite3.connect(out)
+    cols = {r[1]: r[2] for r in con.execute(
+        'PRAGMA table_info("bldg_Building")').fetchall()}
+    assert cols["fid"] == "INTEGER" and cols["geometry"] == "BLOB"
+    assert cols["storeys"] == "INTEGER" and cols["height"] == "REAL"
+    assert cols["usage"] == "TEXT" and cols["surveyDate"] == "DATE"
+    assert "center" not in cols and "nested" not in cols
+    r = con.execute(
+        'SELECT id, name, usage, storeys, height, hasBasement, '
+        'typeof(storeys), typeof(height) FROM "bldg_Building"').fetchone()
+    assert r[0] == "b1" and r[1] == "Tower"
+    assert r[2] == "0401"          # Code stays TEXT: leading zero kept
+    assert r[3] == 12 and abs(r[4] - 34.5) < 1e-12
+    assert r[5] == 1
+    assert r[6] == "integer" and r[7] == "real"  # affinity applied
+
+
+def test_write_gpkg_executor_pack(spark, tmp_path):
+    """VERDICT r2 #9: the gpkg pack runs inside one executor task — the
+    driver only sees {n_tables, n_rows} metadata."""
+    import sqlite3
+
+    bdf = fx.boundaries_df(spark)
+    out = str(tmp_path / "dist.gpkg")
+    meta = gpkg_sink.write_gpkg(bdf, out)
+    assert meta["n_rows"] == 25 and meta["n_tables"] == 2
+    con = sqlite3.connect(out)
+    n = con.execute(
+        'SELECT count(*) FROM "urf_UrbanPlanningArea"').fetchone()[0]
+    assert n == 23
+    bb = con.execute(
+        "SELECT min_x, max_x FROM gpkg_contents WHERE table_name = "
+        "'urf_UrbanPlanningArea'").fetchone()
+    assert abs(bb[0] - 139.56) < 1e-6 and abs(bb[1] - 139.92) < 1e-6
 
 
 def test_adaptive_detail_reduction_on_fat_tile():
