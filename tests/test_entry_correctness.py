@@ -64,12 +64,17 @@ def test_query_matches_oracle(spark, duck, name):
     _compare(spark_pdf, duck_pdf, name)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+def test_every_gate_query_has_a_full_oracle():
+    """VERDICT r2 #8: the rows-only set must STAY empty — a future gate
+    query without an oracle_sql() entry degrades the driver's check to
+    rows-only and should fail loudly here instead."""
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert missing == [], (
+        f"gate queries without a DuckDB oracle: {missing} — add an "
+        "oracle_sql() entry (or document a genuinely non-SQL-expressible "
+        "exception in SURVEY.md and this test)")
+    stale = sorted(set(ORACLES) - set(QUERIES))
+    assert stale == [], f"oracles without a gate query: {stale}"
 
 
 def test_entry_smoke(spark):

@@ -175,6 +175,61 @@ def test_multimodal_metadata_and_stub(spark):
     assert len(frames) >= 3
 
 
+def test_decode_image_both_paths(monkeypatch):
+    """VERDICT r2 #10: decode_image uses PIL when importable, the
+    deterministic stub otherwise — same output shape either way. The PIL
+    path is exercised with a fake Image module (no image libs in this
+    sandbox); the stub path with the cache forced to None."""
+    blob = b"\x89PNG\r\n\x1a\nfakebody"
+
+    # stub path (what actually runs in this sandbox)
+    monkeypatch.setattr(multimodal, "_PIL_IMAGE", None)
+    w, h, ch, luma = multimodal.decode_image(blob)
+    assert (w, h, ch, luma) == multimodal.decode_image_stub(blob)
+    assert 64 <= w <= 2048 and 1 <= ch <= 4
+
+    # "PIL present" path via a minimal fake module
+    class FakeIm:
+        size = (320, 200)
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def histogram(self):
+            hist = [0] * 256
+            hist[100] = 7   # all pixels luma 100
+            return hist
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakePIL:
+        @staticmethod
+        def open(fp):
+            return FakeIm()
+
+    monkeypatch.setattr(multimodal, "_PIL_IMAGE", FakePIL)
+    w2, h2, ch2, luma2 = multimodal.decode_image(blob)
+    assert (w2, h2, ch2) == (320, 200, 3)
+    assert abs(luma2 - 100.0) < 1e-9
+
+    # a PIL that cannot decode the bytes falls back to the stub
+    class BrokenPIL:
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(multimodal, "_PIL_IMAGE", BrokenPIL)
+    assert multimodal.decode_image(blob) == multimodal.decode_image_stub(blob)
+
+
 def test_knn_ring_expansion(spark):
     from plateau_gis_converter_spark.sources import fixtures as fx
 
