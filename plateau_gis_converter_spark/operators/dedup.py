@@ -257,3 +257,49 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     return (pairs.withColumn("hamming", F.bit_count(xor))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def chunk_dedup_ratio(docs: DataFrame, chunk_words: int = 8,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level exact chunk dedup (the scalable approximation of
+    suffix-array substring dedup a la Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): split each document into
+    non-overlapping ``chunk_words``-word chunks, count each chunk's corpus
+    frequency, and report per document how much of it is duplicated text.
+
+    Output (docs with >= 1 full chunk): doc_id, n_chunks, n_dup_chunks
+    (chunks whose text appears in more than one chunk-slot corpus-wide),
+    dup_ratio_e6 (round-half-up ppm, exact integer arithmetic).
+
+    Scale: tokenize+chunk is map-only; the frequency count is one hash
+    aggregation keyed by md5(chunk) with map-side partial combine
+    (O(distinct chunks) state); the count-back join is an equi-join on the
+    same key, so Catalyst reuses the shuffle partitioning. No n^2 term,
+    no window. Chunks are md5-grouped (128-bit) so cross-engine results
+    are identical; trailing partial chunks (< chunk_words words) are
+    excluded, matching the fixed-stride definition.
+    """
+    toks = F.transform(_tokens(text_col), lambda t: F.lower(t))
+    tdf = docs.select("doc_id", toks.alias("_toks"))
+    t = F.col("_toks")
+    n_chunks = (F.size(t) / chunk_words).cast("int")
+    # chunk i = tokens [i*W+1 .. i*W+W], i in [0, n_chunks)
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(F.concat_ws(
+                        " ", F.slice(t, i * chunk_words + 1, chunk_words))))
+    ).otherwise(F.array().cast("array<string>"))
+    slots = (tdf.select("doc_id", F.posexplode(chunks).alias("pos", "chunk")))
+    freq = slots.groupBy("chunk").agg(F.count(F.lit(1)).alias("freq"))
+    marked = slots.join(freq, "chunk")
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("freq") > 1, 1).otherwise(0))
+                 .alias("n_dup_chunks"))
+            .select("doc_id",
+                    F.col("n_chunks").cast("bigint").alias("n_chunks"),
+                    F.col("n_dup_chunks").cast("bigint").alias("n_dup_chunks"),
+                    F.expr("(n_dup_chunks * 2000000 + n_chunks) div "
+                           "(2 * n_chunks)").cast("bigint")
+                    .alias("dup_ratio_e6")))

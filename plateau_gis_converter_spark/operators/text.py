@@ -81,3 +81,82 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df
             .withColumn("lang_pred", lang_id_heuristic(F.col(text_col)))
             .withColumn("fingerprint", doc_fingerprint(F.col(text_col))))
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(text)), TOKEN_SPLIT),
+                    lambda t: t != "")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Overlapping n-grams joined by single spaces; [] when < n tokens.
+
+    Same zip_with-over-shifted-slices fold as dedup.shingles — the
+    transform/element_at shape re-evaluates the source expression per
+    element (25x slower, measured in round 2). ``toks`` MUST be a
+    materialized projection attribute, not an inline expression, for the
+    same reason. The ``greatest`` guard keeps short docs at [] (F.slice
+    with length 0 is empty; no fabricated grams).
+    """
+    if n == 1:
+        return toks
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        grams = F.zip_with(grams, F.slice(toks, j, m),
+                           lambda x, y: F.concat(x, F.lit(" "), y))
+    return grams
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Gopher-style repetition quality signals per document: for each
+    n in ``ns``, the fraction of the doc occupied by its single most
+    frequent n-gram, plus the distinct-unigram ratio. High top-n-gram
+    fractions flag boilerplate / keyword-stuffed / degenerate pages.
+
+    Output (docs with ≥1 token): doc_id, n_words, n_distinct_words,
+    top{n}_frac_e6 for each n — fractions as round-half-up ppm computed
+    with exact integer arithmetic so the DuckDB oracle is bit-identical.
+
+    Scale: ONE explode of all n-gram structs + two hash aggregations
+    (both with map-side partial combine, keyed by doc) — no join, no
+    window. State per doc is O(distinct n-grams), the same order as the
+    tokenizer output it consumes.
+    """
+    tdf = df.select("doc_id", _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    def _tag(n: int):
+        # NB: must stay a ONE-arg lambda — F.transform passes the element
+        # index to a second parameter, which would shadow an `n=n` default
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    gram_structs = F.flatten(F.array(*[
+        F.transform(_ngrams(toks, n), _tag(n)) for n in ns]))
+    exploded = (tdf.select("doc_id", F.explode(gram_structs).alias("ng"))
+                .select("doc_id", F.col("ng.n").alias("n"),
+                        F.col("ng.g").alias("g")))
+    counts = exploded.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    def _for(n: int, expr: Column) -> Column:
+        return F.when(F.col("n") == n, expr)
+
+    aggs = [
+        F.coalesce(F.sum(_for(1, F.col("cnt"))), F.lit(0))
+        .cast("bigint").alias("n_words"),
+        F.coalesce(F.count(_for(1, F.lit(1))), F.lit(0))
+        .cast("bigint").alias("n_distinct_words"),
+    ]
+    for n in ns:
+        aggs.append(F.max(_for(n, F.col("cnt"))).alias(f"top{n}"))
+        aggs.append(F.sum(_for(n, F.col("cnt"))).alias(f"total{n}"))
+    grouped = counts.groupBy("doc_id").agg(*aggs)
+    # round-half-up ppm with exact integer arithmetic (`div` = integer
+    # division in Spark SQL and `//` in DuckDB): (top*2e6 + total) div (2*total)
+    fracs = [
+        F.when(F.col(f"total{n}").isNotNull() & (F.col(f"total{n}") > 0),
+               F.expr(f"(top{n} * 2000000 + total{n}) div (2 * total{n})"))
+        .otherwise(F.lit(0)).cast("bigint").alias(f"top{n}_frac_e6")
+        for n in ns]
+    return grouped.select("doc_id", "n_words", "n_distinct_words", *fracs)

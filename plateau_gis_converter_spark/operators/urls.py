@@ -1,0 +1,102 @@
+"""URL canonicalization + per-host statistics for the Common-Crawl-style
+pages layer (url, warc_ts, html, text, lang).
+
+A web-scale training pipeline dedups and filters per *canonical* URL and
+per registered host (domain-level spam/license filters, per-domain caps),
+so the canonicalizer has to be deterministic and cheap: everything here is
+pure Catalyst (regexp + array expressions, JVM codegen, zero Python), and
+every regex is chosen to evaluate identically in Spark (Java regex) and
+DuckDB (RE2) so the gate oracle can replicate it.
+
+Canonical form (the common normalization core of RFC 3986 §6 +
+crawl-dedup practice):
+  * scheme and host lowercased; path/query case preserved
+  * leading ``www.`` stripped from the host
+  * fragment dropped
+  * tracking query parameters dropped (``utm_*``, ``fbclid``, ``gclid``);
+    an emptied query string drops its ``?``
+  * trailing slashes collapsed off the path (root ``/`` dropped too:
+    ``http://h/`` ≡ ``http://h``)
+
+Reference parity: the reference engine has no URL layer (it consumes
+CityGML files); this module is part of the engine-addition surface for the
+web-pages input (SURVEY.md §2 "training-data pipeline" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# capture groups valid in both Java regex and RE2 (no lookbehind)
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host, ``www.`` stripped."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(url, _HOST_RE, 1)), r"^www\.", "")
+
+
+def registered_domain(host: Column) -> Column:
+    """Last-two-labels registered domain (public-suffix-list lookup is a
+    broadcast join in production; the two-label heuristic is the
+    deterministic, oracle-replicable core)."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def _clean_query(url: Column) -> Column:
+    """Query string minus tracking params ('' when nothing survives)."""
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    kept = F.filter(F.split(q, "&"),
+                    lambda p: (p != "") & ~p.rlike(_TRACKING_RE))
+    return F.array_join(kept, "&")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalized URL per the module contract above."""
+    path = F.regexp_replace(
+        F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
+    q = _clean_query(url)
+    return F.concat(
+        url_scheme(url), F.lit("://"), url_host(url), path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add canonical_url / host / domain / path_depth columns."""
+    u = F.col(url_col)
+    path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), r"/+$", "")
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    host = url_host(u)
+    return (df.withColumn("canonical_url", canonical_url(u))
+              .withColumn("host", host)
+              .withColumn("domain", registered_domain(host))
+              .withColumn("path_depth", depth.cast("bigint")))
+
+
+def host_stats(pages: DataFrame, url_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """Per-host corpus statistics for domain-level filtering: page count,
+    distinct canonical URLs (url-dedup size), distinct text fingerprints
+    (content-dedup size), total characters.
+
+    Scale: one hash-partial aggregation keyed by host — no join, no
+    distinct-explosion (countDistinct compiles to a two-phase partial
+    distinct aggregate under AQE).
+    """
+    parts = with_url_parts(pages, url_col)
+    return (parts.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("canonical_url").alias("n_canonical"),
+                 F.countDistinct(F.md5(F.col(text_col)))
+                 .alias("n_distinct_texts"),
+                 F.sum(F.length(text_col)).alias("total_chars")))

@@ -1417,6 +1417,157 @@ FROM mat
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-3 webtext operators: URL canonicalization, repetition quality,
+# corpus chunk dedup (operators/urls.py, text.repetition_signals,
+# dedup.chunk_dedup_ratio)
+# ---------------------------------------------------------------------------
+
+def q_url_host_stats(spark, sf_dir):
+    """URL canonicalization + per-host stats (operators/urls.py): derive
+    deliberately messy raw URLs (uppercase scheme/host, www, fragments,
+    tracking params, trailing slashes, path collisions via doc_id mod 50),
+    canonicalize, aggregate per host. The oracle reimplements the
+    normalization independently with DuckDB string/list functions."""
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    m4 = F.col("doc_id") % 4
+    suffix = (F.when(m4 == 0, F.concat(F.lit("?utm_source=feed&page="),
+                                       (F.col("doc_id") % 7).cast("string")))
+              .when(m4 == 1, F.lit("#sec"))
+              .when(m4 == 2, F.lit("/"))
+              .otherwise(F.concat(F.lit("?gclid=x&q="),
+                                  (F.col("doc_id") % 5).cast("string"))))
+    pages = docs.select(
+        F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit("/Doc/"),
+                 (F.col("doc_id") % 50).cast("string"), suffix).alias("url"),
+        "text")
+    return urls.host_stats(pages)
+
+
+SQL_URL_HOST_STATS = """
+WITH pages AS (
+  SELECT concat('HTTPS://WWW.', source, '/Doc/',
+                CAST(doc_id % 50 AS VARCHAR),
+                CASE doc_id % 4
+                  WHEN 0 THEN '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR)
+                  WHEN 1 THEN '#sec'
+                  WHEN 2 THEN '/'
+                  ELSE '?gclid=x&q=' || CAST(doc_id % 5 AS VARCHAR)
+                END) AS url,
+         text
+  FROM documents
+),
+parts AS (
+  SELECT url, text,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS host,
+    regexp_replace(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+    array_to_string(list_filter(
+        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')), '&') AS q
+  FROM pages
+),
+canon AS (
+  SELECT host, text,
+         scheme || '://' || host || path ||
+         CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+  FROM parts
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM canon GROUP BY host
+"""
+
+
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition signals (text.repetition_signals): top
+    uni/bi/tri-gram fraction + distinct-word ratio per doc, exact integer
+    ppm. One explode + two partial-combine hash aggs, zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_signals(docs)
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 1 AS n, t[i+1] AS gg
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 2, t[i+1] || ' ' || t[i+2]
+  FROM toks, UNNEST(range(greatest(len(t) - 1, 0))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+  FROM toks, UNNEST(range(greatest(len(t) - 2, 0))) AS u(i)
+),
+c AS (SELECT doc_id, n, gg, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+a AS (
+  SELECT doc_id,
+    sum(CASE WHEN n = 1 THEN cnt END) AS total1,
+    max(CASE WHEN n = 1 THEN cnt END) AS top1,
+    count(CASE WHEN n = 1 THEN 1 END) AS d1,
+    sum(CASE WHEN n = 2 THEN cnt END) AS total2,
+    max(CASE WHEN n = 2 THEN cnt END) AS top2,
+    sum(CASE WHEN n = 3 THEN cnt END) AS total3,
+    max(CASE WHEN n = 3 THEN cnt END) AS top3
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(coalesce(total1, 0) AS BIGINT) AS n_words,
+  CAST(coalesce(d1, 0) AS BIGINT) AS n_distinct_words,
+  CAST(CASE WHEN total1 > 0 THEN (top1 * 2000000 + total1) // (2 * total1)
+       ELSE 0 END AS BIGINT) AS top1_frac_e6,
+  CAST(CASE WHEN total2 > 0 THEN (top2 * 2000000 + total2) // (2 * total2)
+       ELSE 0 END AS BIGINT) AS top2_frac_e6,
+  CAST(CASE WHEN total3 > 0 THEN (top3 * 2000000 + total3) // (2 * total3)
+       ELSE 0 END AS BIGINT) AS top3_frac_e6
+FROM a
+"""
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus-level exact chunk dedup (dedup.chunk_dedup_ratio, Lee et al.
+    2022 fixed-stride approximation): per-doc duplicated-chunk ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.chunk_dedup_ratio(docs, chunk_words=8)
+
+
+SQL_CHUNK_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+slots AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')) AS chunk
+  FROM toks, UNNEST(range(len(t) // 8)) AS u(i)
+),
+freq AS (SELECT chunk, count(*) AS freq FROM slots GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST((sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) * 2000000
+             + count(*)) // (2 * count(*)) AS BIGINT) AS dup_ratio_e6
+FROM slots s JOIN freq f ON s.chunk = f.chunk
+GROUP BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -1459,6 +1610,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vshift_geoid": q_vshift_geoid,
     "appearance_resolve": q_appearance_resolve,
     "ann_ivf_topk": q_ann_ivf_topk,
+    # round-3 webtext operators
+    "url_host_stats": q_url_host_stats,
+    "repetition_quality": q_repetition_quality,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1497,4 +1652,7 @@ ORACLES: dict[str, str] = {
     "vshift_geoid": SQL_VSHIFT,
     "appearance_resolve": SQL_APPEARANCE,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "url_host_stats": SQL_URL_HOST_STATS,
+    "repetition_quality": SQL_REPETITION,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
 }

@@ -462,3 +462,100 @@ def test_ivf_kmeans_refine_matches_numpy_lloyd(spark, emb):
     assert set(got_map) == set(want)
     for cid, vec in want.items():
         assert np.array_equal(got_map[cid], vec), cid
+
+
+# ---------------------------------------------------------------------------
+# round-3 webtext operators: urls / repetition / chunk dedup
+# ---------------------------------------------------------------------------
+
+def test_url_canonicalization(spark):
+    from plateau_gis_converter_spark.operators import urls
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM/Path/To/page/?utm_source=x&id=5#frag"),
+        (2, "http://example.com"),
+        (3, "https://sub.domain.co.jp/a//b///?utm_campaign=z"),
+        (4, "https://Example.com/?fbclid=abc&keep=1&gclid=z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string")
+    out = {r["doc_id"]: r for r in urls.with_url_parts(df).collect()}
+    # case folding on scheme+host only, www strip, fragment drop,
+    # tracking-param drop, trailing-slash collapse
+    assert out[1]["canonical_url"] == "https://example.com/Path/To/page?id=5"
+    assert out[2]["canonical_url"] == "http://example.com"
+    assert out[3]["canonical_url"] == "https://sub.domain.co.jp/a//b"
+    assert out[4]["canonical_url"] == "https://example.com?keep=1"
+    assert out[1]["host"] == "example.com"
+    assert out[3]["domain"] == "co.jp"      # 2-label heuristic, documented
+    assert out[1]["path_depth"] == 3 and out[2]["path_depth"] == 0
+
+
+def test_host_stats_aggregation(spark):
+    from plateau_gis_converter_spark.operators import urls
+
+    rows = [
+        ("https://a.com/x", "t1"), ("https://WWW.A.com/x#f", "t1"),
+        ("https://a.com/y", "t2"), ("https://b.org/z", "t1"),
+    ]
+    df = spark.createDataFrame(rows, "url: string, text: string")
+    out = {r["host"]: r for r in urls.host_stats(df).collect()}
+    assert out["a.com"]["n_pages"] == 3
+    assert out["a.com"]["n_canonical"] == 2      # /x variants collapse
+    assert out["a.com"]["n_distinct_texts"] == 2
+    assert out["b.org"]["n_pages"] == 1
+
+
+def test_repetition_signals_vs_reference(spark):
+    import re
+    from collections import Counter
+
+    rows = [(1, "the cat sat on the mat the cat sat"),
+            (2, "a b"), (3, "x"), (4, ""),
+            (5, "one two three four five six seven"),
+            (6, "spam spam spam spam spam")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r.asDict() for r in
+           text.repetition_signals(df).collect()}
+    for did, t in rows:
+        toks = [x for x in re.split(r"[^A-Za-z0-9_]+", t.strip().lower())
+                if x]
+        if not toks:
+            assert did not in out        # token-less docs are excluded
+            continue
+        got = out[did]
+        assert got["n_words"] == len(toks)
+        assert got["n_distinct_words"] == len(set(toks))
+        for n in (1, 2, 3):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            expect = ((Counter(grams).most_common(1)[0][1] * 2000000
+                       + len(grams)) // (2 * len(grams)) if grams else 0)
+            assert got[f"top{n}_frac_e6"] == expect, (did, n)
+
+
+def test_chunk_dedup_ratio_vs_reference(spark):
+    import re
+    from collections import Counter
+
+    rows = [(1, "aa bb cc dd ee ff gg"),   # [aa bb cc],[dd ee ff]; gg partial
+            (2, "aa bb cc xx yy zz"),
+            (3, "dd ee ff"),
+            (4, "q r")]                    # no full chunk -> excluded
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.chunk_dedup_ratio(df, chunk_words=3).collect()}
+    allc, per = Counter(), {}
+    for did, t in rows:
+        toks = [x for x in re.split(r"[^A-Za-z0-9_]+", t.strip().lower())
+                if x]
+        ch = [" ".join(toks[i * 3:i * 3 + 3]) for i in range(len(toks) // 3)]
+        per[did] = ch
+        allc.update(ch)
+    for did, ch in per.items():
+        if not ch:
+            assert did not in out
+            continue
+        nd = sum(1 for c in ch if allc[c] > 1)
+        got = out[did]
+        assert (got["n_chunks"], got["n_dup_chunks"]) == (len(ch), nd)
+        assert got["dup_ratio_e6"] == (nd * 2000000 + len(ch)) // (2 * len(ch))
