@@ -137,7 +137,8 @@ def main():
                   "hilbert_tile_id", "tile_rollup", "spatial_join_pip",
                   "text_features", "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
-                  "url_host_stats", "repetition_quality", "chunk_dedup"]:
+                  "url_host_stats", "repetition_quality", "chunk_dedup",
+                  "pagerank"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

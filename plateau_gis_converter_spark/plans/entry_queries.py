@@ -1568,6 +1568,49 @@ GROUP BY s.doc_id
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the deterministic doc link graph
+    (operators/graph.py): 3 synchronous iterations, ppm units, pure
+    integer arithmetic — bit-identical across engines and across Spark's
+    partial-agg merge orders (why it is integer, not float)."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = gr.synthetic_link_edges(docs, n)
+    pr = gr.pagerank_int(nodes, edges, iters=3, damping_pct=85)
+    return pr.select(F.col("id").alias("doc_id"), "score_e6")
+
+
+_PR_ITER = """
+c{i} AS (
+  SELECT e.dst, sum(s{p}.score // d.out_degree) AS s
+  FROM e JOIN deg d ON e.src = d.src JOIN s{p} ON e.src = s{p}.id
+  GROUP BY 1),
+s{i} AS (
+  SELECT s{p}.id, 150000 + (85 * coalesce(c{i}.s, 0)) // 100 AS score
+  FROM s{p} LEFT JOIN c{i} ON s{p}.id = c{i}.dst)"""
+
+SQL_PAGERANK = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src, count(*) AS out_degree FROM e GROUP BY 1),
+s0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS score FROM documents),
+""" + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3)) + """
+SELECT id AS doc_id, CAST(score AS BIGINT) AS score_e6 FROM s3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -1614,6 +1657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_host_stats": q_url_host_stats,
     "repetition_quality": q_repetition_quality,
     "chunk_dedup": q_chunk_dedup,
+    "pagerank": q_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -1655,4 +1699,5 @@ ORACLES: dict[str, str] = {
     "url_host_stats": SQL_URL_HOST_STATS,
     "repetition_quality": SQL_REPETITION,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "pagerank": SQL_PAGERANK,
 }

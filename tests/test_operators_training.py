@@ -559,3 +559,41 @@ def test_chunk_dedup_ratio_vs_reference(spark):
         got = out[did]
         assert (got["n_chunks"], got["n_dup_chunks"]) == (len(ch), nd)
         assert got["dup_ratio_e6"] == (nd * 2000000 + len(ch)) // (2 * len(ch))
+
+
+def test_pagerank_int_small_graph(spark):
+    """Integer PageRank vs a direct Python evaluation, including a
+    dangling node (no out-edges: its mass is deterministically dropped)
+    and an un-linked-to node (score = base only)."""
+    from plateau_gis_converter_spark.operators import graph as gr
+
+    #   0 -> 1, 0 -> 2, 1 -> 2, 3 -> 0 ; 2 dangling; 4 isolated
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 0)], "src: long, dst: long")
+    out = {r["id"]: r["score_e6"] for r in
+           gr.pagerank_int(nodes, edges, iters=3).collect()}
+
+    deg = {0: 2, 1: 1, 3: 1}
+    score = {i: 1_000_000 for i in range(5)}
+    for _ in range(3):
+        acc = {}
+        for s, d in [(0, 1), (0, 2), (1, 2), (3, 0)]:
+            acc[d] = acc.get(d, 0) + score[s] // deg[s]
+        score = {i: 150_000 + (85 * acc.get(i, 0)) // 100 for i in range(5)}
+    assert out == score
+    assert out[4] == 150_000          # nobody links to the isolated node
+
+
+def test_synthetic_link_edges_shape(spark, docs):
+    from plateau_gis_converter_spark.operators import graph as gr
+
+    n = docs.count()
+    e = gr.synthetic_link_edges(docs, n)
+    rows = e.collect()
+    assert all(0 <= r["dst"] < n and r["src"] != r["dst"] for r in rows)
+    # varied out-degree 1..3
+    degs = {r["src"]: r["cnt"] for r in
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert min(degs.values()) >= 1 and max(degs.values()) <= 3
+    assert len(set(degs.values())) >= 2
