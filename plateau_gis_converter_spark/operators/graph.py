@@ -88,3 +88,50 @@ def synthetic_link_edges(docs: DataFrame, n: int) -> DataFrame:
                         ((i * a + b) % F.lit(n)).alias("dst")))
         e = part if e is None else e.unionAll(part)
     return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters: connected components by
+    synchronous min-label propagation. Output (id, component_id) for every
+    node that appears in a pair; component_id = the smallest node id in the
+    component (the canonical representative a dedup pipeline keeps).
+
+    This is the missing stage between pair generation (MinHash-LSH /
+    SimHash / embedding near-dup) and an actually deduplicated corpus.
+
+    Convergence: labels only decrease and propagate one hop per iteration,
+    so the loop terminates in O(component diameter) rounds — near-dup
+    clusters are shallow (diameter <= a few hops), so the per-round driver
+    convergence check (`changed == 0`, an O(1) count) runs a handful of
+    times. Each round is one shuffle keyed by node id; labels are
+    localCheckpoint'ed per round so the plan/lineage stays flat. At
+    trillion-edge scale the same loop is usually run with the
+    large-star/small-star optimization (Kiveris et al. 2014) to cut round
+    count; the semantics here are identical.
+    """
+    und = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+           .unionAll(pairs.select(F.col(b_col).alias("a"),
+                                  F.col(a_col).alias("b")))
+           .distinct()
+           .localCheckpoint())
+    labels = (und.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iters):
+        neigh = (und.join(labels, und["b"] == labels["id"])
+                 .groupBy("a").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neigh, labels["id"] == neigh["a"], "left")
+                      .select("id",
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component_id"))

@@ -1611,6 +1611,35 @@ SELECT id AS doc_id, CAST(score AS BIGINT) AS score_e6 FROM s3
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIRS → dedup CLUSTERS (operators/graph.py
+    connected_components): min-label propagation over the verified
+    MinHash-LSH pairs; component_id = smallest doc in the cluster (the
+    canonical doc a dedup pipeline keeps). The stage that turns pair
+    generation into an actually deduplicated corpus."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b")
+    comp = gr.connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component_id
+FROM reach GROUP BY src
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -1658,6 +1687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": q_repetition_quality,
     "chunk_dedup": q_chunk_dedup,
     "pagerank": q_pagerank,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1700,4 +1730,5 @@ ORACLES: dict[str, str] = {
     "repetition_quality": SQL_REPETITION,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "pagerank": SQL_PAGERANK,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }

@@ -597,3 +597,15 @@ def test_synthetic_link_edges_shape(spark, docs):
             e.groupBy("src").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert min(degs.values()) >= 1 and max(degs.values()) <= 3
     assert len(set(degs.values())) >= 2
+
+
+def test_connected_components_multihop(spark):
+    """Path graph exercises multi-round label propagation (diameter 3),
+    plus a second component and reversed-order pairs."""
+    from plateau_gis_converter_spark.operators import graph as gr
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (11, 10)], "doc_a: long, doc_b: long")
+    out = {r["id"]: r["component_id"] for r in
+           gr.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
