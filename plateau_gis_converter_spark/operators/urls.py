@@ -49,8 +49,10 @@ def url_host(url: Column) -> Column:
 def registered_domain(host: Column) -> Column:
     """Last-two-labels registered domain (public-suffix-list lookup is a
     broadcast join in production; the two-label heuristic is the
-    deterministic, oracle-replicable core)."""
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    deterministic, oracle-replicable core). Dotless hosts (localhost,
+    bare IPv6) fall back to the host itself."""
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(host)
 
 
 def _clean_query(url: Column) -> Column:

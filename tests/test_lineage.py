@@ -59,3 +59,42 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
     m = lin.metrics_df().toPandas()
     assert (m["stage"] == "stage_a").all()
     assert m["rows_out"].sum() >= 100
+
+
+def test_web_pipeline_end_to_end_and_resume(spark, tmp_path):
+    """The composed north-star job (plans/web_pipeline.py): pages →
+    geocode → broadcast-PIP join → lineage-checkpointed per-ward parquet →
+    tile assignment → per-tile parquet. A rerun with the same run_id
+    commits ZERO new keys (full resume), and output row counts equal the
+    direct computation."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from plateau_gis_converter_spark.operators import geocode as gc
+    from plateau_gis_converter_spark.operators import spatial_join as sj
+    from plateau_gis_converter_spark.plans import web_pipeline as wp
+    from plateau_gis_converter_spark.sources import fixtures as fx
+
+    pages_path = str(tmp_path / "pages.parquet")
+    fx.write_pages_parquet(pages_path, 2000)
+    pages = spark.read.parquet(pages_path)
+    out_root = str(tmp_path / "out")
+
+    committed = wp.run_web_pipeline(spark, pages, out_root, run_id="r1")
+    assert committed["ward_rows"] == 23          # every ward populated
+    assert committed["tile_rows"] > 0
+
+    # output parity with the direct plan
+    joined_n = (sj.spatial_join_points(
+        spark, gc.geocode_expr(pages), fx.tessellation_records()).count())
+    ward_files = glob.glob(os.path.join(out_root, "ward_rows", "*.parquet"))
+    assert len(ward_files) == 23
+    assert sum(pq.read_table(f).num_rows for f in ward_files) == joined_n
+    tile_files = glob.glob(os.path.join(out_root, "tile_rows", "*.parquet"))
+    assert sum(pq.read_table(f).num_rows for f in tile_files) == joined_n
+
+    # full resume: nothing to do on the second invocation
+    committed2 = wp.run_web_pipeline(spark, pages, out_root, run_id="r1")
+    assert committed2 == {"ward_rows": 0, "tile_rows": 0}
