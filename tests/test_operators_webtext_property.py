@@ -1,0 +1,89 @@
+"""Property tests for the round-3 webtext operators (hypothesis drives the
+inputs through one shared Spark batch per property).
+
+Properties:
+* URL canonicalization is IDEMPOTENT (canonical(canonical(u)) ==
+  canonical(u)) — the fixed-point property a dedup key must have;
+* repetition signals are bounded and internally consistent;
+* chunk-dedup ratios are bounded and consistent with chunk counts.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from plateau_gis_converter_spark.operators import dedup, text, urls
+
+_hostlabel = st.from_regex(r"[A-Za-z0-9]{1,8}", fullmatch=True)
+_pathseg = st.from_regex(r"[A-Za-z0-9._~-]{0,6}", fullmatch=True)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = ".".join(draw(st.lists(_hostlabel, min_size=1, max_size=3)))
+    path = "/".join(draw(st.lists(_pathseg, min_size=0, max_size=3)))
+    trail = draw(st.sampled_from(["", "/", "//"]))
+    params = draw(st.lists(st.sampled_from(
+        ["utm_source=x", "utm_campaign=Y", "fbclid=1", "gclid=2",
+         "id=5", "q=Tokyo", "page=2"]), max_size=3))
+    frag = draw(st.sampled_from(["", "#frag", "#a/b?c"]))
+    url = f"{scheme}://{www}{host}"
+    if path:
+        url += "/" + path
+    url += trail
+    if params:
+        url += "?" + "&".join(params)
+    return url + frag
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_urls(), min_size=1, max_size=8))
+def test_canonical_url_idempotent(spark, url_list):
+    df = spark.createDataFrame([(u,) for u in url_list], "url: string")
+    once = urls.canonical_url(F.col("url")).alias("c1")
+    rows = (df.select(F.col("url"), once)
+            .select("url", "c1",
+                    urls.canonical_url(F.col("c1")).alias("c2"))
+            .collect())
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        assert "#" not in r["c1"]
+        assert "utm_" not in r["c1"] and "fbclid" not in r["c1"]
+
+
+_texts = st.lists(
+    st.text(alphabet="ab c.!", min_size=0, max_size=60),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_texts)
+def test_repetition_signal_bounds(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id: long, text: string")
+    for r in text.repetition_signals(df).collect():
+        assert 1 <= r["n_distinct_words"] <= r["n_words"]
+        for n in (1, 2, 3):
+            assert 0 <= r[f"top{n}_frac_e6"] <= 1_000_000
+        # a doc of one repeated word is maximally repetitive
+        toks = [t for t in re.split(r"[^A-Za-z0-9_]+",
+                                    texts[r["doc_id"]].strip().lower()) if t]
+        if len(set(toks)) == 1 and len(toks) >= 1:
+            assert r["top1_frac_e6"] == 1_000_000
+
+
+@settings(max_examples=20, deadline=None)
+@given(_texts)
+def test_chunk_dedup_bounds(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id: long, text: string")
+    for r in dedup.chunk_dedup_ratio(df, chunk_words=2).collect():
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert 0 <= r["dup_ratio_e6"] <= 1_000_000
+        if r["n_dup_chunks"] == 0:
+            assert r["dup_ratio_e6"] == 0
