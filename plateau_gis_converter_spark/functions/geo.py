@@ -59,43 +59,59 @@ def with_point_tiles(df, z: Column, lng_udeg: str = "lng_udeg",
 
 
 def hilbert_id_expr(df, z: str = "z", x: str = "x", y: str = "y",
-                    out: str = "tile_id", max_zoom: int = 20):
+                    out: str = "tile_id", max_zoom: int = 20,
+                    const_z: int | None = None):
     """PMTiles Hilbert id as PURE Catalyst expressions — the unrolled
     bit-fold of nusamai-mvt/src/tileid/hilbert.rs:18-39 (same math as
     kernels/hilbert.zxy_to_id), so the 10^12-row tile path needs no Python
     at all. i64 two's-complement arithmetic is congruent mod 2^64 with the
     reference's u64 wrapping (low bits identical; ids < 2^63 for z <= 31).
 
-    Adds ``out`` via a chain of withColumns (one per bit level, masked by
-    ``level < z``) that whole-stage-codegen collapses into one stage.
+    Plan-size discipline (round 3): each fold level gets FRESH column
+    names via one ``select`` per level — the previous
+    withColumn+withColumnRenamed chain made Catalyst's CollapseProject/
+    alias rules ping-pong to the optimizer's 100-iteration cap, costing
+    ~10 s of DRIVER time per fresh plan (execution of the optimized plan
+    is ~0.1 s/9M rows; the cost was entirely plan-side). Pass ``const_z``
+    when every row has the same zoom: the per-level ``level < z`` masks
+    drop out and the fold emits exactly ``const_z`` levels.
     """
     # integer DIV keeps acc exact (double division could round at 2^40)
-    acc = F.expr(f"(CAST(pow(2.0, {z} * 2) AS BIGINT) - 1) DIV 3")
-    df = (df.withColumn("_h_acc", acc.cast("bigint"))
-            .withColumn("_h_tx", F.col(x).cast("bigint"))
-            .withColumn("_h_ty", F.col(y).cast("bigint")))
-    for a in range(max_zoom - 1, -1, -1):
+    if const_z is not None:
+        acc0 = F.lit(((1 << (2 * const_z)) - 1) // 3).cast("bigint")
+        levels = range(const_z - 1, -1, -1)
+    else:
+        acc0 = F.expr(
+            f"(CAST(pow(2.0, {z} * 2) AS BIGINT) - 1) DIV 3").cast("bigint")
+        levels = range(max_zoom - 1, -1, -1)
+    keep = [F.col(c) for c in df.columns]
+    cur = df.select(*keep, acc0.alias("_h_acc0"),
+                    F.col(x).cast("bigint").alias("_h_tx0"),
+                    F.col(y).cast("bigint").alias("_h_ty0"))
+    i = 0
+    for a in levels:
         s = 1 << a
-        active = F.col(z) > a
-        rx = F.shiftright(F.col("_h_tx"), a).bitwiseAND(F.lit(1))
-        ry = F.shiftright(F.col("_h_ty"), a).bitwiseAND(F.lit(1))
+        txc, tyc, accc = f"_h_tx{i}", f"_h_ty{i}", f"_h_acc{i}"
+        rx = F.shiftright(F.col(txc), a).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(tyc), a).bitwiseAND(F.lit(1))
         # rotate (hilbert.rs:30-39): ry==0 -> maybe flip, then swap
         flip = (ry == 0) & (rx == 1)
-        fx = F.when(flip, F.lit(s - 1) - F.col("_h_tx")).otherwise(F.col("_h_tx"))
-        fy = F.when(flip, F.lit(s - 1) - F.col("_h_ty")).otherwise(F.col("_h_ty"))
-        ntx = F.when(ry == 0, fy).otherwise(F.col("_h_tx"))
-        nty = F.when(ry == 0, fx).otherwise(F.col("_h_ty"))
+        fx = F.when(flip, F.lit(s - 1) - F.col(txc)).otherwise(F.col(txc))
+        fy = F.when(flip, F.lit(s - 1) - F.col(tyc)).otherwise(F.col(tyc))
+        ntx = F.when(ry == 0, fy).otherwise(F.col(txc))
+        nty = F.when(ry == 0, fx).otherwise(F.col(tyc))
         step = (F.lit(s).cast("bigint") * F.lit(s)
                 * (rx * 3).bitwiseXOR(ry).cast("bigint"))
-        df = (df.withColumn("_h_acc", F.when(active, F.col("_h_acc") + step)
-                            .otherwise(F.col("_h_acc")))
-                .withColumn("_h_ntx", F.when(active, ntx).otherwise(F.col("_h_tx")))
-                .withColumn("_h_nty", F.when(active, nty).otherwise(F.col("_h_ty")))
-                .drop("_h_tx", "_h_ty")
-                .withColumnRenamed("_h_ntx", "_h_tx")
-                .withColumnRenamed("_h_nty", "_h_ty"))
-    return (df.withColumn(out, F.col("_h_acc"))
-              .drop("_h_acc", "_h_tx", "_h_ty"))
+        nacc = F.col(accc) + step
+        if const_z is None:
+            active = F.col(z) > a
+            nacc = F.when(active, nacc).otherwise(F.col(accc))
+            ntx = F.when(active, ntx).otherwise(F.col(txc))
+            nty = F.when(active, nty).otherwise(F.col(tyc))
+        i += 1
+        cur = cur.select(*keep, nacc.alias(f"_h_acc{i}"),
+                         ntx.alias(f"_h_tx{i}"), nty.alias(f"_h_ty{i}"))
+    return cur.select(*keep, F.col(f"_h_acc{i}").alias(out))
 
 
 def salted_key(key: Column, salt_buckets: int, salt_source: Column) -> Column:

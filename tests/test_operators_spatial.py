@@ -125,3 +125,35 @@ def test_sliced_boundaries_have_hilbert_ids(spark):
     # holes preserved for overlay polygons at a zoom where they're visible
     ov = sliced[(sliced.typename == "urf:UrbanPlanningOverlay") & (sliced.z == 12)]
     assert any(len(mp[0]) == 2 for mp in ov["mpoly"])
+
+
+def test_tile_assign_derivation_matches_kernel(spark):
+    """Round-3 optimization: x/y/tile_id for z in [min_z, max_z] are
+    derived from ONE max_z computation by shifts (floor-division identity
+    + PMTiles Hilbert hierarchy). Must stay bit-identical to the NumPy
+    kernel path on random AND adversarial points (antimeridian, poles,
+    cell corners, out-of-range wrap)."""
+    import numpy as np
+    import pandas as pd
+
+    from plateau_gis_converter_spark.operators import tile_assign as ta
+
+    rng = np.random.RandomState(3)
+    n = 50000
+    lng = rng.randint(-180_000_000, 180_000_000, n)
+    lat = rng.randint(-85_000_000, 85_000_000, n)
+    extra = [(179_999_999, 0), (-180_000_000, 0), (0, 85_051_128),
+             (0, -85_051_129), (139_700_000, 35_600_000),
+             (180_000_000, 84_000_000), (-179_999_999, -84_000_000)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "lng_udeg": np.concatenate([lng, [e[0] for e in extra]]),
+        "lat_udeg": np.concatenate([lat, [e[1] for e in extra]])}))
+
+    def sig(d):
+        return d.groupBy().agg(
+            F.sum("x"), F.sum("y"), F.sum("tile_id"), F.count(F.lit(1)),
+            F.sum(F.expr("x*7 + y*13 + tile_id*3 + z"))).collect()[0]
+
+    a = sig(ta.assign_point_tiles(df, 7, 15, tile_id_impl="catalyst"))
+    b = sig(ta.assign_point_tiles(df, 7, 15, tile_id_impl="arrow"))
+    assert list(a) == list(b)
