@@ -117,21 +117,23 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
            .distinct()
            .localCheckpoint())
     labels = (und.select(F.col("a").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    # convergence via the label-mass invariant: labels are non-increasing
+    # per node, so sum(label) is strictly decreasing until the fixpoint —
+    # one cheap aggregate per round instead of an old⋈new change-count join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         neigh = (und.join(labels, und["b"] == labels["id"])
                  .groupBy("a").agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neigh, labels["id"] == neigh["a"], "left")
-                      .select("id",
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nmin"),
-                                                 F.col("label")))
-                              .alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.join(neigh, labels["id"] == neigh["a"], "left")
+                  .select("id",
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nmin"), F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("id", F.col("label").alias("component_id"))
