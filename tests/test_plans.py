@@ -124,3 +124,25 @@ def test_gate_scans_prune_columns(spark):
     # and the shipdate predicate reaches the scan
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
         in plan
+
+
+def test_round3_query_scans_prune_columns(spark):
+    """Column pruning reaches the documents scan for the round-3 webtext
+    queries: each reads exactly the columns it needs (pagerank only
+    doc_id — the text column never leaves the parquet footer)."""
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "repetition_quality": {"doc_id", "text"},
+        "chunk_dedup": {"doc_id", "text"},
+        "url_host_stats": {"doc_id", "source", "text"},
+        "pagerank": {"doc_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
