@@ -129,10 +129,14 @@ def decode_image(blob: bytes) -> tuple[int, int, int, float]:
 
 
 def image_features(df: DataFrame, blob_col: str = "html",
-                   url_col: str = "url") -> DataFrame:
+                   url_col: str = "url", decoder: str = "auto") -> DataFrame:
     """Decode (PIL when importable, stub otherwise) → feature extraction,
     batched; the exact shape a real image pipeline uses (resize / embed
-    would slot into the same UDF)."""
+    would slot into the same UDF). ``decoder='stub'`` forces the
+    deterministic byte-math fake regardless of PIL — the CORRECTNESS gate
+    uses it so its SQL oracle holds in any environment (a real decoder
+    has no SQL-expressible ground truth)."""
+    decode = decode_image_stub if decoder == "stub" else decode_image
 
     def run(batches):
         for pdf in batches:
@@ -140,7 +144,7 @@ def image_features(df: DataFrame, blob_col: str = "html",
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 if blob is None:
                     continue
-                w, h, ch, luma = decode_image(blob)
+                w, h, ch, luma = decode(blob)
                 phash = int.from_bytes(
                     hashlib.md5(bytes(blob)).digest()[:8], "big") >> 1
                 rows.append({"url": url, "width": w, "height": h,

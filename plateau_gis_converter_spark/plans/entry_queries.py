@@ -1640,6 +1640,60 @@ FROM reach GROUP BY src
 """
 
 
+def q_image_features(spark, sf_dir):
+    """Image-feature extraction plumbing (operators/multimodal.py) with the
+    deterministic stub decoder forced: width/height/channels/luma/phash
+    are pure md5 byte math over the html blob, so the oracle replicates
+    them bit-exactly in SQL (the blob is utf-8 text here, so DuckDB's
+    VARCHAR md5 hashes the same bytes). luma is emitted as exact integer
+    thousandths."""
+    from ..operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"))
+    out = mm.image_features(pages, decoder="stub")
+    return out.select(
+        "url", F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.floor(F.col("mean_luma") * 1000 + F.lit(0.5)).cast("bigint")
+        .alias("luma_e3"),
+        F.col("phash"))
+
+
+_B = ("CAST(concat('0x', substr(hx, {o}, 2)) AS INTEGER)")
+SQL_IMAGE_FEATURES = f"""
+WITH pages AS (
+  SELECT concat('https://', source, '/doc/', CAST(doc_id AS VARCHAR)) AS url,
+         md5('<html><body>' || text || '</body></html>') AS hx
+  FROM documents
+),
+b AS (
+  SELECT url, hx,
+    {_B.format(o=1)} AS b0, {_B.format(o=3)} AS b1,
+    {_B.format(o=5)} AS b2, {_B.format(o=7)} AS b3,
+    {_B.format(o=9)} AS b4, {_B.format(o=11)} AS b5,
+    {_B.format(o=13)} AS b6, {_B.format(o=15)} AS b7,
+    {_B.format(o=17)} AS b8
+  FROM pages
+)
+SELECT url,
+  CAST(64 + (b0 + 256 * b1) % 1985 AS BIGINT) AS width,
+  CAST(64 + (b2 + 256 * b3) % 1985 AS BIGINT) AS height,
+  CAST(1 + b4 % 4 AS BIGINT) AS n_channels,
+  (CAST(b5 AS BIGINT) + 256 * CAST(b6 AS BIGINT)
+   + 65536 * CAST(b7 AS BIGINT) + 16777216 * CAST(b8 AS BIGINT)) % 256000
+      AS luma_e3,
+  CAST(CAST(concat('0x', substr(hx, 1, 16)) AS UBIGINT) >> 1 AS BIGINT)
+      AS phash
+FROM b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -1688,6 +1742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "pagerank": q_pagerank,
     "dedup_clusters": q_dedup_clusters,
+    "image_features": q_image_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1731,4 +1786,5 @@ ORACLES: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "pagerank": SQL_PAGERANK,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "image_features": SQL_IMAGE_FEATURES,
 }

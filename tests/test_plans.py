@@ -91,6 +91,7 @@ def test_gate_queries_python_free_unless_whitelisted(spark):
         "geometric_error",    # NumPy kernel via Arrow UDF
         "boundary_tiles",     # geojson-vt clip kernel flatMap
         "multimodal_meta",    # binary sniffing mapInPandas
+        "image_features",     # stub-decoder mapInPandas (byte-math oracle)
         "vshift_geoid",       # geoid grid sampler Arrow UDF
     }
     markers = ("EvalPython", "InPandas", "ArrowEval", "PythonUDF")
