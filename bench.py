@@ -138,7 +138,8 @@ def main():
                   "text_features", "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
                   "url_host_stats", "repetition_quality", "chunk_dedup",
-                  "pagerank", "dedup_clusters", "image_features"]:
+                  "pagerank", "dedup_clusters", "image_features",
+                  "stratified_sample", "decontaminate"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -303,3 +303,36 @@ def chunk_dedup_ratio(docs: DataFrame, chunk_words: int = 8,
                     F.expr("(n_dup_chunks * 2000000 + n_chunks) div "
                            "(2 * n_chunks)").cast("bigint")
                     .alias("dup_ratio_e6")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                  min_shared: int = 2,
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_shared`` distinct word n-grams with ANY benchmark document
+    (the standard eval-contamination filter — e.g. GPT-3 appendix C /
+    Brown et al. 2020 used 13-gram overlap; the synthetic fixture texts
+    are short, so tests use n=3).
+
+    Output: (doc_id, n_shared, contaminated) for every training doc with
+    >= 1 shingle; ``n_shared`` counts distinct (benchmark-shared) shingle
+    TYPES, aggregated over all benchmark docs.
+
+    Scale: the benchmark side is small by construction (eval suites are
+    thousands of docs, not billions) — its distinct-shingle relation
+    broadcast-joins against the training shingles, so the 10^12-row side
+    never shuffles; the per-doc count is one partial-agg groupBy.
+    """
+    train_sh = shingles(docs, n, text_col)
+    bench_sh = (shingles(benchmark, n, text_col)
+                .select("shingle").distinct())
+    shared = (train_sh.join(F.broadcast(bench_sh), "shingle")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    base = train_sh.select("doc_id").distinct()
+    return (base.join(shared, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+                    .alias("n_shared"))
+            .withColumn("contaminated",
+                        (F.col("n_shared") >= min_shared)))

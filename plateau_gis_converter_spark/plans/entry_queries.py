@@ -1694,6 +1694,75 @@ FROM b
 """
 
 
+_SAMPLE_RATES = {"en": 800_000, "de": 500_000, "fr": 250_000,
+                 "es": 250_000, "zh": 100_000}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixes
+    (operators/sampling.py): per-lang ppm rates via an md5 Bernoulli
+    draw — the sample is a pure function of (doc_id, salt, rates), so
+    the oracle reproduces it exactly. Also emits the split assignment
+    (train/val/test from disjoint bucket ranges)."""
+    from ..operators import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sp.stratified_sample(docs, _SAMPLE_RATES, stratum_col="lang",
+                                key_col="doc_id", salt="s0")
+    return (sp.deterministic_split(kept, "doc_id", val_ppm=100_000,
+                                   test_ppm=100_000, salt="split0")
+            .select("doc_id", "lang", "split"))
+
+
+_RATE_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items()))
+SQL_STRATIFIED_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 15))
+         AS BIGINT) % 1000000 AS bucket,
+    CAST(concat('0x',
+         substr(md5(CAST(doc_id AS VARCHAR) || 'split0'), 1, 15))
+         AS BIGINT) % 1000000 AS sbucket
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN sbucket < 100000 THEN 'val'
+       WHEN sbucket < 200000 THEN 'test'
+       ELSE 'train' END AS split
+FROM b
+WHERE bucket < (CASE lang {_RATE_CASE} ELSE 0 END)
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): flag training docs
+    sharing >= 2 distinct 3-gram shingles with the benchmark subset
+    (doc_id % 97 == 0) — the eval-contamination filter (Brown et al. 2020
+    appendix C uses 13-grams; the synthetic texts are short, hence 3)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = dd.decontaminate(docs, bench, n=3, min_shared=2)
+    return out.select("doc_id", "n_shared",
+                      F.col("contaminated").cast("int").cast("bigint")
+                      .alias("contaminated"))
+
+
+SQL_DECONTAMINATE = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+shared AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh s JOIN bench b ON s.shingle = b.shingle GROUP BY 1
+),
+base AS (SELECT DISTINCT doc_id FROM sh)
+SELECT base.doc_id,
+       coalesce(shared.n_shared, 0) AS n_shared,
+       CAST(coalesce(shared.n_shared, 0) >= 2 AS BIGINT) AS contaminated
+FROM base LEFT JOIN shared ON base.doc_id = shared.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -1743,6 +1812,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "dedup_clusters": q_dedup_clusters,
     "image_features": q_image_features,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1787,4 +1858,6 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "image_features": SQL_IMAGE_FEATURES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
 }

@@ -609,3 +609,68 @@ def test_connected_components_multihop(spark):
     out = {r["id"]: r["component_id"] for r in
            gr.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_stratified_sample_deterministic(spark):
+    """Same (key, salt, rates) -> identical sample across invocations and
+    partitionings; observed rates track requested ppm; rate 0 drops all,
+    1e6 keeps all."""
+    from plateau_gis_converter_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(4000)],
+        "doc_id: long, lang: string")
+    rates = {"en": 500_000, "zh": 0}
+    a = {r["doc_id"] for r in
+         sp.stratified_sample(df, rates, "lang", "doc_id").collect()}
+    b = {r["doc_id"] for r in
+         sp.stratified_sample(df.repartition(7), rates, "lang",
+                              "doc_id").collect()}
+    assert a == b                       # partition-independent
+    assert all(i % 2 == 0 for i in a)   # zh rate 0 drops everything
+    assert 0.4 < len(a) / 2000 < 0.6    # ~50% of the en stratum
+    full = sp.stratified_sample(df, {"en": 1_000_000, "zh": 1_000_000},
+                                "lang", "doc_id").count()
+    assert full == 4000
+    # different salt -> different (deterministic) sample
+    c = {r["doc_id"] for r in
+         sp.stratified_sample(df, rates, "lang", "doc_id",
+                              salt="other").collect()}
+    assert c != a
+
+
+def test_deterministic_split_disjoint_and_stable(spark):
+    from plateau_gis_converter_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id: long")
+    out = sp.deterministic_split(df, "doc_id", val_ppm=100_000,
+                                 test_ppm=100_000)
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stability: rerun assigns identical splits
+    again = {r["doc_id"]: r["split"] for r in
+             sp.deterministic_split(df, "doc_id", val_ppm=100_000,
+                                    test_ppm=100_000).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame([
+        (1, "the quick brown fox sat still"),        # shares 2 shingles
+        (2, "quick brown cat naps all day"),          # shares 0 (no 3-gram)
+        (3, "totally unrelated text goes right here"),
+        (4, "jumps over the lazy dog again today"),   # shares 3 shingles
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(train, bench, n=3, min_shared=2).collect()}
+    assert out[1]["n_shared"] == 2 and out[1]["contaminated"]
+    assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_shared"] == 0
+    assert out[4]["n_shared"] == 3 and out[4]["contaminated"]
