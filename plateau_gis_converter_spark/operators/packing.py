@@ -1,0 +1,80 @@
+"""Sequence packing for LLM pretraining: concatenate-and-chunk.
+
+The standard pretraining batcher concatenates all documents in a fixed
+order and cuts the token stream every ``budget`` tokens (GPT-style
+packing). The distributed core is a GLOBAL PREFIX SUM of per-document
+token counts — naively a single-partition window (a scale killer), here
+the classic two-phase scan:
+
+  1. range-partition by the order key (global order across partitions);
+  2. per-partition token totals → driver (O(partitions) rows, not data);
+  3. prefix offsets broadcast back; per-partition cumulative sum via a
+     window PARTITIONED BY the range partition (parallel), plus the
+     partition's offset.
+
+The result is boundary-independent: a document's global prefix is the sum
+of all earlier documents' tokens no matter where the range boundaries
+fell, so the output is a pure function of (corpus, order key, budget) —
+exact SQL oracle, stable across partitionings and reruns.
+
+Output per doc: n_tokens, token_start (global prefix), chunk_start /
+chunk_end (the chunk ids the doc's tokens land in; a doc may straddle
+chunks — that IS concat-and-chunk semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def pack_concat_chunks(docs: DataFrame, budget: int,
+                       key_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Assign every document its global token offset and chunk range under
+    concat-and-chunk packing with ``budget`` tokens per chunk. Documents
+    are ordered by ``key_col``; zero-token docs get an empty range
+    (chunk_end < chunk_start)."""
+    d = docs.select(F.col(key_col).alias("k"),
+                    token_count(F.col(text_col)).alias("ntok"))
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, "k")
+    else:
+        d = d.repartitionByRange("k")
+    part = d.withColumn("pid", F.spark_partition_id())
+
+    # O(partitions) rows to the driver — partition totals, not data
+    totals = {r["pid"]: r["tot"] for r in
+              part.groupBy("pid").agg(F.sum("ntok").alias("tot")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid: int, off: long")
+
+    w = Window.partitionBy("pid").orderBy("k")
+    cum_incl = F.sum("ntok").over(w)
+    out = (part.join(F.broadcast(off_df), "pid")
+           .withColumn("token_start",
+                       (F.col("off") + cum_incl - F.col("ntok"))
+                       .cast("bigint"))
+           .select(F.col("k").alias(key_col),
+                   F.col("ntok").cast("bigint").alias("n_tokens"),
+                   "token_start"))
+    return (out
+            .withColumn("chunk_start",
+                        F.expr(f"token_start div {budget}").cast("bigint"))
+            # guarded: Spark's `div` truncates toward zero while DuckDB's
+            # `//` floors, so the n_tokens == 0, token_start == 0 corner
+            # would disagree without the explicit empty-range branch
+            .withColumn("chunk_end",
+                        F.when(F.col("n_tokens") > 0,
+                               F.expr(f"(token_start + n_tokens - 1) "
+                                      f"div {budget}"))
+                        .otherwise(F.col("chunk_start") - 1)
+                        .cast("bigint")))

@@ -1763,6 +1763,39 @@ FROM base LEFT JOIN shared ON base.doc_id = shared.doc_id
 """
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/packing.py): global
+    token prefix sum via the two-phase distributed scan (range partitions
+    + O(partitions) driver offsets), 1024-token chunks. Boundary-
+    independent, so the oracle is a plain window cumsum."""
+    from ..operators import packing as pk
+
+    docs = _t(spark, sf_dir, "documents")
+    return pk.pack_concat_chunks(docs, budget=1024)
+
+
+SQL_PACK_CHUNKS = """
+WITH n AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '[^A-Za-z0-9_]+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS token_start
+  FROM n
+)
+SELECT doc_id, n_tokens, token_start,
+  token_start // 1024 AS chunk_start,
+  CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 1024
+       ELSE token_start // 1024 - 1 END AS chunk_end
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -1814,6 +1847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
+    "pack_chunks": q_pack_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -1860,4 +1894,5 @@ ORACLES: dict[str, str] = {
     "image_features": SQL_IMAGE_FEATURES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
+    "pack_chunks": SQL_PACK_CHUNKS,
 }

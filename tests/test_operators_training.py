@@ -674,3 +674,33 @@ def test_decontaminate_flags_overlap(spark):
     assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
     assert out[3]["n_shared"] == 0
     assert out[4]["n_shared"] == 3 and out[4]["contaminated"]
+
+
+def test_pack_concat_chunks(spark):
+    """Concat-and-chunk packing: global prefix sums, straddling docs, the
+    zero-token empty-range corner, and partition-count independence."""
+    from plateau_gis_converter_spark.operators import packing as pk
+
+    rows = [(0, ""),                          # 0 tokens at offset 0
+            (1, "a " * 5), (2, "b " * 3),     # 5, 3
+            (3, ""),                          # 0 tokens mid-stream
+            (4, "c " * 7)]                    # 7
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           pk.pack_concat_chunks(df, budget=4).collect()}
+    # prefix: 0,0,5,8,8 ; budget 4 chunks
+    assert out[0]["token_start"] == 0 and out[0]["n_tokens"] == 0
+    assert out[0]["chunk_end"] == out[0]["chunk_start"] - 1  # empty range
+    assert (out[1]["token_start"], out[1]["chunk_start"],
+            out[1]["chunk_end"]) == (0, 0, 1)   # straddles chunks 0-1
+    assert (out[2]["token_start"], out[2]["chunk_start"],
+            out[2]["chunk_end"]) == (5, 1, 1)
+    assert out[3]["token_start"] == 8 and out[3]["chunk_end"] == 1
+    assert (out[4]["token_start"], out[4]["chunk_start"],
+            out[4]["chunk_end"]) == (8, 2, 3)
+    # forced partition counts agree (the scan is boundary-independent)
+    a = sorted(map(tuple, pk.pack_concat_chunks(df, 4, num_partitions=2)
+                   .collect()))
+    b = sorted(map(tuple, pk.pack_concat_chunks(df, 4, num_partitions=5)
+                   .collect()))
+    assert a == b
