@@ -76,7 +76,11 @@ def build_material_arrays(material_specs: list[dict]):
                     if spec.get("image_bytes") is not None:
                         image_specs.append({
                             "bytes": spec["image_bytes"],
-                            "mime": spec.get("mime_type", "image/png"),
+                            # `or`, not a dict default: a present-but-None
+                            # mime_type (the spec shape allows None) must
+                            # still fall back — "mimeType": null is
+                            # rejected by strict glTF validators
+                            "mime": spec.get("mime_type") or "image/png",
                             "uri_name": uri})
                     else:
                         image_specs.append({"uri": uri})

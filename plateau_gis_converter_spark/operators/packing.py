@@ -44,7 +44,15 @@ def pack_concat_chunks(docs: DataFrame, budget: int,
         d = d.repartitionByRange(num_partitions, "k")
     else:
         d = d.repartitionByRange("k")
-    part = d.withColumn("pid", F.spark_partition_id())
+    # Materialize the range partitioning ONCE. RangePartitioner boundaries
+    # come from reservoir sampling seeded by the per-execution RDD id (and
+    # AQE may re-coalesce the exchange per plan), so evaluating `part` in
+    # two independent jobs — the totals collect below and the final output
+    # query — could assign rows to DIFFERENT pids in each job at any scale
+    # where sampling is partial, silently corrupting token_start. The eager
+    # localCheckpoint pins one physical partitioning that both jobs read.
+    part = (d.withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
 
     # O(partitions) rows to the driver — partition totals, not data
     totals = {r["pid"]: r["tot"] for r in

@@ -44,8 +44,6 @@ def stringify_attribute(value, vtype: str) -> str:
     """attributes.rs:5-55 stringification rules."""
     if vtype == "bool":
         return "1" if value else "0"
-    if vtype in ("code", "uri", "measure"):
-        return str(value)
     return str(value)
 
 

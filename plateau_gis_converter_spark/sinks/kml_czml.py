@@ -122,22 +122,35 @@ def lines_to_kml_placemarks(lines: DataFrame) -> DataFrame:
 
 def lines_to_czml_packets(lines: DataFrame) -> DataFrame:
     """Line rows -> CZML polyline packets (public CZML spec: polyline/
-    positions/cartographicDegrees), one packet per path part flattened into
-    one polyline per feature like the polygon packet shape. Pure Catalyst
-    to_json."""
+    positions/cartographicDegrees), ONE PACKET PER PATH PART — flattening a
+    multi-part feature into one positions array would render a spurious
+    segment joining part N's end to part N+1's start. Multi-part features
+    get the part index suffixed to the packet id (``fid/0``, ``fid/1``);
+    single-part features keep the bare feature id — matching how the KML
+    path keeps parts as separate LineString elements. Pure Catalyst
+    posexplode + to_json."""
+    ex = lines.select(
+        "typename", "feature_id", "name",
+        F.size("paths_udeg").alias("n_parts"),
+        F.posexplode("paths_udeg").alias("part_idx", "part"))
     positions = F.flatten(F.transform(
-        F.flatten(F.col("paths_udeg")),
+        F.col("part"),
         lambda pt: F.array(pt[0] / F.lit(1e6), pt[1] / F.lit(1e6),
                            F.lit(0.0))))
+    pid = F.when(
+        F.col("n_parts") > 1,
+        F.concat(F.col("feature_id"), F.lit("/"),
+                 F.col("part_idx").cast("string"))
+    ).otherwise(F.col("feature_id"))
     packet = F.to_json(F.struct(
-        F.col("feature_id").alias("id"),
+        pid.alias("id"),
         F.col("name").alias("name"),
         F.struct(
             F.struct(positions.alias("cartographicDegrees"))
             .alias("positions"),
         ).alias("polyline"),
     ))
-    return lines.select("typename", packet.alias("packet_json"))
+    return ex.select("typename", packet.alias("packet_json"))
 
 
 def points_to_czml_packets(points: DataFrame) -> DataFrame:

@@ -204,6 +204,14 @@ def test_glb_textured_materials_wiring():
     assert mats[0]["pbrMetallicRoughness"]["roughnessFactor"] == 0.5
     assert texs[0] == {"source": 0} and texs[1] == {"source": 1}
 
+    # present-but-None mime_type (the spec shape allows None) must fall
+    # back to image/png — "mimeType": null fails strict glTF validation
+    _, _, imgs_none = g.build_material_arrays(
+        [{"base_color": [1.0, 1.0, 1.0, 1.0],
+          "base_texture_uri": "textures/x.png",
+          "image_bytes": png_bytes, "mime_type": None}])
+    assert imgs_none[0]["mime"] == "image/png"
+
     # three quads, one per material 0/1/2, with UVs on the textured ones
     def quad(lng0, uv=True):
         ring = []

@@ -173,6 +173,17 @@ def test_kml_czml_line_and_point(spark):
                       if "rail_02" in r["packet_json"]][0])
     deg = pkt["polyline"]["positions"]["cartographicDegrees"]
     assert deg == [139.62, 35.58, 0.0, 139.64, 35.62, 0.0]
+    # single-part feature keeps the bare id (no /0 suffix)
+    assert pkt["id"] == "rail_02"
+    # multi-part rail_01: one packet PER part (no spurious bridging
+    # segment), ids suffixed with the part index
+    r1 = {json.loads(r["packet_json"])["id"]: json.loads(r["packet_json"])
+          for r in cl if "rail_01" in r["packet_json"]}
+    assert set(r1) == {"rail_01/0", "rail_01/1"}
+    assert r1["rail_01/0"]["polyline"]["positions"]["cartographicDegrees"] \
+        == [139.6, 35.6, 0.0, 139.7, 35.65, 0.0, 139.8, 35.64, 0.0]
+    assert r1["rail_01/1"]["polyline"]["positions"]["cartographicDegrees"] \
+        == [139.65, 35.7, 0.0, 139.75, 35.71, 0.0]
     cp = kml_czml.points_to_czml_packets(fx.points_df(spark)).collect()
     ppkt = json.loads([r["packet_json"] for r in cp
                        if "pt_02" in r["packet_json"]][0])
