@@ -41,18 +41,33 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host, ``www.`` stripped."""
-    return F.regexp_replace(
-        F.lower(F.regexp_extract(url, _HOST_RE, 1)), r"^www\.", "")
+    """Lowercased host, ``www.`` stripped. Scheme-less URLs (real crawl
+    data contains them — ``example.com/x``) take their leading
+    ``[^/?#]+`` segment as the host instead of collapsing to ''."""
+    with_scheme = F.regexp_extract(url, _HOST_RE, 1)
+    bare = F.regexp_extract(url, r"^([^/?#]+)", 1)
+    host = F.when(url.rlike(_SCHEME_RE), with_scheme).otherwise(bare)
+    return F.regexp_replace(F.lower(host), r"^www\.", "")
 
 
 def registered_domain(host: Column) -> Column:
-    """Last-two-labels registered domain (public-suffix-list lookup is a
-    broadcast join in production; the two-label heuristic is the
-    deterministic, oracle-replicable core). Dotless hosts (localhost,
-    bare IPv6) fall back to the host itself."""
+    """Public-suffix-aware registered domain: if the host's last two
+    labels are a multi-part public suffix (``co.jp``, ``co.uk``, ... —
+    bundled trimmed PSL snapshot, see functions/psl.py), the registrable
+    domain is the last THREE labels; otherwise the last two. Dotless
+    hosts (localhost, bare IPv6) and hosts that ARE a bare suffix fall
+    back to the host itself.
+
+    The snapshot compiles to a Catalyst ``IN`` set (InSet: JVM hash
+    probe, zero shuffle/Python). For a runtime-supplied full PSL use
+    ``functions.psl.registered_domain_join`` (broadcast join)."""
+    from ..functions.psl import MULTIPART_SUFFIXES
+
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(two != "", two).otherwise(host)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return (F.when(two.isin(*MULTIPART_SUFFIXES) & (three != ""), three)
+            .when(two != "", two)
+            .otherwise(host))
 
 
 def _clean_query(url: Column) -> Column:
@@ -64,13 +79,18 @@ def _clean_query(url: Column) -> Column:
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonicalized URL per the module contract above."""
+    """Canonicalized URL per the module contract above. Scheme-less or
+    malformed URLs pass through RAW: the scheme/host/path regexes all
+    anchor on a scheme, so without the guard every such input would
+    collapse to the single string ``"://"`` — used as a dedup key, all
+    scheme-less pages would spuriously collide into one canonical URL."""
     path = F.regexp_replace(
         F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
     q = _clean_query(url)
-    return F.concat(
+    canon = F.concat(
         url_scheme(url), F.lit("://"), url_host(url), path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
+    return F.when(url.rlike(_SCHEME_RE), canon).otherwise(url)
 
 
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:

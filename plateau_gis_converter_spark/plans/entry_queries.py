@@ -1487,6 +1487,103 @@ FROM canon GROUP BY host
 """
 
 
+def q_url_registered_domain(spark, sf_dir):
+    """Public-suffix-aware registered domain + scheme-less guard
+    (operators/urls.py, functions/psl.py — VERDICT r3 #2 / ADVICE r3):
+    derive hosts across multi-part ccTLD suffixes (.co.jp, .co.uk,
+    .ne.jp), plain TLDs, a private-section host (github.io — NOT in the
+    default ICANN view, so it groups by its LAST TWO labels), scheme-less
+    URLs and a dotless host:port, then aggregate per registered domain.
+    The oracle mirrors the suffix membership from the same bundled
+    snapshot and the scheme guard."""
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m6 = did % 6
+    tld = (F.when(m6 == 0, ".co.jp").when(m6 == 1, ".co.uk")
+           .when(m6 == 2, ".com").when(m6 == 3, ".ne.jp")
+           .when(m6 == 4, ".org").otherwise(".github.io"))
+    host = F.concat(F.lit("site"), (did % 17).cast("string"), tld)
+    m5 = did % 5
+    url = (F.when(m5 == 0, F.concat(F.lit("https://www."), host,
+                                    F.lit("/a/"), (did % 3).cast("string")))
+           .when(m5 == 1, F.concat(F.lit("HTTP://"), host,
+                                   F.lit("/b?utm_campaign=x&id="),
+                                   (did % 4).cast("string")))
+           .when(m5 == 2, F.concat(host, F.lit("/c")))      # scheme-less
+           .when(m5 == 3, F.concat(F.lit("https://"), host, F.lit("/")))
+           .otherwise(F.lit("localhost:8080/x")))           # dotless host
+    parts = urls.with_url_parts(docs.select(url.alias("url")))
+    return (parts.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.countDistinct("canonical_url").alias("n_canonical")))
+
+
+def _psl_in_list() -> str:
+    from ..functions.psl import MULTIPART_SUFFIXES
+    return ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+
+
+SQL_URL_REGISTERED_DOMAIN = f"""
+WITH pages AS (
+  SELECT CASE doc_id % 5
+           WHEN 0 THEN 'https://www.' || h || '/a/' || CAST(doc_id % 3 AS VARCHAR)
+           WHEN 1 THEN 'HTTP://' || h || '/b?utm_campaign=x&id=' || CAST(doc_id % 4 AS VARCHAR)
+           WHEN 2 THEN h || '/c'
+           WHEN 3 THEN 'https://' || h || '/'
+           ELSE 'localhost:8080/x'
+         END AS url
+  FROM (SELECT doc_id,
+               'site' || CAST(doc_id % 17 AS VARCHAR) ||
+               CASE doc_id % 6
+                 WHEN 0 THEN '.co.jp' WHEN 1 THEN '.co.uk'
+                 WHEN 2 THEN '.com'   WHEN 3 THEN '.ne.jp'
+                 WHEN 4 THEN '.org'   ELSE '.github.io'
+               END AS h
+        FROM documents)
+),
+parts AS (
+  SELECT url,
+    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS has_scheme,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(CASE
+        WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+        ELSE regexp_extract(url, '^([^/?#]+)', 1) END),
+        '^www\\.', '') AS host,
+    regexp_replace(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+    array_to_string(list_filter(
+        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')), '&') AS q
+  FROM pages
+),
+canon AS (
+  SELECT host,
+    CASE WHEN has_scheme
+         THEN scheme || '://' || host || path ||
+              CASE WHEN q <> '' THEN '?' || q ELSE '' END
+         ELSE url END AS canonical_url,
+    CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+              IN ({_psl_in_list()})
+          AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+         WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM parts
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical
+FROM canon GROUP BY domain
+"""
+
+
 def q_repetition_quality(spark, sf_dir):
     """Gopher-style repetition signals (text.repetition_signals): top
     uni/bi/tri-gram fraction + distinct-word ratio per doc, exact integer
@@ -1840,6 +1937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     # round-3 webtext operators
     "url_host_stats": q_url_host_stats,
+    "url_registered_domain": q_url_registered_domain,
     "repetition_quality": q_repetition_quality,
     "chunk_dedup": q_chunk_dedup,
     "pagerank": q_pagerank,
@@ -1887,6 +1985,7 @@ ORACLES: dict[str, str] = {
     "appearance_resolve": SQL_APPEARANCE,
     "ann_ivf_topk": SQL_ANN_IVF,
     "url_host_stats": SQL_URL_HOST_STATS,
+    "url_registered_domain": SQL_URL_REGISTERED_DOMAIN,
     "repetition_quality": SQL_REPETITION,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "pagerank": SQL_PAGERANK,

@@ -486,7 +486,7 @@ def test_url_canonicalization(spark):
     assert out[3]["canonical_url"] == "https://sub.domain.co.jp/a//b"
     assert out[4]["canonical_url"] == "https://example.com?keep=1"
     assert out[1]["host"] == "example.com"
-    assert out[3]["domain"] == "co.jp"      # 2-label heuristic, documented
+    assert out[3]["domain"] == "domain.co.jp"   # public-suffix aware (r4)
     assert out[1]["path_depth"] == 3 and out[2]["path_depth"] == 0
 
 

@@ -87,3 +87,55 @@ def test_chunk_dedup_bounds(spark, texts):
         assert 0 <= r["dup_ratio_e6"] <= 1_000_000
         if r["n_dup_chunks"] == 0:
             assert r["dup_ratio_e6"] == 0
+
+
+def test_registered_domain_psl(spark):
+    """Public-suffix-aware registered domain (VERDICT r3 #2): multi-part
+    ccTLD suffixes group by last THREE labels; the broadcast-join variant
+    agrees with the compiled InSet variant on the bundled snapshot."""
+    from plateau_gis_converter_spark.functions import psl
+
+    hosts = ["site1.co.jp", "news.example.co.uk", "a.b.example.com",
+             "example.com", "localhost", "co.jp", "x.github.io",
+             "foo.ne.jp", "bar.gob.mx", "shop.example.co.jp"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host: string")
+    got = {r["host"]: r["d"]
+           for r in df.select(
+               "host", urls.registered_domain(F.col("host")).alias("d"))
+           .collect()}
+    assert got["site1.co.jp"] == "site1.co.jp"
+    assert got["shop.example.co.jp"] == "example.co.jp"
+    assert got["news.example.co.uk"] == "example.co.uk"
+    assert got["a.b.example.com"] == "example.com"
+    assert got["example.com"] == "example.com"
+    assert got["localhost"] == "localhost"          # dotless fallback
+    assert got["co.jp"] == "co.jp"                  # bare-suffix fallback
+    assert got["x.github.io"] == "github.io"        # ICANN view default
+    assert got["foo.ne.jp"] == "foo.ne.jp"
+    assert got["bar.gob.mx"] == "bar.gob.mx"
+
+    joined = psl.registered_domain_join(df, psl.psl_df(spark))
+    got2 = {r["host"]: r["domain"] for r in joined.collect()}
+    assert got2 == got
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_canonical_url_schemeless_guard(spark):
+    """ADVICE r3: scheme-less / malformed URLs must NOT collapse to
+    '://' — they pass through raw; the host still extracts."""
+    cases = ["example.com/x", "www.Example.com/y?utm_source=a",
+             "not a url at all", "http://Example.com/x/"]
+    df = spark.createDataFrame([(u,) for u in cases], "url: string")
+    rows = {r["url"]: (r["c"], r["h"]) for r in df.select(
+        "url", urls.canonical_url(F.col("url")).alias("c"),
+        urls.url_host(F.col("url")).alias("h")).collect()}
+    assert rows["example.com/x"] == ("example.com/x", "example.com")
+    assert rows["www.Example.com/y?utm_source=a"][0] \
+        == "www.Example.com/y?utm_source=a"      # raw pass-through
+    assert rows["www.Example.com/y?utm_source=a"][1] == "example.com"
+    assert rows["not a url at all"][0] == "not a url at all"
+    assert rows["http://Example.com/x/"] == ("http://example.com/x",
+                                             "example.com")
+    # no input maps to the degenerate key
+    assert "://" not in [c for c, _ in rows.values()]
