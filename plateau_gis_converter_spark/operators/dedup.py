@@ -336,3 +336,29 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                     .alias("n_shared"))
             .withColumn("contaminated",
                         (F.col("n_shared") >= min_shared)))
+
+
+def dedup_keep_list(docs: DataFrame, components: DataFrame,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Clusters -> deduplicated corpus: the final stage of the dedup
+    pipeline (pairs -> clusters -> keep-list). For every document emit
+    (key, component_id, kept): ``component_id`` is the cluster label from
+    ``connected_components`` (the smallest member id) or the doc's own id
+    for unclustered docs (singletons ARE their own canonical); ``kept`` is
+    true exactly for the canonical representative of each cluster, so
+    ``where(kept)`` IS the deduplicated corpus and ``where(NOT kept)``
+    anti-joins away the duplicates.
+
+    Scale: one equi-join of the corpus against the component labels on the
+    key — the labels relation has one row per doc *that appeared in a
+    near-dup pair* (usually a small fraction of the corpus; Spark
+    broadcasts it when it fits, plain shuffle join otherwise). Everything
+    else is map-side.
+    """
+    comp = components.select(F.col("id").alias(key_col),
+                             F.col("component_id").alias("__cid"))
+    cid = F.coalesce(F.col("__cid"), F.col(key_col))
+    return (docs.select(key_col).join(comp, key_col, "left")
+            .select(key_col,
+                    cid.cast("bigint").alias("component_id"),
+                    (cid == F.col(key_col)).alias("kept")))

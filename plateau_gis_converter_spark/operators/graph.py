@@ -90,32 +90,9 @@ def synthetic_link_edges(docs: DataFrame, n: int) -> DataFrame:
     return e.where(F.col("src") != F.col("dst")).distinct()
 
 
-def connected_components(pairs: DataFrame, a_col: str = "doc_a",
-                         b_col: str = "doc_b",
-                         max_iters: int = 50) -> DataFrame:
-    """Resolve near-duplicate PAIRS into clusters: connected components by
-    synchronous min-label propagation. Output (id, component_id) for every
-    node that appears in a pair; component_id = the smallest node id in the
-    component (the canonical representative a dedup pipeline keeps).
-
-    This is the missing stage between pair generation (MinHash-LSH /
-    SimHash / embedding near-dup) and an actually deduplicated corpus.
-
-    Convergence: labels only decrease and propagate one hop per iteration,
-    so the loop terminates in O(component diameter) rounds — near-dup
-    clusters are shallow (diameter <= a few hops), so the per-round driver
-    convergence check (`changed == 0`, an O(1) count) runs a handful of
-    times. Each round is one shuffle keyed by node id; labels are
-    localCheckpoint'ed per round so the plan/lineage stays flat. At
-    trillion-edge scale the same loop is usually run with the
-    large-star/small-star optimization (Kiveris et al. 2014) to cut round
-    count; the semantics here are identical.
-    """
-    und = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-           .unionAll(pairs.select(F.col(b_col).alias("a"),
-                                  F.col(a_col).alias("b")))
-           .distinct()
-           .localCheckpoint())
+def _cc_propagation(und: DataFrame, max_iters: int):
+    """Synchronous min-label propagation: O(component diameter) rounds.
+    Returns (labels(id, label), rounds, converged)."""
     labels = (und.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint())
@@ -123,7 +100,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     # per node, so sum(label) is strictly decreasing until the fixpoint —
     # one cheap aggregate per round instead of an old⋈new change-count join
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters):
+    for i in range(max_iters):
         neigh = (und.join(labels, und["b"] == labels["id"])
                  .groupBy("a").agg(F.min("label").alias("nmin")))
         labels = (labels.join(neigh, labels["id"] == neigh["a"], "left")
@@ -134,6 +111,111 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                   .localCheckpoint())
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            return labels, i + 1, True
         prev_sum = cur_sum
+    return labels, max_iters, False
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. 2014 large-star: for each node u, attach every
+    STRICTLY LARGER neighbor v to m = min(Gamma(u) + {u}). Input edges
+    are symmetrized here; output edges are (larger, smaller)."""
+    sym = (e.unionAll(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct())
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m")))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. 2014 small-star on (larger, smaller)-oriented edges:
+    for each node u, attach all its smaller neighbors (and u itself) to
+    m = min(Gamma(u)); output stays (larger, smaller)-oriented."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    j = e.join(mins, "u")
+    return (j.where(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .unionAll(mins.select(F.col("u"), F.col("mv").alias("v")))
+            .distinct())
+
+
+def _cc_alternating(und: DataFrame, max_iters: int):
+    """Alternating large-star/small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): converges in
+    O(log^2 n) rounds — in practice a handful — versus O(diameter) for
+    plain propagation, which is the difference between 4 and 10^4 full
+    shuffles on a trillion-edge chain-heavy graph.
+
+    Terminal check is SOUND, not heuristic: when the cheap per-round
+    invariant (parent-estimate count+sum, monotone non-increasing) stalls,
+    candidate labels are verified with one pass over the ORIGINAL edges —
+    a labeling that is constant across every original edge and maps roots
+    to themselves is exactly the min-label CC labeling, so a premature
+    stall cannot return wrong labels.
+    Returns (labels(id, label), rounds, converged)."""
+    nodes = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    e = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    prev = None
+    for i in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        est = e.groupBy("u").agg(F.min("v").alias("p"))
+        cur = tuple(est.agg(F.count(F.lit(1)), F.sum("p"))
+                    .collect()[0])
+        if cur == prev:
+            labels = (nodes.join(est, nodes["id"] == est["u"], "left")
+                      .select("id", F.coalesce(F.col("p"), F.col("id"))
+                              .alias("label"))
+                      .localCheckpoint())
+            bad = (und
+                   .join(labels.select(F.col("id").alias("a"),
+                                       F.col("label").alias("la")), "a")
+                   .join(labels.select(F.col("id").alias("b"),
+                                       F.col("label").alias("lb")), "b")
+                   .where(F.col("la") != F.col("lb")).count())
+            if bad == 0:
+                return labels, i + 1, True
+        prev = cur
+    return None, max_iters, False
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iters: int = 50,
+                         algorithm: str = "alternating") -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters. Output
+    (id, component_id) for every node that appears in a pair;
+    component_id = the smallest node id in the component (the canonical
+    representative a dedup pipeline keeps).
+
+    This is the stage between pair generation (MinHash-LSH / SimHash /
+    embedding near-dup) and an actually deduplicated corpus (see
+    ``dedup_keep_list``).
+
+    algorithm:
+      * ``"alternating"`` (default) — large-star/small-star, O(log^2 n)
+        rounds, the trillion-edge scale path;
+      * ``"propagation"`` — one-hop min-label propagation, O(diameter)
+        rounds; fine for shallow near-dup clusters and kept as the
+        independent cross-check implementation.
+
+    Raises RuntimeError if ``max_iters`` is exhausted before the fixpoint
+    (ADVICE r3: silently-unconverged labels would keep the wrong
+    canonical docs with no signal). Mirrors the kNN ``exact=false``
+    pattern but hard-fails: a partial CC labeling has no safe use.
+    """
+    und = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+           .unionAll(pairs.select(F.col(b_col).alias("a"),
+                                  F.col(a_col).alias("b")))
+           .distinct()
+           .localCheckpoint())
+    fn = _cc_alternating if algorithm == "alternating" else _cc_propagation
+    labels, rounds, converged = fn(und, max_iters)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components({algorithm}) did not converge in "
+            f"{rounds} rounds (max_iters={max_iters}); labels would be "
+            f"silently wrong — raise max_iters")
     return labels.select("id", F.col("label").alias("component_id"))

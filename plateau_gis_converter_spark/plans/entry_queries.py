@@ -1737,6 +1737,40 @@ FROM reach GROUP BY src
 """
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """The dedup pipeline end-to-end (VERDICT r3 #4): MinHash-LSH pairs
+    -> connected components (large-star/small-star) -> keep-list. One row
+    per document; ``kept`` marks the cluster canonical (smallest id) and
+    singletons; ``where(kept)`` is the deduplicated corpus."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b")
+    comp = gr.connected_components(pairs)
+    return dd.dedup_keep_list(docs, comp)
+
+
+SQL_DEDUP_KEEP_LIST = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+clusters AS (
+  SELECT src AS doc_id, min(dst) AS component_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+       coalesce(c.component_id, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+"""
+
+
 def q_image_features(spark, sf_dir):
     """Image-feature extraction plumbing (operators/multimodal.py) with the
     deterministic stub decoder forced: width/height/channels/luma/phash
@@ -1942,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "pagerank": q_pagerank,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
     "image_features": q_image_features,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
@@ -1990,6 +2025,7 @@ ORACLES: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "pagerank": SQL_PAGERANK,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "image_features": SQL_IMAGE_FEATURES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,

@@ -609,6 +609,42 @@ def test_connected_components_multihop(spark):
     out = {r["id"]: r["component_id"] for r in
            gr.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # both algorithms agree
+    out2 = {r["id"]: r["component_id"] for r in
+            gr.connected_components(pairs,
+                                    algorithm="propagation").collect()}
+    assert out2 == out
+
+
+def test_connected_components_deep_chain(spark):
+    """VERDICT r3 #3: large-star/small-star (Kiveris et al. 2014) on a
+    long path graph — logarithmic rounds vs O(diameter) for plain
+    propagation, identical labels; exhaustion raises instead of returning
+    silently-unconverged labels (ADVICE r3)."""
+    import pytest
+
+    from plateau_gis_converter_spark.operators import graph as gr
+    from pyspark.sql import functions as F
+
+    n = 120  # path 0-1-2-...-119: diameter 119
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "doc_a: long, doc_b: long")
+    und = (pairs.select(F.col("doc_a").alias("a"),
+                        F.col("doc_b").alias("b"))
+           .unionAll(pairs.select(F.col("doc_b").alias("a"),
+                                  F.col("doc_a").alias("b")))
+           .distinct().localCheckpoint())
+    alt_labels, alt_rounds, alt_ok = gr._cc_alternating(und, 40)
+    assert alt_ok and alt_rounds < 15
+    got = {r["id"]: r["label"] for r in alt_labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # plain propagation needs ~diameter rounds on the same graph
+    _, prop_rounds, prop_ok = gr._cc_propagation(und, n + 5)
+    assert prop_ok and prop_rounds > 3 * alt_rounds
+    # exhaustion must raise, not return wrong labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        gr.connected_components(pairs, max_iters=2,
+                                algorithm="propagation")
 
 
 def test_stratified_sample_deterministic(spark):
