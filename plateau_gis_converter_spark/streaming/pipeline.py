@@ -64,6 +64,12 @@ def streaming_dedup_first_seen(pages: DataFrame,
     ingest exactly like this). State per fingerprint key: the count of
     occurrences seen so far (O(1) per key, keyed state store scales with
     distinct fingerprints, not rows).
+
+    The emitted representative is the MIN url among the fingerprint's
+    occurrences in the micro-batch where it first appears — a
+    deterministic tiebreak (row order inside a batch is
+    partition-dependent), which makes single-batch runs a pure function
+    of the input and therefore SQL-oracle-checkable (min_by(url)).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -79,16 +85,18 @@ def streaming_dedup_first_seen(pages: DataFrame,
     def dedup_fn(key, pdf_iter, state: GroupState):
         (fingerprint,) = key
         seen = state.get[0] if state.exists else 0
-        first_url = None
+        best_url = None
         n = 0
         for pdf in pdf_iter:
-            if seen == 0 and n == 0 and len(pdf) > 0:
-                first_url = pdf["url"].iloc[0]
             n += len(pdf)
+            if seen == 0 and len(pdf) > 0:
+                m = pdf["url"].min()
+                if best_url is None or m < best_url:
+                    best_url = m
         state.update((seen + n,))
         if seen == 0 and n > 0:
             yield pd.DataFrame({"fingerprint": [fingerprint],
-                                "url": [first_url],
+                                "url": [best_url],
                                 "n_dups_so_far": [n]})
 
     keyed = pages.withColumn("fingerprint", F.md5(F.col(text_col)))
