@@ -51,10 +51,41 @@ def _parquet_sink(out_root: str, stage: str):
 
 
 def run_web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
-                     run_id: str = "run0", tile_zoom: int = 12) -> dict:
+                     run_id: str = "run0", tile_zoom: int = 12,
+                     feedback=None, sink_factory=None) -> dict:
     """Run the composed job; returns per-stage key counts committed THIS
-    invocation (0s on a fully-resumed rerun)."""
+    invocation (0s on a fully-resumed rerun).
+
+    ``feedback``: optional plans/feedback.PipelineFeedback — tags every
+    action with the run's job group (so ``cancel()`` kills in-flight
+    stages) and is polled cooperatively between stages; a cancelled run
+    raises PipelineCancelled with the lineage log consistent, so a rerun
+    with the same run_id resumes exactly where the cancel landed.
+    ``sink_factory(out_root, stage) -> sink_fn`` defaults to the
+    idempotent per-key parquet writer."""
+    from .feedback import PipelineCancelled
+
     lineage = LineageLog(spark, out_root, run_id)
+    make_sink = sink_factory or _parquet_sink
+    if feedback is not None:
+        feedback.attach()
+
+    def _run_stage(df, stage, key_col):
+        if feedback is not None:
+            feedback.check()
+        try:
+            run_stage_partitioned(df, stage, key_col, lineage,
+                                  make_sink(out_root, stage))
+        except PipelineCancelled:
+            raise
+        except Exception:
+            # a cancelJobGroup kills the in-flight action with a JVM
+            # error; surface it as the cooperative exception when the
+            # canceller fired (nothing was committed for this stage)
+            if feedback is not None and feedback.cancelled:
+                raise PipelineCancelled(
+                    f"pipeline run {run_id} cancelled during {stage}")
+            raise
 
     pts = gc.geocode_expr(pages)
     joined = sj.spatial_join_points(spark, pts, fx.tessellation_records())
@@ -63,10 +94,8 @@ def run_web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
     before = {s: len(lineage.completed_partitions(s))
               for s in ("ward_rows", "tile_rows")}
 
-    run_stage_partitioned(
-        joined.select("url", "lng_udeg", "lat_udeg", "ward_code"),
-        "ward_rows", "ward_code", lineage,
-        _parquet_sink(out_root, "ward_rows"))
+    _run_stage(joined.select("url", "lng_udeg", "lat_udeg", "ward_code"),
+               "ward_rows", "ward_code")
     committed["ward_rows"] = (len(lineage.completed_partitions("ward_rows"))
                               - before["ward_rows"])
 
@@ -79,9 +108,7 @@ def run_web_pipeline(spark: SparkSession, pages: DataFrame, out_root: str,
                                      geo.tile_x(z, mx).cast("string"),
                                      geo.tile_y(z, my).cast("string")))
              .select("url", "ward_code", "lng_udeg", "lat_udeg", "tile_key"))
-    run_stage_partitioned(
-        tiles, "tile_rows", "tile_key", lineage,
-        _parquet_sink(out_root, "tile_rows"))
+    _run_stage(tiles, "tile_rows", "tile_key")
     committed["tile_rows"] = (len(lineage.completed_partitions("tile_rows"))
                               - before["tile_rows"])
     return committed
