@@ -37,7 +37,11 @@ def pack_concat_chunks(docs: DataFrame, budget: int,
     """Assign every document its global token offset and chunk range under
     concat-and-chunk packing with ``budget`` tokens per chunk. Documents
     are ordered by ``key_col``; zero-token docs get an empty range
-    (chunk_end < chunk_start)."""
+    (chunk_end < chunk_start). ``budget`` is schema-validated at plan
+    time (>= 1)."""
+    from ..parameters import PACKING
+
+    PACKING.resolve({"budget": budget})
     d = docs.select(F.col(key_col).alias("k"),
                     token_count(F.col(text_col)).alias("ntok"))
     if num_partitions:

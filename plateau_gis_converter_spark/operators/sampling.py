@@ -36,7 +36,11 @@ def stratified_sample(df: DataFrame, rates_ppm: dict[str, int],
                       default_ppm: int = 0) -> DataFrame:
     """Keep each row iff hash_bucket(key) < rates_ppm[stratum] (ppm).
     Unknown strata fall back to ``default_ppm``. The rate lookup is an
-    inlined CASE (tiny dict) — a broadcast join for large rate tables."""
+    inlined CASE (tiny dict) — a broadcast join for large rate tables.
+    Rates are schema-validated (ppm bounds) at plan time."""
+    from ..parameters import validate_rates_ppm
+
+    validate_rates_ppm(dict(rates_ppm) | {"__default__": default_ppm})
     rate = None
     for stratum, ppm in sorted(rates_ppm.items()):
         cond = F.col(stratum_col) == stratum

@@ -47,7 +47,14 @@ def assign_point_tiles(df: DataFrame, min_z: int = 7, max_z: int = 15,
     id defaults to the pure-Catalyst unrolled fold
     (functions/geo.hilbert_id_expr) so the whole operator is JVM codegen;
     ``tile_id_impl='arrow'`` keeps the NumPy-kernel UDF path.
+
+    The zoom range is schema-validated at PLAN time (parameters.py,
+    reference parameters/mod.rs parity) — a bad range raises here on the
+    driver, not hours later in an executor.
     """
+    from ..parameters import ZOOM_RANGE
+
+    ZOOM_RANGE.resolve({"min_z": min_z, "max_z": max_z})
     mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
     my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
     base = (df

@@ -96,6 +96,14 @@ def main(argv=None) -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args(argv)
 
+    # plan-time validation BEFORE a SparkSession exists (reference
+    # parameters/mod.rs parity): all violations reported at once
+    from plateau_gis_converter_spark.parameters import SUBMIT_JOB
+
+    SUBMIT_JOB.resolve({"sf_dir": args.sf_dir, "job": args.job,
+                        "out": args.out,
+                        "shuffle_partitions": args.shuffle_partitions})
+
     spark = _spark(f"plateau-gis-{args.job}", args.shuffle_partitions)
     try:
         result = JOBS[args.job](spark, args.sf_dir)
