@@ -266,6 +266,15 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     idx = ivf_assign(embeddings, cents=cents)
     q = queries.select("query_id", quantized_embedding(F.col("embedding"))
                        .alias("q_qe"))
+    return _ivf_probe_rerank(idx, cents, q, k, nprobe)
+
+
+def _ivf_probe_rerank(idx: DataFrame, cents: DataFrame, q: DataFrame,
+                      k: int, nprobe: int) -> DataFrame:
+    """Shared IVF probe+rerank: each query picks its ``nprobe`` nearest
+    centroids (broadcast O(k·dim)), then reranks exactly within those
+    cells. ``idx`` is (vec_id, qe, cent_id) — in-memory or read back from
+    a cent_id-partitioned parquet index."""
     pcos = (_int_dot(F.col("q_qe"), F.col("c_qe")).cast("double")
             / (F.sqrt(_int_norm2(F.col("q_qe")).cast("double"))
                * F.sqrt(_int_norm2(F.col("c_qe")).cast("double"))))
@@ -287,6 +296,63 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank", "cosine"))
+
+
+def write_ivf_index(embeddings: DataFrame, path: str,
+                    k_centroids: int = 32, lloyd_iters: int = 0) -> None:
+    """Materialize the IVF index ON DISK, hash-partitioned BY cent_id
+    (``partitionBy`` parquet layout: one ``cent_id=<c>/`` directory per
+    cell) plus the centroid table — the production shape behind
+    ``cosine_topk_ivf``'s docstring claim. A probe filters on a static
+    cent_id IN-list, so Catalyst's partition pruning skips every
+    non-probed cell directory at the FILE INDEX level: a query touches
+    nprobe cells of data no matter how many billions of vectors the
+    index holds (tests assert the pruned read via input_file_name)."""
+    cents = ivf_centroids(embeddings, k_centroids)
+    if lloyd_iters > 0:
+        cents = ivf_kmeans_refine(embeddings, cents, lloyd_iters)
+    cent_rows = [(r["cent_id"], list(r["c_qe"])) for r in cents.collect()]
+    spark = embeddings.sparkSession
+    cents_local = spark.createDataFrame(
+        cent_rows, schema="cent_id bigint, c_qe array<bigint>")
+    cents_local.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids")
+    (ivf_assign(embeddings, cents=cents_local)
+     .write.mode("overwrite").partitionBy("cent_id")
+     .parquet(f"{path}/cells"))
+
+
+def probe_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
+                    nprobe: int = 4) -> DataFrame:
+    """ANN top-k against a ``write_ivf_index`` on-disk index. The probed
+    cell ids (≤ k_centroids distinct values — bounded driver metadata,
+    not data) become a static IN filter on the partition column, so the
+    parquet scan reads ONLY the probed cell directories. Results are
+    identical to the in-memory ``cosine_topk_ivf`` for the same
+    centroid parameters."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    raw = spark.read.parquet(f"{path}/cells")
+    q = queries.select("query_id", quantized_embedding(F.col("embedding"))
+                       .alias("q_qe"))
+    pcos = (_int_dot(F.col("q_qe"), F.col("c_qe")).cast("double")
+            / (F.sqrt(_int_norm2(F.col("q_qe")).cast("double"))
+               * F.sqrt(_int_norm2(F.col("c_qe")).cast("double"))))
+    wp = Window.partitionBy("query_id").orderBy(F.col("_pc").desc(),
+                                                F.col("cent_id").asc())
+    probes = (q.join(F.broadcast(cents))
+              .withColumn("_pc", pcos)
+              .withColumn("_pr", F.row_number().over(wp))
+              .where(F.col("_pr") <= nprobe)
+              .select("query_id", "q_qe", "cent_id"))
+    cells = sorted(r["cent_id"]
+                   for r in probes.select("cent_id").distinct().collect())
+    # static IN on the RAW partition column (before any cast) so the
+    # predicate lands in the scan's PartitionFilters and prunes at the
+    # file-index level
+    pruned = (raw.where(F.col("cent_id").isin(cells))
+              .select("vec_id", "qe",
+                      F.col("cent_id").cast("bigint").alias("cent_id")))
+    return _ivf_probe_rerank(pruned, cents, q, k, nprobe)
 
 
 def near_dup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.95,
