@@ -139,7 +139,9 @@ def main():
                   "appearance_resolve", "knn_ring_expansion",
                   "url_host_stats", "repetition_quality", "chunk_dedup",
                   "pagerank", "dedup_clusters", "image_features",
-                  "stratified_sample", "decontaminate", "pack_chunks"]:
+                  "stratified_sample", "decontaminate", "pack_chunks",
+                  "url_registered_domain", "dedup_keep_list",
+                  "stream_first_seen"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 
