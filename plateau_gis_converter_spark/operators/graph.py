@@ -119,9 +119,11 @@ def _cc_propagation(und: DataFrame, max_iters: int):
 def _large_star(e: DataFrame) -> DataFrame:
     """Kiveris et al. 2014 large-star: for each node u, attach every
     STRICTLY LARGER neighbor v to m = min(Gamma(u) + {u}). Input edges
-    are symmetrized here; output edges are (larger, smaller)."""
-    sym = (e.unionAll(e.select(F.col("v").alias("u"),
-                               F.col("u").alias("v"))).distinct())
+    must be DISTINCT and (larger, smaller)-oriented — then the
+    symmetrized union is dup-free by construction (no distinct needed
+    on it, one shuffle saved per round); output is (larger, smaller)."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
     mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
             .select("u", F.least(F.col("u"), F.col("mv")).alias("m")))
     return (sym.join(mins, "u")
@@ -157,14 +159,21 @@ def _cc_alternating(und: DataFrame, max_iters: int):
     stall cannot return wrong labels.
     Returns (labels(id, label), rounds, converged)."""
     nodes = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
-    e = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    # oriented (larger, smaller) distinct edges — _large_star's required
+    # input shape (und carries both directions; keep one per edge)
+    e = (und.where(F.col("a") > F.col("b"))
+         .select(F.col("a").alias("u"), F.col("b").alias("v")))
     prev = None
     for i in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint()
-        est = e.groupBy("u").agg(F.min("v").alias("p"))
-        cur = tuple(est.agg(F.count(F.lit(1)), F.sum("p"))
+        # cheap stall TRIGGER: one aggregate over the edge set (labels
+        # only decrease, so these stats stall at the fixpoint). The
+        # trigger may rarely fire early — harmless, because the sound
+        # verification below rejects any non-fixpoint labeling.
+        cur = tuple(e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v"))
                     .collect()[0])
         if cur == prev:
+            est = e.groupBy("u").agg(F.min("v").alias("p"))
             labels = (nodes.join(est, nodes["id"] == est["u"], "left")
                       .select("id", F.coalesce(F.col("p"), F.col("id"))
                               .alias("label"))

@@ -147,3 +147,26 @@ def test_round3_query_scans_prune_columns(spark):
         scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
+
+
+def test_round4_query_scans_prune_columns(spark):
+    """Column pruning for the round-4 queries: both derive everything
+    from doc_id in their FINAL plan — url_registered_domain synthesizes
+    urls from doc_id alone; dedup_keep_list's label side is a
+    localCheckpoint whose text-reading jobs already ran."""
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "url_registered_domain": {"doc_id"},
+        # the final keep-list plan scans only doc_id: the CC labels side
+        # is a localCheckpoint (its text-reading jobs already ran)
+        "dedup_keep_list": {"doc_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
