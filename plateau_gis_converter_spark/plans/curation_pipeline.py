@@ -1,0 +1,118 @@
+"""The composed CURATION job: documents → near-dup keep-list →
+deduplicated corpus → stratified language sample → concat-and-chunk
+packing, with per-partition lineage checkpointing, progress/cancel, and
+full mid-run resume — the training-data twin of plans/web_pipeline.py
+(which composes the geo side).
+
+This is the end-to-end shape a 100 TB curation run takes:
+
+  1. ``keep_list``  — MinHash-LSH pairs → connected components →
+     keep-list, written per doc-shard (deterministic md5 shard of the
+     doc id: stable under repartitioning, so resume anti-joins cleanly).
+  2. ``sampled``    — the deduplicated corpus (``kept`` only), filtered
+     by the per-language ppm rates, written per language.
+  3. ``packed``     — the sampled corpus packed into fixed-budget token
+     chunks (two-phase distributed prefix scan), written per doc-shard
+     with each doc's (token_start, chunk range).
+
+Each stage commits lineage only after its distributed write succeeds
+(at-least-once + idempotent per-key sinks, see plans/lineage.py);
+``feedback`` (plans/feedback.py) adds live progress and a job-group kill
+switch between and inside stages. Stage outputs chain through the
+written parquet, so a resumed run rebuilds nothing that already
+committed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import graph as gr
+from ..operators import packing as pk
+from ..operators import sampling as sp
+from .lineage import LineageLog, run_stage_partitioned
+from .web_pipeline import _parquet_sink
+
+N_SHARDS = 16
+
+
+def _shard(col: str = "doc_id"):
+    """Deterministic md5 shard — a pure function of the doc id, so the
+    same doc lands in the same lineage partition on every run/plan."""
+    return F.concat(
+        F.lit("s"),
+        (F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+                16, 10).cast("bigint") % N_SHARDS).cast("string"))
+
+
+def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
+                          out_root: str, run_id: str = "cur0",
+                          rates_ppm: dict[str, int] | None = None,
+                          budget: int = 512,
+                          minhash_threshold: float = 0.5,
+                          feedback=None, sink_factory=None) -> dict:
+    """Run the composed curation job; returns per-stage key counts
+    committed THIS invocation (0s on a fully-resumed rerun)."""
+    from .feedback import PipelineCancelled
+
+    rates_ppm = rates_ppm or {"en": 1_000_000, "de": 1_000_000,
+                              "fr": 1_000_000, "es": 1_000_000,
+                              "zh": 1_000_000}
+    lineage = LineageLog(spark, out_root, run_id)
+    make_sink = sink_factory or _parquet_sink
+    if feedback is not None:
+        feedback.attach()
+
+    stages = ("keep_list", "sampled", "packed")
+    before = {s: len(lineage.completed_partitions(s)) for s in stages}
+
+    def _run_stage(df, stage, key_col):
+        if feedback is not None:
+            feedback.check()
+        try:
+            run_stage_partitioned(df, stage, key_col, lineage,
+                                  make_sink(out_root, stage))
+        except PipelineCancelled:
+            raise
+        except Exception:
+            if feedback is not None and feedback.cancelled:
+                raise PipelineCancelled(
+                    f"curation run {run_id} cancelled during {stage}")
+            raise
+
+    # -- stage 1: near-dup keep-list ------------------------------------
+    if len(lineage.completed_partitions("keep_list")) < N_SHARDS:
+        pairs = dd.minhash_dedup_pairs(
+            docs, threshold=minhash_threshold).select("doc_a", "doc_b")
+        comp = gr.connected_components(pairs)
+        keep = (dd.dedup_keep_list(docs, comp)
+                .withColumn("shard", _shard()))
+        _run_stage(keep, "keep_list", "shard")
+    committed = {"keep_list": (len(lineage.completed_partitions("keep_list"))
+                               - before["keep_list"])}
+
+    # -- stage 2: dedup + stratified sample (reads stage-1 output) ------
+    keep_df = spark.read.parquet(os.path.join(out_root, "keep_list"))
+    kept_docs = (docs.join(keep_df.where(F.col("kept"))
+                           .select("doc_id"), "doc_id"))
+    if len(lineage.completed_partitions("sampled")) < len(rates_ppm):
+        sampled = sp.stratified_sample(kept_docs, rates_ppm,
+                                       stratum_col="lang",
+                                       key_col="doc_id", salt=run_id)
+        _run_stage(sampled.where(F.col("lang").isin(*rates_ppm))
+                   .select("doc_id", "lang", "text"), "sampled", "lang")
+    committed["sampled"] = (len(lineage.completed_partitions("sampled"))
+                            - before["sampled"])
+
+    # -- stage 3: sequence packing (reads stage-2 output) ---------------
+    sampled_df = spark.read.parquet(os.path.join(out_root, "sampled"))
+    packed = (pk.pack_concat_chunks(sampled_df, budget=budget)
+              .withColumn("shard", _shard()))
+    _run_stage(packed, "packed", "shard")
+    committed["packed"] = (len(lineage.completed_partitions("packed"))
+                           - before["packed"])
+    return committed
