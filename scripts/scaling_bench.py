@@ -86,11 +86,12 @@ print(json.dumps({{"cpus": int(cpus), "n": n,
 """
 
 
-def run_level(cpus: int, n_pages: int) -> dict:
+def run_level(cpus: int, n_pages: int, reps: int = 1) -> dict:
     code = CHILD.format(repo=REPO)
+    env = dict(os.environ, SPARK_GRAFT_SCALING_REPS=str(reps))
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(n_pages)],
-        capture_output=True, text=True, cwd=REPO, timeout=3600)
+        capture_output=True, text=True, cwd=REPO, timeout=3600, env=env)
     last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(last)
 
@@ -112,30 +113,78 @@ def hardware_ceiling() -> dict:
     chunks = [2_000_000] * 64
     res = {}
     for workers in (8, 16, 32):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            with cf.ProcessPoolExecutor(workers) as ex:
-                list(ex.map(_spin, chunks))
-            best = min(best, time.time() - t0)
-        res[str(workers)] = best
-    res["speedup_8_16"] = res["8"] / res["16"]
-    res["speedup_8_32"] = res["8"] / res["32"]
+        t0 = time.time()
+        with cf.ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_spin, chunks))
+        res[str(workers)] = time.time() - t0
     return res
 
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    hw = hardware_ceiling()
-    print(json.dumps({"hardware": hw}))
     levels = [8, 16, 32]
+    cycles = int(os.environ.get("SPARK_GRAFT_SCALING_CYCLES", "3"))
+
+    # INTERLEAVED cycles: every cycle measures the hardware ceiling AND
+    # one rep of every level back-to-back, so this VM's minute-scale
+    # hypervisor swings hit all levels alike instead of making whichever
+    # level ran in a fast minute look (super)linear. Floors are taken
+    # per level ACROSS cycles; the ceiling is the best calibration pass.
+    acc = {c: {"join_reps": [], "tile_reps": []} for c in levels}
+    hw_walls: dict[str, list] = {"8": [], "16": [], "32": []}
+    for cycle in range(cycles):
+        cal = hardware_ceiling()
+        for w in ("8", "16", "32"):
+            hw_walls[w].append(cal[w])
+        for cpus in levels:
+            r = run_level(cpus, n_pages, reps=1)
+            acc[cpus]["join_reps"] += r["join_reps"]
+            acc[cpus]["tile_reps"] += r["tile_reps"]
+            print(json.dumps({"cycle": cycle, "cpus": cpus,
+                              "join": r["join_reps"],
+                              "tile": r["tile_reps"]}))
+
+    hw = {w: min(ws) for w, ws in hw_walls.items()}
+    hw["speedup_8_16"] = hw["8"] / hw["16"]
+    hw["speedup_8_32"] = hw["8"] / hw["32"]
+    # paired PER-CYCLE ceilings too (same-minute comparison)
+    hw["cycle_speedup_8_32"] = [a / b for a, b in
+                                zip(hw_walls["8"], hw_walls["32"])]
+    print(json.dumps({"hardware": hw}))
+
+    def _median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    # PAIRED efficiencies: within one cycle all levels ran back-to-back
+    # (same host weather), so the per-cycle ratio is the noise-robust
+    # estimator; the median across cycles is reported alongside floors.
+    paired = {}
+    for job in ("join", "tile"):
+        e16, e32, e32n = [], [], []
+        for c in range(cycles):
+            w8 = acc[8][f"{job}_reps"][c][0]
+            w16 = acc[16][f"{job}_reps"][c][0]
+            w32 = acc[32][f"{job}_reps"][c][0]
+            e16.append(w8 / w16 / 2)
+            e32.append(w8 / w32 / 4)
+            e32n.append((w8 / w32) / hw["cycle_speedup_8_32"][c])
+        paired[job] = {"eff_8_16": _median(e16), "eff_8_32": _median(e32),
+                       "eff_8_32_vs_hw": _median(e32n),
+                       "cycles_8_16": e16, "cycles_8_32": e32}
+
     results = {}
     for cpus in levels:
-        r = run_level(cpus, n_pages)
+        r = {"cpus": cpus, "n": n_pages,
+             "join_reps": acc[cpus]["join_reps"],
+             "tile_reps": acc[cpus]["tile_reps"]}
         for job in ("join", "tile"):
-            r[job]["pages_per_sec"] = n_pages / r[job]["wall_s"]
+            wall, cpu = min(r[f"{job}_reps"], key=lambda t: t[0])
+            r[job] = {"wall_s": wall, "cpu_s": cpu,
+                      "cpu_util": cpu / (wall * cpus),
+                      "pages_per_sec": n_pages / wall}
         results[cpus] = r
-        print(json.dumps(r))
 
     def eff(job, a, b):
         return results[a][job]["wall_s"] / results[b][job]["wall_s"] / (b / a)
@@ -165,11 +214,13 @@ Protocol per BASELINE.md: the identical flagship job (geocode -> z12 cell ->
 broadcast spatial join vs 23 ward polygons + exact integer PIP -> per-ward
 agg; and z7..15 tile assignment + pure-Catalyst Hilbert ids) on the same
 deterministic {n_pages:,}-page in-plan input, at local[8] / local[16] /
-local[32], one JVM per level. Per level: untimed JIT warm pass, then min of
-{os.environ.get("SPARK_GRAFT_SCALING_REPS", "4")} reps (this sandbox VM is
-noisy — shared hypervisor, ~10x minute-scale
-throughput swings; the rep floor is the comparable compute quantity; every
-rep incl. JVM cpu-seconds is in the raw block). "util" = JVM cpu-seconds /
+local[32], one fresh JVM per (level, cycle). Protocol: {os.environ.get(
+    "SPARK_GRAFT_SCALING_CYCLES", "3")} INTERLEAVED cycles — each cycle
+runs the hardware calibration plus one JIT-warmed rep of EVERY level
+back-to-back, so this VM's minute-scale hypervisor swings (~10x) hit all
+levels alike instead of making whichever level landed in a fast minute
+look (super)linear; floors are per level across cycles; every rep incl.
+JVM cpu-seconds is in the raw block. "util" = JVM cpu-seconds /
 (wall * cores) for the floor rep — direct evidence of whether cores were
 saturated (util ~1) or the job ran out of parallelism/was preempted.
 
@@ -190,6 +241,18 @@ the normalized column divides by this measured ceiling.
 {row('join', 'spatial join')}
 {row('tile', 'tile assign (9 zooms + Hilbert)')}
 
+## Paired per-cycle efficiencies (noise-robust estimator)
+
+Floors above may come from DIFFERENT cycles (different host weather);
+the paired estimator compares levels WITHIN each cycle (run back-to-back
+in the same minutes) and reports the median across cycles — this is the
+number to read on this VM:
+
+| job | paired eff 8->16 (median) | paired raw eff 8->32 (median) | paired 8->32 vs same-cycle HW ceiling |
+|---|---|---|---|
+| spatial join | {paired['join']['eff_8_16']:.3f} | {paired['join']['eff_8_32']:.3f} | {paired['join']['eff_8_32_vs_hw']:.3f} |
+| tile assign | {paired['tile']['eff_8_16']:.3f} | {paired['tile']['eff_8_32']:.3f} | {paired['tile']['eff_8_32_vs_hw']:.3f} |
+
 ## Reading
 
 * north_rule asks >= 0.8 efficiency between N and 4N EXECUTORS. On this
@@ -208,7 +271,7 @@ the normalized column divides by this measured ceiling.
   work (scaling limited by the host); util well below 1.0 would instead
   indicate missing parallelism in the plan — the numbers distinguish these.
 
-Raw: {json.dumps({"hardware": hw, "levels": {str(k): v for k, v in results.items()}})}
+Raw: {json.dumps({"hardware": hw, "paired": paired, "levels": {str(k): v for k, v in results.items()}})}
 """)
     print(f"wrote {path}")
 
