@@ -141,7 +141,8 @@ def main():
                   "pagerank", "dedup_clusters", "image_features",
                   "stratified_sample", "decontaminate", "pack_chunks",
                   "url_registered_domain", "dedup_keep_list",
-                  "stream_first_seen"]:
+                  "stream_first_seen", "skew_salted_agg",
+                  "adaptive_cell_split"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

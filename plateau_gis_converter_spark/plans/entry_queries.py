@@ -576,6 +576,88 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation (operators/skew.salted_aggregate):
+    partial agg on (lang, hash(doc_id)%16), final merge on lang. The
+    oracle is the PLAIN group-by — salting must be result-invariant for
+    mergeable aggregates, and this gate proves it on every run."""
+    from ..operators import skew
+
+    docs = _t(spark, sf_dir, "documents")
+    out = skew.salted_aggregate(
+        docs, ["lang"],
+        {"n_docs": ("count", "doc_id"),
+         "sum_chars": ("sum", "n_chars"),
+         "min_doc": ("min", "doc_id"),
+         "max_doc": ("max", "doc_id")},
+        salt_col="doc_id", buckets=16)
+    return out.select(
+        "lang", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("sum_chars").cast("bigint").alias("sum_chars"),
+        F.col("min_doc").cast("bigint").alias("min_doc"),
+        F.col("max_doc").cast("bigint").alias("max_doc"))
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY lang
+"""
+
+
+def q_adaptive_cell_split(spark, sf_dir):
+    """Adaptive cell split (operators/skew.adaptive_cell_split): cells
+    holding more than 30 points at z12 re-assign their points to z13
+    children; still-hot z13 cells re-split to z14 (max_extra_levels=2).
+    The oracle unrolls the two levels with the same mercator/tile SQL
+    the tile gates use."""
+    from ..operators import skew
+
+    pts = _points_df(spark, sf_dir)
+    out = skew.adaptive_cell_split(pts, base_zoom=12,
+                                   max_rows_per_cell=30,
+                                   max_extra_levels=2)
+    return out.select(
+        "doc_id", F.col("cell_z").cast("bigint").alias("cell_z"),
+        F.col("cell_x").cast("bigint").alias("cell_x"),
+        F.col("cell_y").cast("bigint").alias("cell_y"))
+
+
+_X12, _Y12 = _tile_xy_sql("12.0")
+_X13, _Y13 = _tile_xy_sql("13.0")
+_X14, _Y14 = _tile_xy_sql("14.0")
+
+SQL_ADAPTIVE_CELL_SPLIT = f"""
+WITH {POINTS_CTE},
+l0 AS (
+  SELECT doc_id, lng_udeg, lat_udeg,
+         CAST(12 AS BIGINT) AS z, {_X12} AS x, {_Y12} AS y
+  FROM pts
+),
+c0 AS (SELECT x, y, count(*) AS n FROM l0 GROUP BY x, y),
+l1 AS (
+  SELECT l0.doc_id, l0.lng_udeg, l0.lat_udeg,
+    CASE WHEN c0.n > 30 THEN CAST(13 AS BIGINT) ELSE l0.z END AS z,
+    CASE WHEN c0.n > 30 THEN {_X13} ELSE l0.x END AS x,
+    CASE WHEN c0.n > 30 THEN {_Y13} ELSE l0.y END AS y
+  FROM l0 JOIN c0 ON l0.x = c0.x AND l0.y = c0.y
+),
+c1 AS (SELECT x, y, count(*) AS n FROM l1 WHERE z = 13 GROUP BY x, y),
+l2 AS (
+  SELECT l1.doc_id,
+    CASE WHEN l1.z = 13 AND c1.n > 30 THEN CAST(14 AS BIGINT)
+         ELSE l1.z END AS cell_z,
+    CASE WHEN l1.z = 13 AND c1.n > 30 THEN {_X14} ELSE l1.x END AS cell_x,
+    CASE WHEN l1.z = 13 AND c1.n > 30 THEN {_Y14} ELSE l1.y END AS cell_y
+  FROM l1 LEFT JOIN c1 ON l1.z = 13 AND l1.x = c1.x AND l1.y = c1.y
+)
+SELECT doc_id, cell_z, cell_x, cell_y FROM l2
+"""
+
+
 _STREAM_GATE_SEQ = [0]
 
 
@@ -1998,6 +2080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_flags": q_rollup_flags,
     "events_sessionize": q_events_sessionize,
     "stream_first_seen": q_stream_first_seen,
+    "skew_salted_agg": q_skew_salted_agg,
+    "adaptive_cell_split": q_adaptive_cell_split,
     "events_windowed": q_events_windowed,
     "events_json": q_events_json,
     "codelist_resolve": q_codelist_resolve,
@@ -2053,6 +2137,8 @@ ORACLES: dict[str, str] = {
     "rollup_flags": SQL_ROLLUP,
     "events_sessionize": SQL_SESSIONIZE,
     "stream_first_seen": SQL_STREAM_FIRST_SEEN,
+    "skew_salted_agg": SQL_SKEW_SALTED_AGG,
+    "adaptive_cell_split": SQL_ADAPTIVE_CELL_SPLIT,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_json": SQL_EVENTS_JSON,
     "codelist_resolve": SQL_CODELIST,
