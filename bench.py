@@ -142,7 +142,7 @@ def main():
                   "stratified_sample", "decontaminate", "pack_chunks",
                   "url_registered_domain", "dedup_keep_list",
                   "stream_first_seen", "skew_salted_agg",
-                  "adaptive_cell_split"]:
+                  "adaptive_cell_split", "lod_filter_chain"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

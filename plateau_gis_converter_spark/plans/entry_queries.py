@@ -576,6 +576,59 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_lod_filter_chain(spark, sf_dir):
+    """The pure-Catalyst transformer chain T2+T5 (operators/
+    transforms_catalyst.mvt_requirements_chain: geometry stats +
+    highest-LOD filter, reference transform/geomstats.rs + lods.rs) over
+    flat features synthesized from doc_id: each doc gets one geometry
+    per set bit of (doc_id % 31) and three vertices with integer z.
+    Features with an empty LOD mask are DROPPED (lods.rs:30-74); the
+    survivors keep exactly the highest available LOD. The oracle
+    recomputes the bit math and min/max heights directly — it never
+    models the arrays, so it is an independent formulation."""
+    from ..operators import transforms_catalyst as tc
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mask = (did % 31).cast("int")
+    geoms = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda b: F.struct(
+                F.lit("Surface").alias("type"),
+                b.cast("int").alias("lod"),
+                b.cast("bigint").alias("pos"),
+                F.lit(1).cast("bigint").alias("len"))),
+        lambda g: (F.pow(F.lit(2.0), g["lod"].cast("double")).cast("int")
+                   .bitwiseAND(mask)) != 0)
+    verts = F.array(
+        F.array(F.lit(0.0), F.lit(0.0), (did % 7).cast("double")),
+        F.array(F.lit(1.0), F.lit(1.0), (did % 13).cast("double")),
+        F.array(F.lit(2.0), F.lit(2.0), (did % 17).cast("double")))
+    feats = docs.select("doc_id", geoms.alias("geometries"),
+                        verts.alias("vertices"))
+    out = tc.mvt_requirements_chain(feats, lod_mode="highest")
+    return out.select(
+        "doc_id",
+        F.col("maxHeight").cast("bigint").alias("max_h"),
+        F.col("minHeight").cast("bigint").alias("min_h"),
+        F.element_at(F.col("geometries"), 1)["lod"].cast("bigint")
+        .alias("target_lod"),
+        F.size("geometries").cast("bigint").alias("n_kept"))
+
+
+SQL_LOD_FILTER_CHAIN = """
+SELECT doc_id,
+  CAST(greatest(doc_id % 7, doc_id % 13, doc_id % 17) AS BIGINT) AS max_h,
+  CAST(least(doc_id % 7, doc_id % 13, doc_id % 17) AS BIGINT) AS min_h,
+  CAST(CASE WHEN m >= 16 THEN 4 WHEN m >= 8 THEN 3 WHEN m >= 4 THEN 2
+            WHEN m >= 2 THEN 1 ELSE 0 END AS BIGINT) AS target_lod,
+  CAST(1 AS BIGINT) AS n_kept
+FROM (SELECT doc_id, doc_id % 31 AS m FROM documents)
+WHERE m <> 0
+"""
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Salted two-phase aggregation (operators/skew.salted_aggregate):
     partial agg on (lang, hash(doc_id)%16), final merge on lang. The
@@ -2082,6 +2135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_first_seen": q_stream_first_seen,
     "skew_salted_agg": q_skew_salted_agg,
     "adaptive_cell_split": q_adaptive_cell_split,
+    "lod_filter_chain": q_lod_filter_chain,
     "events_windowed": q_events_windowed,
     "events_json": q_events_json,
     "codelist_resolve": q_codelist_resolve,
@@ -2139,6 +2193,7 @@ ORACLES: dict[str, str] = {
     "stream_first_seen": SQL_STREAM_FIRST_SEEN,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "adaptive_cell_split": SQL_ADAPTIVE_CELL_SPLIT,
+    "lod_filter_chain": SQL_LOD_FILTER_CHAIN,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_json": SQL_EVENTS_JSON,
     "codelist_resolve": SQL_CODELIST,
