@@ -40,34 +40,52 @@ def url_scheme(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
 
-def url_host(url: Column) -> Column:
-    """Lowercased host, ``www.`` stripped. Scheme-less URLs (real crawl
-    data contains them — ``example.com/x``) take their leading
-    ``[^/?#]+`` segment as the host instead of collapsing to ''."""
+def _raw_authority(url: Column) -> Column:
+    """Lowercased raw authority (userinfo/port/www all kept). Scheme-less
+    URLs (real crawl data contains them — ``example.com/x``) take their
+    leading ``[^/?#]+`` segment instead of collapsing to ''."""
     with_scheme = F.regexp_extract(url, _HOST_RE, 1)
     bare = F.regexp_extract(url, r"^([^/?#]+)", 1)
-    host = F.when(url.rlike(_SCHEME_RE), with_scheme).otherwise(bare)
-    return F.regexp_replace(F.lower(host), r"^www\.", "")
+    return F.lower(F.when(url.rlike(_SCHEME_RE), with_scheme)
+                   .otherwise(bare))
+
+
+def url_authority(url: Column) -> Column:
+    """Lowercased authority, leading ``www.`` stripped, userinfo/port
+    KEPT — the canonical-URL building block (``http://h:8080/x`` and
+    ``http://h/x`` are different resources, so the port must survive
+    canonicalization)."""
+    return F.regexp_replace(_raw_authority(url), r"^www\.", "")
+
+
+def url_host(url: Column) -> Column:
+    """The NETWORK HOST for grouping/domain extraction: the authority
+    minus userinfo (``user:pass@``), port (``:8080``) and the leading
+    ``www.`` — ADVICE r4: without the strip, ``example.co.uk:8080``
+    suffix-matched nothing and per-domain caps split port-carrying URLs
+    into phantom domains. ``www.`` strips AFTER userinfo removal so
+    ``user@www.b.com`` still groups under ``b.com``. ``[::1]:8080``-style
+    bracketed IPv6 keeps its brackets (the port regex only strips a
+    trailing ``:digits``)."""
+    no_user = F.regexp_replace(_raw_authority(url), r"^[^@/]*@", "")
+    no_port = F.regexp_replace(no_user, r":[0-9]+$", "")
+    return F.regexp_replace(no_port, r"^www\.", "")
 
 
 def registered_domain(host: Column) -> Column:
-    """Public-suffix-aware registered domain: if the host's last two
-    labels are a multi-part public suffix (``co.jp``, ``co.uk``, ... —
-    bundled trimmed PSL snapshot, see functions/psl.py), the registrable
-    domain is the last THREE labels; otherwise the last two. Dotless
-    hosts (localhost, bare IPv6) and hosts that ARE a bare suffix fall
-    back to the host itself.
+    """Public-suffix-aware registered domain with FULL PSL semantics
+    (functions/psl.py): exact rules of any label count (``co.jp``,
+    ``chiyoda.tokyo.jp``, ``act.edu.au``), wildcard rules (``*.ck``,
+    ``*.sch.uk``) and exception rules (``!www.ck``), longest match wins,
+    exceptions prevail. Dotless hosts (localhost, bare IPv6) and hosts
+    that ARE a public suffix fall back to the host itself.
 
-    The snapshot compiles to a Catalyst ``IN`` set (InSet: JVM hash
-    probe, zero shuffle/Python). For a runtime-supplied full PSL use
-    ``functions.psl.registered_domain_join`` (broadcast join)."""
-    from ..functions.psl import MULTIPART_SUFFIXES
+    The bundled snapshot compiles to Catalyst ``IN`` sets (InSet: JVM
+    hash probe, zero shuffle/Python). For a runtime-supplied full PSL
+    use ``functions.psl.registered_domain_join`` (broadcast joins)."""
+    from ..functions.psl import registered_domain_col
 
-    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    return (F.when(two.isin(*MULTIPART_SUFFIXES) & (three != ""), three)
-            .when(two != "", two)
-            .otherwise(host))
+    return registered_domain_col(host)
 
 
 def _clean_query(url: Column) -> Column:
@@ -88,7 +106,7 @@ def canonical_url(url: Column) -> Column:
         F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
     q = _clean_query(url)
     canon = F.concat(
-        url_scheme(url), F.lit("://"), url_host(url), path,
+        url_scheme(url), F.lit("://"), url_authority(url), path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
     return F.when(url.rlike(_SCHEME_RE), canon).otherwise(url)
 

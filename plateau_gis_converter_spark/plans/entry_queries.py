@@ -1674,22 +1674,27 @@ FROM canon GROUP BY host
 
 
 def q_url_registered_domain(spark, sf_dir):
-    """Public-suffix-aware registered domain + scheme-less guard
-    (operators/urls.py, functions/psl.py — VERDICT r3 #2 / ADVICE r3):
-    derive hosts across multi-part ccTLD suffixes (.co.jp, .co.uk,
-    .ne.jp), plain TLDs, a private-section host (github.io — NOT in the
-    default ICANN view, so it groups by its LAST TWO labels), scheme-less
-    URLs and a dotless host:port, then aggregate per registered domain.
-    The oracle mirrors the suffix membership from the same bundled
-    snapshot and the scheme guard."""
+    """Registered domain with FULL PSL rule semantics (operators/urls.py,
+    functions/psl.py — VERDICT r4 #2): fixture hosts exercise two-label
+    exact rules (.co.jp, .co.uk), three-label exact rules
+    (chiyoda.tokyo.jp — a Tokyo 23-ward geographic suffix; act.edu.au),
+    a wildcard TLD (*.ck), the matching exception rule (!www.ck — all
+    17 synthetic hosts collapse into ONE domain www.ck), the ICANN-view
+    default for a private-section host (github.io), scheme-less URLs,
+    userinfo+port authorities (user:pw@host:8443 — ADVICE r4 strip) and
+    a dotless localhost:port. The oracle re-derives longest-match +
+    exception precedence from the RULE LIST itself via a join-based SQL
+    formulation (shared config = the rule list only; the matching logic
+    is independent of the Catalyst when-chain)."""
     from ..operators import urls
 
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    m6 = did % 6
-    tld = (F.when(m6 == 0, ".co.jp").when(m6 == 1, ".co.uk")
-           .when(m6 == 2, ".com").when(m6 == 3, ".ne.jp")
-           .when(m6 == 4, ".org").otherwise(".github.io"))
+    m8 = did % 8
+    tld = (F.when(m8 == 0, ".co.jp").when(m8 == 1, ".co.uk")
+           .when(m8 == 2, ".com").when(m8 == 3, ".chiyoda.tokyo.jp")
+           .when(m8 == 4, ".act.edu.au").when(m8 == 5, ".foo.ck")
+           .when(m8 == 6, ".www.ck").otherwise(".github.io"))
     host = F.concat(F.lit("site"), (did % 17).cast("string"), tld)
     m5 = did % 5
     url = (F.when(m5 == 0, F.concat(F.lit("https://www."), host,
@@ -1698,8 +1703,10 @@ def q_url_registered_domain(spark, sf_dir):
                                    F.lit("/b?utm_campaign=x&id="),
                                    (did % 4).cast("string")))
            .when(m5 == 2, F.concat(host, F.lit("/c")))      # scheme-less
-           .when(m5 == 3, F.concat(F.lit("https://"), host, F.lit("/")))
-           .otherwise(F.lit("localhost:8080/x")))           # dotless host
+           .when(m5 == 3, F.concat(F.lit("https://user:pw@"), host,
+                                   F.lit(":8443/d")))       # userinfo+port
+           .when(did % 2 == 0, F.lit("localhost:8080/x"))   # dotless host
+           .otherwise(F.concat(F.lit("https://"), host, F.lit("/"))))
     parts = urls.with_url_parts(docs.select(url.alias("url")))
     return (parts.groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_pages"),
@@ -1707,9 +1714,9 @@ def q_url_registered_domain(spark, sf_dir):
                  F.countDistinct("canonical_url").alias("n_canonical")))
 
 
-def _psl_in_list() -> str:
-    from ..functions.psl import MULTIPART_SUFFIXES
-    return ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+def _psl_rule_values() -> str:
+    from ..functions.psl import rules_sql_values
+    return rules_sql_values()
 
 
 SQL_URL_REGISTERED_DOMAIN = f"""
@@ -1718,15 +1725,17 @@ WITH pages AS (
            WHEN 0 THEN 'https://www.' || h || '/a/' || CAST(doc_id % 3 AS VARCHAR)
            WHEN 1 THEN 'HTTP://' || h || '/b?utm_campaign=x&id=' || CAST(doc_id % 4 AS VARCHAR)
            WHEN 2 THEN h || '/c'
-           WHEN 3 THEN 'https://' || h || '/'
-           ELSE 'localhost:8080/x'
+           WHEN 3 THEN 'https://user:pw@' || h || ':8443/d'
+           WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 'localhost:8080/x'
+                            ELSE 'https://' || h || '/' END
          END AS url
   FROM (SELECT doc_id,
                'site' || CAST(doc_id % 17 AS VARCHAR) ||
-               CASE doc_id % 6
+               CASE doc_id % 8
                  WHEN 0 THEN '.co.jp' WHEN 1 THEN '.co.uk'
-                 WHEN 2 THEN '.com'   WHEN 3 THEN '.ne.jp'
-                 WHEN 4 THEN '.org'   ELSE '.github.io'
+                 WHEN 2 THEN '.com'   WHEN 3 THEN '.chiyoda.tokyo.jp'
+                 WHEN 4 THEN '.act.edu.au' WHEN 5 THEN '.foo.ck'
+                 WHEN 6 THEN '.www.ck'    ELSE '.github.io'
                END AS h
         FROM documents)
 ),
@@ -1738,7 +1747,7 @@ parts AS (
         WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
         THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
         ELSE regexp_extract(url, '^([^/?#]+)', 1) END),
-        '^www\\.', '') AS host,
+        '^www\\.', '') AS auth,
     regexp_replace(regexp_extract(url,
         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
     array_to_string(list_filter(
@@ -1747,20 +1756,53 @@ parts AS (
             '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')), '&') AS q
   FROM pages
 ),
-canon AS (
-  SELECT host,
-    CASE WHEN has_scheme
-         THEN scheme || '://' || host || path ||
-              CASE WHEN q <> '' THEN '?' || q ELSE '' END
-         ELSE url END AS canonical_url,
-    CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
-              IN ({_psl_in_list()})
-          AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
-         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-         WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
-         THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
-         ELSE host END AS domain
+hosted AS (
+  SELECT *,
+    regexp_replace(regexp_replace(regexp_replace(auth,
+        '^[^@/]*@', ''), ':[0-9]+$', ''), '^www\\.', '') AS host
   FROM parts
+),
+rules(kind, suffix) AS (VALUES {_psl_rule_values()}),
+rsplit AS (
+  SELECT kind, string_split(suffix, '.') AS sl,
+         len(string_split(suffix, '.')) AS slen
+  FROM rules
+),
+hsplit AS (
+  SELECT host, string_split(host, '.') AS hl, len(string_split(host, '.')) AS hlen
+  FROM (SELECT DISTINCT host FROM hosted)
+),
+-- PSL matching from the rule list: a rule matches when the host ends
+-- with its labels (wildcard * consumes exactly one extra label).
+-- plen = resulting public-suffix label count; rank makes exceptions
+-- prevail over everything, then longest matched suffix wins.
+m AS (
+  SELECT h.host,
+    CASE r.kind WHEN 'exc'  THEN r.slen - 1
+                WHEN 'wild' THEN r.slen + 1
+                ELSE r.slen END AS plen,
+    CASE r.kind WHEN 'exc'  THEN 1000 + r.slen
+                WHEN 'wild' THEN r.slen + 1
+                ELSE r.slen END AS rank
+  FROM hsplit h JOIN rsplit r
+    ON h.hlen >= (CASE WHEN r.kind = 'wild' THEN r.slen + 1 ELSE r.slen END)
+   AND h.hl[-r.slen:] = r.sl
+),
+best AS (SELECT host, arg_max(plen, rank) AS plen FROM m GROUP BY host),
+dom AS (
+  SELECT h.host,
+    CASE WHEN h.hlen > coalesce(b.plen, 1)
+         THEN array_to_string(h.hl[-(coalesce(b.plen, 1) + 1):], '.')
+         ELSE h.host END AS domain
+  FROM hsplit h LEFT JOIN best b ON h.host = b.host
+),
+canon AS (
+  SELECT p.host, d.domain,
+    CASE WHEN p.has_scheme
+         THEN p.scheme || '://' || p.auth || p.path ||
+              CASE WHEN p.q <> '' THEN '?' || p.q ELSE '' END
+         ELSE p.url END AS canonical_url
+  FROM hosted p JOIN dom d ON p.host = d.host
 )
 SELECT domain,
        CAST(count(*) AS BIGINT) AS n_pages,

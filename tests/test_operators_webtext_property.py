@@ -121,6 +121,66 @@ def test_registered_domain_psl(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_registered_domain_full_psl_semantics(spark):
+    """VERDICT r4 #2: full PSL rule grammar — 3-label exact rules
+    (Tokyo-ward geographic .jp, .au state edu), wildcard rules (*.ck,
+    *.sch.uk, *.kawasaki.jp), exception rules (!www.ck,
+    !city.kawasaki.jp), exception precedence over wildcards, and the
+    host-is-public-suffix fallback. The broadcast-join variant must agree
+    case-for-case on the same rule list."""
+    from plateau_gis_converter_spark.functions import psl
+
+    cases = {
+        # 3-label exact rules
+        "site.chiyoda.tokyo.jp": "site.chiyoda.tokyo.jp",
+        "deep.site.chiyoda.tokyo.jp": "site.chiyoda.tokyo.jp",
+        "chiyoda.tokyo.jp": "chiyoda.tokyo.jp",   # is a public suffix
+        "foo.tokyo.jp": "foo.tokyo.jp",           # prefecture 2-label rule
+        "uni.act.edu.au": "uni.act.edu.au",
+        "plain.edu.au": "plain.edu.au",           # 2-label rule still wins
+        # wildcard rules: * consumes exactly one label
+        "x.foo.ck": "x.foo.ck",
+        "foo.ck": "foo.ck",                       # is a public suffix
+        "school.st-marys.sch.uk": "school.st-marys.sch.uk",
+        "st-marys.sch.uk": "st-marys.sch.uk",     # is a public suffix
+        "sch.uk": "sch.uk",                       # wildcard needs +1 label
+        "b.pref.kawasaki.jp": "b.pref.kawasaki.jp",
+        # exception rules prevail over the wildcard
+        "www.ck": "www.ck",
+        "a.www.ck": "www.ck",
+        "x.city.kawasaki.jp": "city.kawasaki.jp",
+        "city.kawasaki.jp": "city.kawasaki.jp",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host: string")
+    got = {r["host"]: r["d"] for r in df.select(
+        "host", urls.registered_domain(F.col("host")).alias("d")).collect()}
+    assert got == cases
+
+    joined = psl.registered_domain_join(df, psl.psl_df(spark))
+    got2 = {r["host"]: r["domain"] for r in joined.collect()}
+    assert got2 == cases
+
+
+def test_url_host_strips_userinfo_and_port(spark):
+    """ADVICE r4: example.co.uk:8080 must group under example.co.uk, not
+    a phantom 'co.uk:8080' domain; canonical URLs KEEP the port (a
+    ported URL is a different resource)."""
+    cases = ["https://example.co.uk:8080/x", "http://user:pw@a.co.jp/y",
+             "https://User@Www.B.com:443/z", "http://plain.com/q"]
+    df = spark.createDataFrame([(u,) for u in cases], "url: string")
+    rows = {r["url"]: r for r in df.select(
+        "url", urls.url_host(F.col("url")).alias("h"),
+        urls.registered_domain(urls.url_host(F.col("url"))).alias("d"),
+        urls.canonical_url(F.col("url")).alias("c")).collect()}
+    assert rows["https://example.co.uk:8080/x"]["h"] == "example.co.uk"
+    assert rows["https://example.co.uk:8080/x"]["d"] == "example.co.uk"
+    assert rows["https://example.co.uk:8080/x"]["c"] \
+        == "https://example.co.uk:8080/x"          # port survives canon
+    assert rows["http://user:pw@a.co.jp/y"]["h"] == "a.co.jp"
+    assert rows["https://User@Www.B.com:443/z"]["h"] == "b.com"
+    assert rows["http://plain.com/q"]["h"] == "plain.com"
+
+
 def test_canonical_url_schemeless_guard(spark):
     """ADVICE r3: scheme-less / malformed URLs must NOT collapse to
     '://' — they pass through raw; the host still extracts."""
