@@ -1936,6 +1936,62 @@ SELECT id AS doc_id, CAST(score AS BIGINT) AS score_e6 FROM s3
 """
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """Integer-exact PageRank with dangling-mass REDISTRIBUTION
+    (operators/graph.py, VERDICT r4 #5): every node whose doc_id ends in
+    7 has its out-edges removed, creating ~10% dangling sinks; each
+    iteration folds sum(dangling scores) div n uniformly into every
+    node's incoming mass before damping — total mass stays ~BASE instead
+    of deflating, still pure integer arithmetic. The oracle unrolls the
+    same three iterations with the dangling scalar as a subquery."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = (gr.synthetic_link_edges(docs, n)
+             .where(F.col("src") % 10 != 7))
+    pr = gr.pagerank_int(nodes, edges, iters=3, damping_pct=85,
+                         dangling="redistribute", n_nodes=n)
+    return pr.select(F.col("id").alias("doc_id"), "score_e6")
+
+
+_PR_DANG_ITER = """
+d{i} AS (
+  SELECT coalesce(sum(s{p}.score), 0) AS dm
+  FROM s{p} LEFT JOIN deg ON s{p}.id = deg.src
+  WHERE deg.src IS NULL),
+c{i} AS (
+  SELECT e.dst, sum(s{p}.score // d.out_degree) AS s
+  FROM e JOIN deg d ON e.src = d.src JOIN s{p} ON e.src = s{p}.id
+  GROUP BY 1),
+s{i} AS (
+  SELECT s{p}.id,
+         150000 + (85 * (coalesce(c{i}.s, 0) +
+                         (SELECT dm FROM d{i}) // (SELECT n FROM nn)))
+             // 100 AS score
+  FROM s{p} LEFT JOIN c{i} ON s{p}.id = c{i}.dst)"""
+
+SQL_PAGERANK_DANGLING = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0
+      WHERE src <> dst AND src % 10 <> 7),
+deg AS (SELECT src, count(*) AS out_degree FROM e GROUP BY 1),
+s0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS score FROM documents),
+""" + ",".join(_PR_DANG_ITER.format(i=i, p=i - 1) for i in (1, 2, 3)) + """
+SELECT id AS doc_id, CAST(score AS BIGINT) AS score_e6 FROM s3
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup PAIRS → dedup CLUSTERS (operators/graph.py
     connected_components): min-label propagation over the verified
@@ -2207,6 +2263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": q_repetition_quality,
     "chunk_dedup": q_chunk_dedup,
     "pagerank": q_pagerank,
+    "pagerank_dangling": q_pagerank_dangling,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "image_features": q_image_features,
@@ -2260,6 +2317,7 @@ ORACLES: dict[str, str] = {
     "repetition_quality": SQL_REPETITION,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "pagerank": SQL_PAGERANK,
+    "pagerank_dangling": SQL_PAGERANK_DANGLING,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "image_features": SQL_IMAGE_FEATURES,
