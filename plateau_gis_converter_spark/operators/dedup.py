@@ -339,7 +339,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
 
 
 def dedup_keep_list(docs: DataFrame, components: DataFrame,
-                    key_col: str = "doc_id") -> DataFrame:
+                    key_col: str = "doc_id",
+                    prefer: list | None = None) -> DataFrame:
     """Clusters -> deduplicated corpus: the final stage of the dedup
     pipeline (pairs -> clusters -> keep-list). For every document emit
     (key, component_id, kept): ``component_id`` is the cluster label from
@@ -349,16 +350,38 @@ def dedup_keep_list(docs: DataFrame, components: DataFrame,
     ``where(kept)`` IS the deduplicated corpus and ``where(NOT kept)``
     anti-joins away the duplicates.
 
-    Scale: one equi-join of the corpus against the component labels on the
-    key — the labels relation has one row per doc *that appeared in a
-    near-dup pair* (usually a small fraction of the corpus; Spark
-    broadcasts it when it fits, plain shuffle join otherwise). Everything
-    else is map-side.
+    ``prefer`` (VERDICT r4 #7): which cluster member to keep. Default
+    None keeps the min-id doc (= the component label itself — zero extra
+    work). A real pipeline usually keeps the best-quality or earliest
+    doc instead: pass a list of Columns whose lexicographic MINIMUM picks
+    the winner, e.g. ``[-F.col("quality"), F.col("warc_ts")]`` for
+    (quality desc, timestamp asc); the key is always the final tiebreak,
+    so the choice is deterministic.
+
+    Scale: one equi-join of the corpus against the component labels on
+    the key — the labels relation has one row per doc *that appeared in
+    a near-dup pair* (usually a small fraction of the corpus; Spark
+    broadcasts it when it fits, plain shuffle join otherwise). With
+    ``prefer``, one additional partial-agg ``min_by`` keyed by component
+    plus the join back — both shuffles keyed by component_id, no
+    all-pairs stage, no driver data.
     """
     comp = components.select(F.col("id").alias(key_col),
                              F.col("component_id").alias("__cid"))
     cid = F.coalesce(F.col("__cid"), F.col(key_col))
-    return (docs.select(key_col).join(comp, key_col, "left")
-            .select(key_col,
-                    cid.cast("bigint").alias("component_id"),
-                    (cid == F.col(key_col)).alias("kept")))
+    if prefer is None:
+        return (docs.select(key_col).join(comp, key_col, "left")
+                .select(key_col,
+                        cid.cast("bigint").alias("component_id"),
+                        (cid == F.col(key_col)).alias("kept")))
+    rank = F.struct(*[c.alias(f"__p{i}") for i, c in enumerate(prefer)],
+                    F.col(key_col).alias("__pk"))
+    labeled = (docs.select(F.col(key_col), rank.alias("__rank"))
+               .join(comp, key_col, "left")
+               .select(F.col(key_col), F.col("__rank"),
+                       cid.cast("bigint").alias("component_id")))
+    reps = (labeled.groupBy("component_id")
+            .agg(F.min_by(key_col, F.col("__rank")).alias("__keep")))
+    return (labeled.join(reps, "component_id")
+            .select(key_col, "component_id",
+                    (F.col(key_col) == F.col("__keep")).alias("kept")))

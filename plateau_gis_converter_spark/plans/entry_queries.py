@@ -2055,6 +2055,45 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-list with a QUALITY representative policy (operators/dedup.py
+    dedup_keep_list(prefer=...), VERDICT r4 #7): synthetic clusters of
+    up to 7 consecutive docs (every third cluster left unclustered to
+    exercise the singleton path); the kept doc per cluster is the
+    LONGEST (n_chars desc, doc_id tiebreak) instead of the min-id. The
+    oracle is an independent window-rank formulation (row_number over
+    partition) vs the engine's min_by aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    comp = (docs.where((F.expr("doc_id div 7") % 3) != 2)
+            .select(did.alias("id"),
+                    (F.expr("doc_id div 7") * 7).alias("component_id")))
+    return dd.dedup_keep_list(docs, comp,
+                              prefer=[-F.col("n_chars")])
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH comp AS (
+  SELECT doc_id AS id, (doc_id // 7) * 7 AS component_id
+  FROM documents WHERE (doc_id // 7) % 3 <> 2
+),
+lab AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+r AS (
+  SELECT doc_id, component_id,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT doc_id, CAST(component_id AS BIGINT) AS component_id,
+       rn = 1 AS kept
+FROM r
+"""
+
+
 def q_image_features(spark, sf_dir):
     """Image-feature extraction plumbing (operators/multimodal.py) with the
     deterministic stub decoder forced: width/height/channels/luma/phash
@@ -2211,6 +2250,51 @@ FROM c
 """
 
 
+def q_pack_composition(spark, sf_dir):
+    """Chunk composition — the inverse packing map a training loader
+    consumes (operators/packing.py pack_chunk_composition, VERDICT r4
+    #8): per (chunk, doc-span) row with intra-doc and intra-chunk
+    offsets, from one map-side explode of each doc's straddle range. The
+    oracle unrolls the same ranges with generate_series over the window
+    cumsum."""
+    from ..operators import packing as pk
+
+    docs = _t(spark, sf_dir, "documents")
+    return pk.pack_chunk_composition(docs, budget=1024)
+
+
+SQL_PACK_COMPOSITION = """
+WITH n AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '[^A-Za-z0-9_]+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS token_start
+  FROM n
+),
+x AS (
+  SELECT doc_id, n_tokens, token_start,
+    unnest(generate_series(token_start // 1024,
+                           (token_start + n_tokens - 1) // 1024))
+        AS chunk_id
+  FROM c WHERE n_tokens > 0
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+  CAST(greatest(token_start, chunk_id * 1024) - token_start AS BIGINT)
+      AS span_start,
+  CAST(least(token_start + n_tokens, (chunk_id + 1) * 1024)
+       - greatest(token_start, chunk_id * 1024) AS BIGINT) AS span_len,
+  CAST(greatest(token_start, chunk_id * 1024) - chunk_id * 1024 AS BIGINT)
+      AS chunk_offset
+FROM x
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -2266,10 +2350,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_dangling": q_pagerank_dangling,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
+    "dedup_keep_best": q_dedup_keep_best,
     "image_features": q_image_features,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "pack_chunks": q_pack_chunks,
+    "pack_composition": q_pack_composition,
 }
 
 ORACLES: dict[str, str] = {
@@ -2320,8 +2406,10 @@ ORACLES: dict[str, str] = {
     "pagerank_dangling": SQL_PAGERANK_DANGLING,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "image_features": SQL_IMAGE_FEATURES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_chunks": SQL_PACK_CHUNKS,
+    "pack_composition": SQL_PACK_COMPOSITION,
 }

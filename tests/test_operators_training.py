@@ -742,6 +742,70 @@ def test_pack_concat_chunks(spark):
     assert a == b
 
 
+def test_pack_chunk_composition_tiles_chunks(spark):
+    """VERDICT r4 #8: the inverse map's spans must exactly tile every
+    chunk — per chunk, spans ordered by chunk_offset are contiguous from
+    0 and sum to the chunk's size (budget except the last); per doc,
+    spans ordered by span_start are contiguous from 0 and sum to
+    n_tokens."""
+    from plateau_gis_converter_spark.operators import packing as pk
+
+    rows = [(0, ""), (1, "a " * 5), (2, "b " * 3), (3, ""),
+            (4, "c " * 7), (5, "d " * 2)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    comp = pk.pack_chunk_composition(df, budget=4).collect()
+    assert all(r["span_len"] > 0 for r in comp)
+    # zero-token docs contribute no spans
+    assert {r["doc_id"] for r in comp} == {1, 2, 4, 5}
+
+    by_chunk: dict = {}
+    for r in comp:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+    total_tokens = 5 + 3 + 7 + 2
+    for cid, spans in by_chunk.items():
+        spans.sort(key=lambda r: r["chunk_offset"])
+        pos = 0
+        for s in spans:
+            assert s["chunk_offset"] == pos
+            pos += s["span_len"]
+        expect = min(4, total_tokens - cid * 4)
+        assert pos == expect, (cid, pos, expect)
+
+    by_doc: dict = {}
+    for r in comp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    ntok = {1: 5, 2: 3, 4: 7, 5: 2}
+    for did, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_start"])
+        pos = 0
+        for s in spans:
+            assert s["span_start"] == pos
+            pos += s["span_len"]
+        assert pos == ntok[did]
+
+
+def test_dedup_keep_list_prefer_policy(spark):
+    """VERDICT r4 #7: prefer=[-quality] keeps the highest-quality doc
+    per cluster (doc-id tiebreak), singletons stay kept, and the default
+    policy still keeps the min-id representative."""
+    from plateau_gis_converter_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 30), (3, 5), (4, 99)],
+        "doc_id: long, quality: long")
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)],   # cluster {0,1,2}; 3 alone; 4 absent
+        "id: long, component_id: long")
+    best = {r["doc_id"]: r for r in dedup.dedup_keep_list(
+        docs, comp, prefer=[-F.col("quality")]).collect()}
+    assert [best[i]["kept"] for i in range(5)] \
+        == [False, True, False, True, True]   # 1 beats 2 on id tiebreak
+    default = {r["doc_id"]: r for r in
+               dedup.dedup_keep_list(docs, comp).collect()}
+    assert [default[i]["kept"] for i in range(5)] \
+        == [True, False, False, True, True]
+
+
 def test_ivf_partitioned_index_pruned_probe(spark, tmp_path):
     """VERDICT r3 #8: the on-disk IVF index is partitioned BY cent_id and
     a probe READS only the nprobe probed cells — proven by (a) the scan's
