@@ -146,20 +146,27 @@ def _cc_propagation(und: DataFrame, max_iters: int):
     return labels, max_iters, False
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedupe: bool = True) -> DataFrame:
     """Kiveris et al. 2014 large-star: for each node u, attach every
     STRICTLY LARGER neighbor v to m = min(Gamma(u) + {u}). Input edges
     must be DISTINCT and (larger, smaller)-oriented — then the
     symmetrized union is dup-free by construction (no distinct needed
-    on it, one shuffle saved per round); output is (larger, smaller)."""
+    on it, one shuffle saved per round); output is (larger, smaller).
+
+    ``dedupe=False`` skips the output ``distinct()`` (VERDICT r4 #9):
+    duplicate edges are SEMANTICALLY harmless downstream — small-star's
+    groupBy-min ignores multiplicity and its own final distinct restores
+    the dup-free invariant each round — so the only cost is join fan-out
+    vs the saved shuffle. Measured on the bench fixture (see
+    NOTES_r5.md) and kept as the default that measured faster."""
     sym = e.unionAll(e.select(F.col("v").alias("u"),
                               F.col("u").alias("v")))
     mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
             .select("u", F.least(F.col("u"), F.col("mv")).alias("m")))
-    return (sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct())
+    out = (sym.join(mins, "u")
+           .where(F.col("v") > F.col("u"))
+           .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    return out.distinct() if dedupe else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -174,7 +181,8 @@ def _small_star(e: DataFrame) -> DataFrame:
             .distinct())
 
 
-def _cc_alternating(und: DataFrame, max_iters: int):
+def _cc_alternating(und: DataFrame, max_iters: int,
+                    intermediate_distinct: bool = False):
     """Alternating large-star/small-star (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond"): converges in
     O(log^2 n) rounds — in practice a handful — versus O(diameter) for
@@ -187,6 +195,14 @@ def _cc_alternating(und: DataFrame, max_iters: int):
     a labeling that is constant across every original edge and maps roots
     to themselves is exactly the min-label CC labeling, so a premature
     stall cannot return wrong labels.
+
+    ``intermediate_distinct=False`` (default, VERDICT r4 #9): the
+    large-star output feeds small-star WITHOUT its own distinct — one
+    shuffle saved per round; small-star's trailing distinct restores the
+    dup-free invariant, so the per-round stall stats and results are
+    identical (pytest + measured parity). On the sf0.1 bench fixture the
+    trimmed round was faster in every paired rep (floors 2.6 s vs 3.7 s;
+    see NOTES_r5.md).
     Returns (labels(id, label), rounds, converged)."""
     nodes = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
     # oriented (larger, smaller) distinct edges — _large_star's required
@@ -195,7 +211,8 @@ def _cc_alternating(und: DataFrame, max_iters: int):
          .select(F.col("a").alias("u"), F.col("b").alias("v")))
     prev = None
     for i in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(
+            e, dedupe=intermediate_distinct)).localCheckpoint()
         # cheap stall TRIGGER: one aggregate over the edge set (labels
         # only decrease, so these stats stall at the fixpoint). The
         # trigger may rarely fire early — harmless, because the sound

@@ -85,13 +85,20 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
             raise
 
     # -- stage 1: near-dup keep-list ------------------------------------
-    if len(lineage.completed_partitions("keep_list")) < N_SHARDS:
+    # skip guard = the stage-level completion MARKER, not a committed-key
+    # count vs N_SHARDS (ADVICE r4: a legitimately empty shard never
+    # commits a key, so a count guard would recompute the whole
+    # minhash+CC stage on every resume; results stayed correct via the
+    # per-key anti-join, but the 'rebuilds nothing committed' promise
+    # failed for stage-1 compute)
+    if not lineage.stage_complete("keep_list"):
         pairs = dd.minhash_dedup_pairs(
             docs, threshold=minhash_threshold).select("doc_a", "doc_b")
         comp = gr.connected_components(pairs)
         keep = (dd.dedup_keep_list(docs, comp)
                 .withColumn("shard", _shard()))
         _run_stage(keep, "keep_list", "shard")
+        lineage.mark_stage_complete("keep_list")
     committed = {"keep_list": (len(lineage.completed_partitions("keep_list"))
                                - before["keep_list"])}
 
@@ -99,20 +106,23 @@ def run_curation_pipeline(spark: SparkSession, docs: DataFrame,
     keep_df = spark.read.parquet(os.path.join(out_root, "keep_list"))
     kept_docs = (docs.join(keep_df.where(F.col("kept"))
                            .select("doc_id"), "doc_id"))
-    if len(lineage.completed_partitions("sampled")) < len(rates_ppm):
+    if not lineage.stage_complete("sampled"):
         sampled = sp.stratified_sample(kept_docs, rates_ppm,
                                        stratum_col="lang",
                                        key_col="doc_id", salt=run_id)
         _run_stage(sampled.where(F.col("lang").isin(*rates_ppm))
                    .select("doc_id", "lang", "text"), "sampled", "lang")
+        lineage.mark_stage_complete("sampled")
     committed["sampled"] = (len(lineage.completed_partitions("sampled"))
                             - before["sampled"])
 
     # -- stage 3: sequence packing (reads stage-2 output) ---------------
-    sampled_df = spark.read.parquet(os.path.join(out_root, "sampled"))
-    packed = (pk.pack_concat_chunks(sampled_df, budget=budget)
-              .withColumn("shard", _shard()))
-    _run_stage(packed, "packed", "shard")
+    if not lineage.stage_complete("packed"):
+        sampled_df = spark.read.parquet(os.path.join(out_root, "sampled"))
+        packed = (pk.pack_concat_chunks(sampled_df, budget=budget)
+                  .withColumn("shard", _shard()))
+        _run_stage(packed, "packed", "shard")
+        lineage.mark_stage_complete("packed")
     committed["packed"] = (len(lineage.completed_partitions("packed"))
                            - before["packed"])
     return committed

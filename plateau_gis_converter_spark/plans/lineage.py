@@ -56,6 +56,26 @@ class LineageLog:
                         done.add(rec["partition_key"])
         return done
 
+    def stage_complete(self, stage: str) -> bool:
+        """Stage-LEVEL completion marker (ADVICE r4): per-key commits
+        can't distinguish 'stage finished with some keys legitimately
+        empty' from 'stage interrupted' — counting committed keys
+        against an expected total makes every resume recompute a stage
+        whose missing keys simply produced no rows. The marker records
+        the whole stage's success explicitly."""
+        path = os.path.join(self._dir(), f"{stage}.complete.json")
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            rec = json.load(f)
+        return rec["run_id"] == self.run_id or rec.get("terminal", True)
+
+    def mark_stage_complete(self, stage: str) -> None:
+        path = os.path.join(self._dir(), f"{stage}.complete.json")
+        with open(path, "w") as f:
+            json.dump({"run_id": self.run_id, "stage": stage,
+                       "terminal": True}, f)
+
     def commit(self, stage: str, partition_key: str, rows_out: int,
                bytes_out: int, wall_ms: int, terminal: bool = True) -> None:
         path = os.path.join(self._dir(), f"{stage}.jsonl")

@@ -56,7 +56,8 @@ def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
 
 
 def streaming_dedup_first_seen(pages: DataFrame,
-                               text_col: str = "text") -> DataFrame:
+                               text_col: str = "text",
+                               ttl_ms: int | None = None) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: emit each
     document fingerprint's FIRST occurrence across the unbounded stream and
     suppress every later duplicate — the streaming form of
@@ -64,6 +65,25 @@ def streaming_dedup_first_seen(pages: DataFrame,
     ingest exactly like this). State per fingerprint key: the count of
     occurrences seen so far (O(1) per key, keyed state store scales with
     distinct fingerprints, not rows).
+
+    ``ttl_ms`` (VERDICT r4 #4): with the default ``None`` the dedup is
+    EXACT and the state store grows with distinct fingerprints forever —
+    right for bounded backfills, unbounded for production ingest. Passing
+    a TTL switches to ``ProcessingTimeTimeout``: a fingerprint idle
+    longer than ``ttl_ms`` is EVICTED (its timeout callback removes the
+    state), so a duplicate arriving after the eviction is re-emitted as
+    a fresh first-seen. That bounds state to the fingerprints active
+    within any TTL window at the cost of recall on duplicates further
+    apart than the TTL — the standard streaming-dedup memory/recall
+    trade (Spark's own dropDuplicates-with-watermark makes the same
+    one in event time). The TTL clock restarts on every occurrence
+    (setTimeoutDuration per batch that touches the key).
+
+    Operational gotcha: with ProcessingTimeTimeout Spark's micro-batch
+    engine never quiesces (``shouldRunAnotherBatch`` is always true so
+    timers can fire on empty batches) — ``processAllAvailable()`` will
+    BLOCK FOREVER on such a query; poll the sink or use
+    ``awaitTermination`` with a deadline instead.
 
     The emitted representative is the MIN url among the fingerprint's
     occurrences in the micro-batch where it first appears — a
@@ -84,6 +104,11 @@ def streaming_dedup_first_seen(pages: DataFrame,
 
     def dedup_fn(key, pdf_iter, state: GroupState):
         (fingerprint,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL with no new data: evict — the next
+            # occurrence of this fingerprint starts a fresh first-seen
+            state.remove()
+            return
         seen = state.get[0] if state.exists else 0
         best_url = None
         n = 0
@@ -94,12 +119,16 @@ def streaming_dedup_first_seen(pages: DataFrame,
                 if best_url is None or m < best_url:
                     best_url = m
         state.update((seen + n,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if seen == 0 and n > 0:
             yield pd.DataFrame({"fingerprint": [fingerprint],
                                 "url": [best_url],
                                 "n_dups_so_far": [n]})
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
     keyed = pages.withColumn("fingerprint", F.md5(F.col(text_col)))
     return (keyed.groupBy("fingerprint")
             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout))

@@ -87,3 +87,29 @@ def test_curation_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert committed2 == {"keep_list": 0, "sampled": 0, "packed": 0}
     for f, t in mtimes.items():
         assert os.path.getmtime(f) == t, f"{f} rewritten on resume"
+
+
+def test_resume_skips_compute_with_empty_stratum(spark, tmp_path,
+                                                 monkeypatch):
+    """ADVICE r4: a stratum with zero rows ('xx' below) never commits a
+    lineage key, so the old count-vs-total skip guard recomputed the
+    whole minhash+CC stage on every resume. With stage-level completion
+    markers the resumed run must not re-enter stage-1 compute AT ALL —
+    proven by poisoning minhash_dedup_pairs after the first run."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out_root = str(tmp_path / "cur")
+    rates = dict(RATES, xx=1_000_000)   # no 'xx' docs exist
+
+    committed = cp.run_curation_pipeline(
+        spark, docs, out_root, run_id="c1", rates_ppm=rates, budget=64)
+    assert committed["sampled"] == len(RATES)   # 'xx' never commits
+
+    def _poisoned(*a, **k):
+        raise AssertionError("stage-1 compute re-entered on resume")
+
+    monkeypatch.setattr(cp.dd, "minhash_dedup_pairs", _poisoned)
+    monkeypatch.setattr(cp.sp, "stratified_sample", _poisoned)
+    monkeypatch.setattr(cp.pk, "pack_concat_chunks", _poisoned)
+    committed2 = cp.run_curation_pipeline(
+        spark, docs, out_root, run_id="c1", rates_ppm=rates, budget=64)
+    assert committed2 == {"keep_list": 0, "sampled": 0, "packed": 0}

@@ -638,6 +638,13 @@ def test_connected_components_deep_chain(spark):
     assert alt_ok and alt_rounds < 15
     got = {r["id"]: r["label"] for r in alt_labels.collect()}
     assert got == {i: 0 for i in range(n)}
+    # VERDICT r4 #9: trimming large-star's intermediate distinct must not
+    # change labels or round count (small-star's distinct restores the
+    # invariant each round)
+    kept_labels, kept_rounds, kept_ok = gr._cc_alternating(
+        und, 40, intermediate_distinct=True)
+    assert kept_ok and kept_rounds == alt_rounds
+    assert {r["id"]: r["label"] for r in kept_labels.collect()} == got
     # plain propagation needs ~diameter rounds on the same graph
     _, prop_rounds, prop_ok = gr._cc_propagation(und, n + 5)
     assert prop_ok and prop_rounds > 3 * alt_rounds
