@@ -141,13 +141,13 @@ def main():
                   "events_sessionize", "events_windowed", "dedup_ngram_jaccard",
                   "minhash_signatures", "simhash", "embedding_topk",
                   "hilbert_tile_id", "tile_rollup", "spatial_join_pip",
-                  "text_features", "ann_ivf_topk", "vshift_geoid",
+                  "text_features", "extract_text", "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
                   "url_host_stats", "repetition_quality", "chunk_dedup",
                   "pagerank", "pagerank_dangling", "image_features",
                   "stratified_sample", "decontaminate", "pack_chunks",
                   "pack_composition", "url_registered_domain",
-                  "dedup_keep_best",
+                  "dedup_keep_best", "domain_cap",
                   "stream_first_seen", "skew_salted_agg",
                   "adaptive_cell_split", "lod_filter_chain"]:
         fn = eq.QUERIES[qname]

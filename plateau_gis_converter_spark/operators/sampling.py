@@ -63,3 +63,45 @@ def deterministic_split(df: DataFrame, key_col: str,
         F.when(b < val_ppm, F.lit("val"))
         .when(b < val_ppm + test_ppm, F.lit("test"))
         .otherwise(F.lit("train")))
+
+
+def cap_per_group(df: DataFrame, group_col: str, n_max: int,
+                  order_by: list | None = None,
+                  key_col: str = "doc_id",
+                  skew_salts: int = 0) -> DataFrame:
+    """Per-group document cap (domain diversification): keep at most
+    ``n_max`` rows per group — the standard per-registered-domain cap
+    that stops one SEO farm from dominating a training mix. The kept
+    rows are the lexicographic-MIN ``n_max`` under ``order_by`` (e.g.
+    ``[-F.col("quality")]`` keeps the highest-quality pages); the key is
+    always the final tiebreak, so the cap is deterministic — same kept
+    set on every run, partitioning, and engine (exact SQL oracle).
+
+    Scale / skew: the naive plan is one ``row_number`` window keyed by
+    group — a single shuffle, but a hot group (a 10^9-page domain)
+    becomes ONE task's sort. ``skew_salts = S > 0`` switches to the
+    two-phase top-N: phase 1 ranks within (group, md5-salt-of-key) and
+    keeps ``n_max`` per salt cell (hot group -> S parallel cells), phase
+    2 ranks the <= S * n_max survivors per group. The union of per-cell
+    top-N always contains the global top-N, so the result is IDENTICAL
+    to the unsalted plan (the ``domain_cap`` gate proves invariance
+    against the plain-window oracle) — same pattern as
+    operators/skew.py's salted aggregation, applied to ranking.
+    """
+    from pyspark.sql import Window
+
+    order_by = list(order_by or [])
+    order_cols = [*order_by, F.col(key_col)]
+    if skew_salts and skew_salts > 1:
+        salt = hash_bucket(F.col(key_col), "cap") % skew_salts
+        pre = (df.withColumn("__rk1", F.row_number().over(
+                   Window.partitionBy(F.col(group_col), salt)
+                   .orderBy(*order_cols)))
+               .where(F.col("__rk1") <= n_max))
+        ranked = pre.withColumn("__rk", F.row_number().over(
+            Window.partitionBy(group_col).orderBy(*order_cols)))
+        return (ranked.where(F.col("__rk") <= n_max)
+                .drop("__rk1", "__rk"))
+    ranked = df.withColumn("__rk", F.row_number().over(
+        Window.partitionBy(group_col).orderBy(*order_cols)))
+    return ranked.where(F.col("__rk") <= n_max).drop("__rk")

@@ -1673,6 +1673,113 @@ FROM canon GROUP BY host
 """
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-registered-domain document cap (operators/sampling.py
+    cap_per_group): synthesize hosts over multi-part suffixes (reusing
+    the PSL semantics), cap at 3 docs per domain keeping the longest
+    (n_chars desc, doc_id tiebreak), via the SKEW-SALTED two-phase
+    top-N path (skew_salts=4). The oracle is the plain single-window
+    row_number formulation — passing proves the salted plan is
+    result-invariant, the same proof shape as skew_salted_agg."""
+    from ..operators import sampling as smp
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m4 = did % 4
+    tld = (F.when(m4 == 0, ".co.jp").when(m4 == 1, ".com")
+           .when(m4 == 2, ".co.uk").otherwise(".org"))
+    host = F.concat(F.lit("site"), (did % 5).cast("string"), tld)
+    pages = docs.select("doc_id", "n_chars",
+                        urls.registered_domain(host).alias("domain"))
+    capped = smp.cap_per_group(pages, "domain", 3,
+                               order_by=[-F.col("n_chars")],
+                               skew_salts=4)
+    return capped.select("doc_id", "domain",
+                         F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+SQL_DOMAIN_CAP = """
+WITH pages AS (
+  SELECT doc_id, n_chars,
+    'site' || CAST(doc_id % 5 AS VARCHAR) ||
+    CASE doc_id % 4 WHEN 0 THEN '.co.jp' WHEN 1 THEN '.com'
+                    WHEN 2 THEN '.co.uk' ELSE '.org' END AS domain
+  FROM documents
+),
+r AS (
+  SELECT doc_id, domain, n_chars,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM pages
+)
+SELECT doc_id, domain, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rk <= 3
+"""
+
+
+def q_extract_text(spark, sf_dir):
+    """HTML -> text extraction round-trip (operators/html.py): wrap each
+    document's text in a full html page — script with embedded tags and
+    ``<`` in code, style, comments, entity-encoded title/heading and an
+    ``&nbsp;``/``&lt;``-carrying tail — extract with the pure-Catalyst
+    rule chain, and assert byte-identity against the independently
+    reconstructed expected text (the BASELINE.json per-row invariant:
+    extracted text byte-identical per url/doc). The oracle re-derives
+    the entire chain in DuckDB (RE2 (?s)/non-greedy semantics match
+    Java's for these patterns)."""
+    from ..operators import html as ht
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit('<html><head><title>T&amp;C</title>'
+              '<script>if(a<b){s="</p>"}</script>'
+              '<style>p{color:red}</style></head>'
+              '<body><!-- no --><h1>&quot;Doc&quot; '),
+        did.cast("string"),
+        F.lit('</h1><p>'), F.col("text"),
+        F.lit(' &nbsp;&lt;end&gt;</p></body></html>'))
+    ex = ht.html_extract_text(page)
+    expected = F.concat(
+        F.lit('T&C "Doc" '), did.cast("string"), F.lit(" "),
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+        F.lit(" <end>"))
+    return docs.select(
+        "doc_id", ex.alias("text_extracted"),
+        (ex == expected).alias("matches"))
+
+
+SQL_EXTRACT_TEXT = """
+WITH pages AS (
+  SELECT doc_id, text,
+    '<html><head><title>T&amp;C</title><script>if(a<b){s="</p>"}</script>'
+    || '<style>p{color:red}</style></head><body><!-- no --><h1>&quot;Doc&quot; '
+    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+    || ' &nbsp;&lt;end&gt;</p></body></html>' AS html
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS text_extracted
+  FROM pages
+)
+SELECT doc_id, text_extracted,
+  text_extracted = 'T&C "Doc" ' || CAST(doc_id AS VARCHAR) || ' '
+    || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' <end>' AS matches
+FROM ex
+"""
+
+
 def q_url_registered_domain(spark, sf_dir):
     """Registered domain with FULL PSL rule semantics (operators/urls.py,
     functions/psl.py — VERDICT r4 #2): fixture hosts exercise two-label
@@ -2344,6 +2451,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3 webtext operators
     "url_host_stats": q_url_host_stats,
     "url_registered_domain": q_url_registered_domain,
+    "extract_text": q_extract_text,
+    "domain_cap": q_domain_cap,
     "repetition_quality": q_repetition_quality,
     "chunk_dedup": q_chunk_dedup,
     "pagerank": q_pagerank,
@@ -2400,6 +2509,8 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF,
     "url_host_stats": SQL_URL_HOST_STATS,
     "url_registered_domain": SQL_URL_REGISTERED_DOMAIN,
+    "extract_text": SQL_EXTRACT_TEXT,
+    "domain_cap": SQL_DOMAIN_CAP,
     "repetition_quality": SQL_REPETITION,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "pagerank": SQL_PAGERANK,

@@ -253,6 +253,17 @@ number to read on this VM:
 | spatial join | {paired['join']['eff_8_16']:.3f} | {paired['join']['eff_8_32']:.3f} | {paired['join']['eff_8_32_vs_hw']:.3f} |
 | tile assign | {paired['tile']['eff_8_16']:.3f} | {paired['tile']['eff_8_32']:.3f} | {paired['tile']['eff_8_32_vs_hw']:.3f} |
 
+## Per-cycle dispersion (VERDICT r4 #3)
+
+One bad minute must be visible, not buried in a median. Per-cycle paired
+raw efficiencies, min / median / max across the {os.environ.get(
+    "SPARK_GRAFT_SCALING_CYCLES", "3")} cycles:
+
+| job | 8->16 cycles | 8->32 cycles |
+|---|---|---|
+| spatial join | {min(paired['join']['cycles_8_16']):.3f} / {_median(paired['join']['cycles_8_16']):.3f} / {max(paired['join']['cycles_8_16']):.3f} — {[round(x, 3) for x in paired['join']['cycles_8_16']]} | {min(paired['join']['cycles_8_32']):.3f} / {_median(paired['join']['cycles_8_32']):.3f} / {max(paired['join']['cycles_8_32']):.3f} — {[round(x, 3) for x in paired['join']['cycles_8_32']]} |
+| tile assign | {min(paired['tile']['cycles_8_16']):.3f} / {_median(paired['tile']['cycles_8_16']):.3f} / {max(paired['tile']['cycles_8_16']):.3f} — {[round(x, 3) for x in paired['tile']['cycles_8_16']]} | {min(paired['tile']['cycles_8_32']):.3f} / {_median(paired['tile']['cycles_8_32']):.3f} / {max(paired['tile']['cycles_8_32']):.3f} — {[round(x, 3) for x in paired['tile']['cycles_8_32']]} |
+
 ## Reading
 
 * north_rule asks >= 0.8 efficiency between N and 4N EXECUTORS. On this

@@ -791,6 +791,36 @@ def test_pack_chunk_composition_tiles_chunks(spark):
         assert pos == ntok[did]
 
 
+def test_cap_per_group_salted_matches_plain(spark):
+    """Per-group cap: the skew-salted two-phase top-N keeps EXACTLY the
+    same rows as the single-window plan (union of per-cell top-N
+    contains the global top-N), including a hot group bigger than the
+    cap and groups smaller than the cap."""
+    from plateau_gis_converter_spark.operators import sampling as smp
+
+    rows = [(i, "hot" if i < 400 else f"g{i % 7}", i * 37 % 101)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id: long, g: string, q: long")
+    plain = smp.cap_per_group(df, "g", 5, order_by=[-F.col("q")])
+    salted = smp.cap_per_group(df, "g", 5, order_by=[-F.col("q")],
+                               skew_salts=8)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
+    counts = {r["g"]: r["n"] for r in
+              plain.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert counts["hot"] == 5
+    assert all(n <= 5 for n in counts.values())
+    # determinism of the kept set under the quality policy
+    kept_hot = sorted(r["doc_id"] for r in plain
+                      .where(F.col("g") == "hot").collect())
+    qs = sorted(((i * 37 % 101), i) for i in range(400))
+    expect = sorted(i for qq, i in
+                    sorted(((-q, i) for q, i in qs))[:5])
+    assert kept_hot == expect
+
+
 def test_dedup_keep_list_prefer_policy(spark):
     """VERDICT r4 #7: prefer=[-quality] keeps the highest-quality doc
     per cluster (doc-id tiebreak), singletons stay kept, and the default

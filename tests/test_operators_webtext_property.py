@@ -181,6 +181,48 @@ def test_url_host_strips_userinfo_and_port(spark):
     assert rows["http://plain.com/q"]["h"] == "plain.com"
 
 
+def test_html_extract_text_rules_and_parity(spark):
+    """HTML->text extraction (operators/html.py): script/style bodies
+    dropped wholesale (even with embedded tags and '<' in code),
+    comments dropped, tags stripped, entities single-pass decoded
+    (&amp;lt; -> literal '&lt;'), whitespace collapsed; the Arrow pandas
+    variant is byte-identical to the Catalyst chain; binary and string
+    inputs agree; the fixture pages round-trip to their source text."""
+    from plateau_gis_converter_spark.operators import html as ht
+    from plateau_gis_converter_spark.sources import fixtures as fx
+
+    cases = [
+        ("<p>hello  world</p>", "hello world"),
+        ('<script>if(a<b){s="</p>"}</script><b>x</b>', "x"),
+        ("<style>p{color:red}</style>ok", "ok"),
+        ("<!-- secret --><i>v</i>", "v"),
+        ("&quot;a&quot; &amp; &#39;b&#39; &lt;c&gt;", "\"a\" & 'b' <c>"),
+        ("&amp;lt;", "&lt;"),              # single-pass, non-recursive
+        ("a&nbsp;b", "a b"),
+        ("  <div> \n sp aced \t </div> ", "sp aced"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html: string")
+    got = [r["t"] for r in df.select(
+        ht.html_extract_text(F.col("html")).alias("t")).collect()]
+    assert got == [e for _, e in cases]
+
+    pd_got = [r["text_extracted"] for r in
+              ht.html_extract_text_pandas(df).collect()]
+    assert pd_got == got
+
+    # binary input (the pages table's html column) decodes identically,
+    # and the fixture pages round-trip: extracted == stored text
+    pages = spark.createDataFrame(
+        fx.pages_table(200).to_pandas())
+    rt = pages.select(
+        "text", ht.html_extract_text(F.col("html")).alias("ex"))
+    assert rt.where(F.col("ex") != F.col("text")).count() == 0
+    pd_rt = ht.html_extract_text_pandas(pages)
+    assert pd_rt.where(
+        F.col("text_extracted") != F.col("text")).count() == 0
+
+
 def test_canonical_url_schemeless_guard(spark):
     """ADVICE r3: scheme-less / malformed URLs must NOT collapse to
     '://' — they pass through raw; the host still extracts."""

@@ -170,3 +170,30 @@ def test_round4_query_scans_prune_columns(spark):
         scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
+
+
+def test_round5_query_scans_prune_columns_and_stay_jvm(spark):
+    """Round-5 gates: scans prune to exactly the needed columns and the
+    pure-Catalyst ones (extract_text, domain_cap, dedup_keep_best,
+    pagerank_dangling) contain NO Python eval stage."""
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "extract_text": {"doc_id", "text"},
+        "domain_cap": {"doc_id", "n_chars"},
+        "dedup_keep_best": {"doc_id", "n_chars"},
+        "pagerank_dangling": {"doc_id"},
+        # pack's range-exchange is pinned by an eager localCheckpoint, so
+        # the FINAL plan has no parquet scan at all (its doc_id+text
+        # scan already ran) — asserted empty on purpose
+        "pack_composition": set(),
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
