@@ -140,7 +140,7 @@ def main():
     for qname in ["pricing_summary", "revenue_by_nation", "window_top_orders",
                   "events_sessionize", "events_windowed", "dedup_ngram_jaccard",
                   "minhash_signatures", "simhash", "embedding_topk",
-                  "hilbert_tile_id", "tile_rollup", "spatial_join_pip",
+                  "hilbert_tile_id", "rasterize_heatmap", "tile_rollup", "spatial_join_pip",
                   "text_features", "extract_text", "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
                   "url_host_stats", "repetition_quality", "chunk_dedup",

@@ -1,0 +1,100 @@
+"""Raster <-> vector bridge: point rasterization onto the web-mercator
+pixel grid, and the inverse pixel -> lng/lat cell geometry.
+
+north_star: "raster<->vector tiling that reproduces the reference's
+implicit-quadtree tile scheme and zoom-level MVT clipping rules". The
+vector side (tile assignment, MVT slicing, quadtree rollup) ships in
+operators/tile_assign.py + sinks/mvt.py; this module adds the RASTER
+side the same way a density/heatmap tile layer is produced at scale:
+
+* ``rasterize_points`` — each point lands on a global pixel at zoom z
+  with ``tile_px`` pixels per tile axis (the MVT extent analog; the
+  reference's slicer works in exactly this normalized mercator pixel
+  space, nusamai-mvt/src/webmercator.rs:11-16 + sink/mvt/slice.rs),
+  then one partial-agg groupBy counts points per pixel. Output one row
+  per NON-EMPTY pixel: (z, x, y, px, py, n_points) — the sparse raster
+  representation (dense 256x256 arrays would carry ~65k zeros per tile
+  at web-scale sparsity).
+* ``raster_cell_bounds`` — the inverse map back to vector space: each
+  pixel's lng/lat bounding box in micro-degrees (exact inverse-mercator,
+  the same formula chain both engines evaluate in identical op order so
+  the gate hash-matches).
+
+Scale: rasterize is ONE shuffle (the pixel groupBy, partial-combined
+map-side); everything else is codegen'd arithmetic on the scan. The
+pixel key (z,x,y,px,py) is the natural partition key for a downstream
+per-tile raster sink — repartition by (x,y) and each task emits whole
+tiles. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+
+def _global_pixel(mx, my, zoom: int, tile_px: int):
+    """Global pixel indices at zoom: floor(m * 2^z * P) with the slicer's
+    rem_euclid wrap on x and clamp on y (slice.rs:107-195 semantics,
+    applied at pixel rather than tile granularity)."""
+    n = 1 << zoom
+    world = float(n * tile_px)
+    gx = F.floor(mx * F.lit(world)).cast("bigint")
+    gx = ((gx % int(world)) + int(world)) % int(world)
+    gy = F.floor(my * F.lit(world)).cast("bigint")
+    gy = F.greatest(F.lit(0).cast("bigint"),
+                    F.least(gy, F.lit(int(world) - 1)))
+    return gx, gy
+
+
+def rasterize_points(pts: DataFrame, zoom: int, tile_px: int = 256,
+                     lng_col: str = "lng_udeg",
+                     lat_col: str = "lat_udeg") -> DataFrame:
+    """Sparse point-density raster at ``zoom``: one row per non-empty
+    pixel with (z, x, y, px, py, n_points)."""
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col(lng_col)))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col(lat_col)))
+    gx, gy = _global_pixel(mx, my, zoom, tile_px)
+    p = F.lit(tile_px).cast("bigint")
+    return (pts.select((gx / p).cast("bigint").alias("x"),
+                       (gy / p).cast("bigint").alias("y"),
+                       (gx % p).alias("px"), (gy % p).alias("py"))
+            .groupBy("x", "y", "px", "py")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .select(F.lit(zoom).cast("int").alias("z"),
+                    "x", "y", "px", "py", "n_points"))
+
+
+def raster_cell_bounds(raster: DataFrame, zoom: int,
+                       tile_px: int = 256) -> DataFrame:
+    """Vector geometry back from raster space: per pixel the lng/lat
+    bounding box in micro-degrees (lng from the linear mercator x,
+    lat via exact inverse mercator). Appends lng_min_udeg / lat_min_udeg
+    / lng_max_udeg / lat_max_udeg."""
+    world = float((1 << zoom) * tile_px)
+    p = F.lit(tile_px).cast("bigint")
+    gx = F.col("x") * p + F.col("px")
+    gy = F.col("y") * p + F.col("py")
+
+    def lng_udeg(g):
+        return F.floor((g.cast("double") / F.lit(world) * F.lit(360.0)
+                        - F.lit(180.0)) * F.lit(1e6) + F.lit(0.5)) \
+            .cast("bigint")
+
+    def lat_udeg(g):
+        # inverse of mercator_my: lat = degrees(2*atan(exp(radians(
+        #   180 - 360*my)))) - 90, my = g / world
+        my = g.cast("double") / F.lit(world)
+        lat = (F.degrees(F.lit(2.0) * F.atan(F.exp(F.radians(
+            F.lit(180.0) - F.lit(360.0) * my)))) - F.lit(90.0))
+        return F.floor(lat * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    return (raster
+            .withColumn("lng_min_udeg", lng_udeg(gx))
+            .withColumn("lng_max_udeg", lng_udeg(gx + F.lit(1)))
+            # gy grows SOUTH (mercator y down): the cell's min latitude
+            # is its bottom edge gy+1
+            .withColumn("lat_min_udeg", lat_udeg(gy + F.lit(1)))
+            .withColumn("lat_max_udeg", lat_udeg(gy)))

@@ -157,6 +157,51 @@ FROM pts, zs
 """
 
 
+def q_rasterize_heatmap(spark, sf_dir):
+    """Raster<->vector bridge (operators/raster.py): rasterize the
+    synthetic points onto the z=11 mercator pixel grid (16 px/tile),
+    count points per non-empty pixel (the sparse heatmap-tile
+    representation), then map each pixel BACK to vector space as a
+    micro-degree lng/lat bbox via exact inverse mercator. The oracle
+    re-derives pixel indices and the inverse projection with the same
+    op order (float determinism per the module-header rules)."""
+    from ..operators import raster as ra
+
+    pts = _points_df(spark, sf_dir)
+    r = ra.rasterize_points(pts, zoom=11, tile_px=16)
+    return ra.raster_cell_bounds(r, zoom=11, tile_px=16)
+
+
+SQL_RASTERIZE = f"""
+WITH {POINTS_CTE},
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 32768.0) AS BIGINT) % 32768 + 32768) % 32768)
+        AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 32768.0) AS BIGINT), 32767)) AS gy
+  FROM pts
+),
+r AS (
+  SELECT gx // 16 AS x, gy // 16 AS y, gx % 16 AS px, gy % 16 AS py,
+         CAST(count(*) AS BIGINT) AS n_points
+  FROM g GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(11 AS INT) AS z, x, y, px, py, n_points,
+  CAST(floor(((x * 16 + px) / 32768.0 * 360.0 - 180.0) * 1000000.0 + 0.5)
+       AS BIGINT) AS lng_min_udeg,
+  CAST(floor(((x * 16 + px + 1) / 32768.0 * 360.0 - 180.0) * 1000000.0 + 0.5)
+       AS BIGINT) AS lng_max_udeg,
+  CAST(floor((degrees(2.0 * atan(exp(radians(180.0 - 360.0 *
+       ((y * 16 + py + 1) / 32768.0))))) - 90.0) * 1000000.0 + 0.5)
+       AS BIGINT) AS lat_min_udeg,
+  CAST(floor((degrees(2.0 * atan(exp(radians(180.0 - 360.0 *
+       ((y * 16 + py) / 32768.0))))) - 90.0) * 1000000.0 + 0.5)
+       AS BIGINT) AS lat_max_udeg
+FROM r
+"""
+
+
 def q_hilbert_tile_id(spark, sf_dir):
     """G8: PMTiles Hilbert ids for the z12..15 tiles (vectorized Arrow UDF)."""
     pts = _points_df(spark, sf_dir)
@@ -2407,6 +2452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geocode": q_geocode,
     "tile_assign": q_tile_assign,
     "hilbert_tile_id": q_hilbert_tile_id,
+    "rasterize_heatmap": q_rasterize_heatmap,
     "spatial_join_pip": q_spatial_join,
     "tile_agg": q_tile_agg,
     "tile_rollup": q_tile_rollup,
@@ -2471,6 +2517,7 @@ ORACLES: dict[str, str] = {
     "geocode": SQL_GEOCODE,
     "tile_assign": SQL_TILE_ASSIGN,
     "hilbert_tile_id": SQL_HILBERT,
+    "rasterize_heatmap": SQL_RASTERIZE,
     "spatial_join_pip": SQL_SPATIAL_JOIN,
     "tile_agg": SQL_TILE_AGG,
     "tile_rollup": SQL_TILE_ROLLUP,

@@ -157,3 +157,47 @@ def test_tile_assign_derivation_matches_kernel(spark):
     a = sig(ta.assign_point_tiles(df, 7, 15, tile_id_impl="catalyst"))
     b = sig(ta.assign_point_tiles(df, 7, 15, tile_id_impl="arrow"))
     assert list(a) == list(b)
+
+
+def test_rasterize_points_counts_and_inverse_bounds(spark):
+    """Raster bridge (operators/raster.py): pixel counts sum to the
+    input point count, every pixel is within its tile's 16x16 grid, and
+    the inverse cell bbox CONTAINS every point that rasterized into it
+    (vector -> raster -> vector round-trip containment)."""
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.operators import raster as ra
+
+    pts = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 7919) % 360_000_000 - 180_000_000).alias("lng_udeg"),
+        ((F.col("id") * 104729) % 160_000_000 - 80_000_000).alias("lat_udeg"))
+    r = ra.rasterize_points(pts, zoom=11, tile_px=16)
+    total = r.agg(F.sum("n_points")).collect()[0][0]
+    assert total == 3000
+    assert r.where((F.col("px") < 0) | (F.col("px") > 15)
+                   | (F.col("py") < 0) | (F.col("py") > 15)).count() == 0
+
+    cells = ra.raster_cell_bounds(r, zoom=11, tile_px=16)
+    # recompute each point's pixel and join to its cell: the point must
+    # sit inside the cell's bbox (1-udeg slack for the round-to-udeg)
+    from plateau_gis_converter_spark.functions import geo
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    world = (1 << 11) * 16
+    gx = ((F.floor(mx * world).cast("bigint") % world + world) % world)
+    gy = F.greatest(F.lit(0).cast("bigint"),
+                    F.least(F.floor(my * world).cast("bigint"),
+                            F.lit(world - 1)))
+    keyed = pts.select(
+        "lng_udeg", "lat_udeg",
+        (gx / 16).cast("bigint").alias("x"), (gy / 16).cast("bigint").alias("y"),
+        (gx % 16).alias("px"), (gy % 16).alias("py"))
+    joined = keyed.join(cells, ["x", "y", "px", "py"])
+    assert joined.count() == 3000
+    bad = joined.where(
+        (F.col("lng_udeg") < F.col("lng_min_udeg") - 1)
+        | (F.col("lng_udeg") > F.col("lng_max_udeg") + 1)
+        | (F.col("lat_udeg") < F.col("lat_min_udeg") - 1)
+        | (F.col("lat_udeg") > F.col("lat_max_udeg") + 1)).count()
+    assert bad == 0
