@@ -96,24 +96,34 @@ def main():
 
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    jobs: list = []
 
-    def run(name, fn, reps: int = 3, setup=None):
+    def run(name, fn, setup=None):
         # VERDICT r4 #1: this sandbox's hypervisor neighbors cause ~10x
         # minute-scale throughput swings (BENCH/BASELINE.md), so one
         # sample per query left the official artifact hostage to host
-        # weather. Protocol: >=3 reps per query, REPORT THE FLOOR (the
-        # floor is the least-contended sample and comparable across
-        # rounds) plus every raw rep so a regression stays attributable.
-        rs = []
-        for _ in range(reps):
-            spark.catalog.clearCache()  # later reps JIT-warm, cache-cold
-            if setup is not None:
-                setup()
-            t0 = time.time()
-            fn()
-            rs.append(round(time.time() - t0, 3))
-        timings[name] = min(rs)
-        all_reps[name] = rs
+        # weather. Protocol: 3 reps per query, REPORT THE FLOOR (the
+        # least-contended sample, comparable across rounds) plus every
+        # raw rep so a regression stays attributable. Reps are
+        # INTERLEAVED — three full passes over the suite, not 3
+        # back-to-back runs per query — so a bad host minute degrades
+        # one pass of many queries instead of ALL reps of one query
+        # (observed: a ~70 s stall once swallowed every consecutive rep
+        # of a single query while its isolated floor was 8x lower).
+        jobs.append((name, fn, setup))
+
+    def execute(passes: int = 3):
+        for _ in range(passes):
+            for name, fn, setup in jobs:
+                spark.catalog.clearCache()  # JIT-warm, cache-cold
+                if setup is not None:
+                    setup()
+                t0 = time.time()
+                fn()
+                all_reps.setdefault(name, []).append(
+                    round(time.time() - t0, 3))
+        for name, rs in all_reps.items():
+            timings[name] = min(rs)
 
     # headline: spatial join + tile assignment throughput over N_PAGES.
     # Warm pass covers (a) whole-stage-codegen JIT and (b) the OS page cache
@@ -182,13 +192,14 @@ def main():
     run("dedup_keep_list",
         lambda: dd.dedup_keep_list(staged["docs"], staged["comp"]).count())
 
+    execute(passes=3)
     total = round(sum(timings.values()), 3)
     spatial_secs = timings["spatial_join_1m"] + timings["tile_assign_1m"]
     throughput = round(2 * N_PAGES / spatial_secs, 1)
     print(json.dumps({
         "metric": "headline suite wall time (spatial join + tile assign on "
                   f"{N_PAGES} pages + operator queries at sf_dir); "
-                  "per-query floor of >=3 reps",
+                  "per-query floor of 3 INTERLEAVED passes",
         "value": total,
         "unit": "sec",
         "queries": timings,
