@@ -1,0 +1,155 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval
+(range) join, both expressed as compositions of existing DataFrame ops
+(one keyed shuffle each, zero Python) so Catalyst/Tungsten keep the whole
+plan in codegen.
+
+The reference engine has no temporal joins (it is a batch file converter);
+these are engine additions for the web-pipeline side of the graft —
+joining crawl events to the most recent fetch-rate mark (as-of), or crawl
+timestamps to campaign/maintenance windows (interval containment) — the
+same operators a TSDB calls ASOF JOIN / range join.
+
+Scale notes (100 TB):
+
+* ``asof_join`` is the union+ordered-window formulation: tag right rows
+  seq=0 and left rows seq=1, sort-within-key once, carry the last non-null
+  right payload forward. ONE shuffle on the join key (the window), no
+  per-row Python, no point-vs-point inequality join (which Spark would
+  execute as a broadcast nested loop). Skewed keys behave like any window
+  skew (salt upstream if one key dominates).
+* ``interval_join_points`` bins both sides on a fixed time grid whose
+  width must be >= the longest interval, so every interval overlaps at
+  most 2 bins; the join becomes a plain equi-join on the bin id (AQE
+  handles residual bin skew) instead of the O(n*m) inequality join. Each
+  (interval, bin) row is unique and a point belongs to exactly one bin, so
+  containment needs no post-dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              values: Sequence[str] = (), direction: str = "backward",
+              tolerance_us: int | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """For each left row, attach the payload of the nearest right row at or
+    before (``backward``) / at or after (``forward``) the left timestamp,
+    per join key. Inclusive on ties (left ts == right ts matches), matching
+    DuckDB/pandas ``merge_asof(allow_exact_matches=True)``.
+
+    Returns all left columns plus, per ``values`` column ``v``, a column
+    ``v + suffix``, plus ``matched_ts + suffix`` (timestamp of the matched
+    right row; null when no match or outside ``tolerance_us``).
+
+    Right rows should be unique per (key, right_ts); with duplicates the
+    row with the largest ordering position wins (make it deterministic by
+    pre-aggregating the right side).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on = list(on)
+    lcols = left.columns
+    # union frame: join keys + event time + seq tag + right payload
+    rsel = [*on, F.col(right_ts).alias("__ts"), F.lit(0).alias("__seq")]
+    rsel += [F.lit(None).cast(left.schema[c].dataType).alias(c)
+             for c in lcols if c not in on]
+    rsel += [F.col(v).alias(f"__v_{v}") for v in values]
+    lsel = [*on, F.col(left_ts).alias("__ts"), F.lit(1).alias("__seq")]
+    lsel += [F.col(c) for c in lcols if c not in on]
+    lsel += [F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}")
+             for v in values]
+    unioned = right.select(*rsel).unionByName(left.select(*lsel))
+
+    # backward: ascending scan, right-before-left on equal ts so equal ts
+    # matches (inclusive). forward: descending scan, same tag order.
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__seq").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__seq").asc()]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    matched_ts = F.last(F.when(F.col("__seq") == 0, F.col("__ts")),
+                        ignorenulls=True).over(w)
+    carried = {v: F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w)
+               for v in values}
+
+    out = (unioned
+           .withColumn("__mts", matched_ts)
+           .withColumns({f"__c_{v}": c for v, c in carried.items()})
+           .where(F.col("__seq") == 1))
+
+    if tolerance_us is not None:
+        gap = F.abs(F.unix_micros(F.col("__ts")) -
+                    F.unix_micros(F.col("__mts")))
+        ok = F.col("__mts").isNotNull() & (gap <= F.lit(int(tolerance_us)))
+    else:
+        ok = F.col("__mts").isNotNull()
+
+    proj = [F.col(c) for c in on]
+    proj += [F.col("__ts").alias(left_ts)]
+    proj += [F.col(c) for c in lcols if c not in on and c != left_ts]
+    proj += [F.when(ok, F.col(f"__c_{v}")).alias(f"{v}{suffix}")
+             for v in values]
+    proj += [F.when(ok, F.col("__mts")).alias(f"matched_ts{suffix}")]
+    return out.select(*proj)
+
+
+def explode_interval_bins(intervals: DataFrame, start: str, end: str,
+                          bin_width_us: int) -> DataFrame:
+    """One row per (interval, covered time bin); ``end`` exclusive.
+
+    ``bin_width_us`` must be >= max interval length so each interval covers
+    at most 2 bins (asserted per-row: a longer interval raises at runtime
+    via element_at on an oversized sequence being allowed — we instead fail
+    fast with a filter+raise_error guard).
+    """
+    s_us = F.unix_micros(F.col(start))
+    e_us = F.unix_micros(F.col(end))
+    w = F.lit(int(bin_width_us))
+    too_long = e_us - s_us > w
+    # end-exclusive: last covered bin is floor((end-1)/w). The guard lives
+    # INSIDE the consumed expression (a dangling projection would be pruned
+    # by Catalyst and never evaluated).
+    bins = F.when(too_long, F.raise_error(F.format_string(
+        "interval longer than bin_width_us: %d us", e_us - s_us))
+        .cast("array<bigint>")).otherwise(
+        F.sequence(F.floor(s_us / w), F.floor((e_us - F.lit(1)) / w)))
+    return intervals.withColumn("bin", F.explode(bins))
+
+
+def interval_join_points(points: DataFrame, intervals: DataFrame,
+                         pt_ts: str = "ts", start: str = "start_ts",
+                         end: str = "end_ts", bin_width_us: int = 3_600_000_000,
+                         keys: Sequence[str] = ()) -> DataFrame:
+    """Inner containment join: point rows matched to every interval with
+    ``start <= pt_ts < end`` (and equal ``keys`` if given), via the binned
+    equi-join described in the module docstring. Output: all interval
+    columns + all point columns (join keys once).
+    """
+    keys = list(keys)
+    iv = explode_interval_bins(intervals, start, end, int(bin_width_us))
+    # prefix the point side so both sides may derive from the SAME scan
+    # (e.g. marks vs non-marks of one events table) without tripping
+    # Spark's ambiguous-self-join detection
+    pts = points.select(
+        *[F.col(c).alias(f"__pt_{c}") for c in points.columns])
+    pt_bin = F.floor(F.unix_micros(F.col(f"__pt_{pt_ts}")) /
+                     F.lit(int(bin_width_us)))
+    pts = pts.withColumn("__pt_bin", pt_bin)
+    cond = F.col("bin") == F.col("__pt_bin")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__pt_{k}"))
+    joined = iv.join(pts, cond, "inner").where(
+        (F.col(f"__pt_{pt_ts}") >= F.col(start)) &
+        (F.col(f"__pt_{pt_ts}") < F.col(end)))
+    proj = [F.col(c) for c in intervals.columns]
+    proj += [F.col(f"__pt_{c}").alias(c)
+             for c in points.columns if c not in keys]
+    return joined.select(*proj)

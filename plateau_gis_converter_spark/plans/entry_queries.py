@@ -2447,6 +2447,99 @@ FROM x
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): every non-mark event gets
+    the most recent mark row (event_id % 5 == 0, unique per (user, ts)) at
+    or before its timestamp, per user — one keyed window shuffle, zero
+    Python, no inequality join. Inclusive on equal timestamps. Oracle:
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent engine
+    implementation of the same semantics, not a mirrored formulation.
+    No-match rows are coalesced to sentinels (-1 / -1.0) on both sides so
+    the compare never depends on engine null representation."""
+    from ..operators import temporal as tp
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    marks = (e.where(F.col("event_id") % 5 == 0)
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("mark_id"),
+                  F.max("value").alias("mark_value")))
+    lefts = e.where(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts")
+    j = tp.asof_join(lefts, marks, on=["user_id"],
+                     values=["mark_id", "mark_value"])
+    return j.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.coalesce(F.col("mark_id_asof"), F.lit(-1)).cast("bigint")
+        .alias("mark_id"),
+        F.coalesce(F.unix_micros("matched_ts_asof"), F.lit(-1))
+        .cast("bigint").alias("mark_ts_us"),
+        F.coalesce(F.col("mark_value_asof"), F.lit(-1.0)).alias("mark_value"))
+
+
+SQL_ASOF_JOIN = """
+WITH marks AS (
+  SELECT user_id, ts, max(event_id) AS mark_id, max(value) AS mark_value
+  FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 <> 0)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       CAST(coalesce(m.mark_id, -1) AS BIGINT) AS mark_id,
+       CAST(coalesce(epoch_us(m.ts), -1) AS BIGINT) AS mark_ts_us,
+       coalesce(m.mark_value, -1.0) AS mark_value
+FROM l ASOF LEFT JOIN marks m ON l.user_id = m.user_id AND l.ts >= m.ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Interval containment join (operators/temporal.interval_join_points):
+    mark events (event_id % 7 == 0) open a [ts, ts + (1 + id%50) min)
+    window; every other event is matched by containment via the BINNED
+    equi-join (bin width 1 h >= max interval length, so each interval
+    covers <= 2 bins) — no O(n*m) inequality join, one equi-join shuffle.
+    Aggregated per interval; empty intervals kept with zeros. Oracle: the
+    plain inequality join DuckDB executes natively (its IEJoin)."""
+    from ..operators import temporal as tp
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    iv = (e.where(F.col("event_id") % 7 == 0)
+          .select(F.col("event_id").alias("interval_id"),
+                  F.col("ts").alias("start_ts"),
+                  F.timestamp_micros(
+                      F.unix_micros("ts") +
+                      (F.lit(1) + F.col("event_id") % 50) * F.lit(60_000_000))
+                  .alias("end_ts")))
+    pts = e.where(F.col("event_id") % 7 != 0).select("event_id", "ts")
+    matched = tp.interval_join_points(
+        pts, iv, pt_ts="ts", start="start_ts", end="end_ts",
+        bin_width_us=3_600_000_000)
+    agg = (matched.groupBy("interval_id")
+           .agg(F.count(F.lit(1)).alias("n_pts"),
+                F.sum("event_id").alias("sum_ids")))
+    return (iv.select("interval_id").join(agg, "interval_id", "left")
+            .select("interval_id",
+                    F.coalesce(F.col("n_pts"), F.lit(0)).cast("bigint")
+                    .alias("n_pts"),
+                    F.coalesce(F.col("sum_ids"), F.lit(0)).cast("bigint")
+                    .alias("sum_ids")))
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT event_id AS interval_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + (1 + event_id % 50) * 60000000 AS e_us
+  FROM events WHERE event_id % 7 = 0),
+p AS (SELECT event_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_id % 7 <> 0)
+SELECT iv.interval_id,
+       CAST(count(p.event_id) AS BIGINT) AS n_pts,
+       CAST(coalesce(sum(p.event_id), 0) AS BIGINT) AS sum_ids
+FROM iv LEFT JOIN p ON p.t_us >= iv.s_us AND p.t_us < iv.e_us
+GROUP BY iv.interval_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -2511,6 +2604,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pack_chunks": q_pack_chunks,
     "pack_composition": q_pack_composition,
+    # round-5 temporal joins
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2570,4 +2666,6 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "pack_chunks": SQL_PACK_CHUNKS,
     "pack_composition": SQL_PACK_COMPOSITION,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
 }
