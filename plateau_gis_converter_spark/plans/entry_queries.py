@@ -2447,6 +2447,42 @@ FROM x
 """
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/bloom.py): benchmark
+    shingles (doc_id % 89 == 0) build a Bloom filter (k=4 JVM xxhash64
+    probes folded into InSet predicates — zero Python, zero shuffle); only
+    corpus shingles passing the filter reach the exact broadcast verify
+    join, so the result is IDENTICAL to the plain operator (no false
+    negatives by construction, false positives removed by the verify).
+    The oracle is the exact computation — the gate therefore proves the
+    prefilter is lossless, the same invariance pattern as
+    ``skew_salted_agg`` vs plain GROUP BY."""
+    from ..operators import bloom as bl
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 89 == 0)
+    out = bl.decontaminate_bloom(docs, bench, n=3, min_shared=2,
+                                 m_bits=1 << 18, k=4, probe="inset")
+    return out.select("doc_id", "n_shared",
+                      F.col("contaminated").cast("int").cast("bigint")
+                      .alias("contaminated"))
+
+
+SQL_DECONTAMINATE_BLOOM = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0),
+shared AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh s JOIN bench b ON s.shingle = b.shingle GROUP BY 1
+),
+base AS (SELECT DISTINCT doc_id FROM sh)
+SELECT base.doc_id,
+       coalesce(shared.n_shared, 0) AS n_shared,
+       CAST(coalesce(shared.n_shared, 0) >= 2 AS BIGINT) AS contaminated
+FROM base LEFT JOIN shared ON base.doc_id = shared.doc_id
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.asof_join): every non-mark event gets
     the most recent mark row (event_id % 5 == 0, unique per (user, ts)) at
@@ -2604,9 +2640,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pack_chunks": q_pack_chunks,
     "pack_composition": q_pack_composition,
-    # round-5 temporal joins
+    # round-5 temporal joins + bloom prefilter
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }
 
 ORACLES: dict[str, str] = {
@@ -2668,4 +2705,5 @@ ORACLES: dict[str, str] = {
     "pack_composition": SQL_PACK_COMPOSITION,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "decontaminate_bloom": SQL_DECONTAMINATE_BLOOM,
 }
