@@ -2447,6 +2447,36 @@ FROM x
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingestion round-trip (sources/warc.py): documents are packed
+    into concatenated WARC/1.0 response records per archive file (pure
+    Catalyst binary fold), then split back by the real Content-Length-
+    driven mapInPandas parser. The oracle re-derives every parsed field
+    (url->doc_id, WARC-Date->epoch micros, Content-Length, payload md5)
+    directly from the documents table — so the gate proves the binary
+    framing + header parse are exact, the same extraction-parity pattern
+    as ``extract_text``."""
+    from ..sources import warc as wc
+
+    docs = _t(spark, sf_dir, "documents")
+    files = wc.synth_warc_files(docs, docs_per_file=100)
+    parsed = wc.parse_warc_records(files)
+    return parsed.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "ts_us", "content_length",
+        F.md5("payload").alias("payload_md5"))
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts_us,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination (operators/bloom.py): benchmark
     shingles (doc_id % 89 == 0) build a Bloom filter (k=4 JVM xxhash64
@@ -2644,6 +2674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -2706,4 +2737,5 @@ ORACLES: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "decontaminate_bloom": SQL_DECONTAMINATE_BLOOM,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
 }
