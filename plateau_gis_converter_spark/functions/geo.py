@@ -146,3 +146,60 @@ def point_udeg_cols(id_col: Column) -> tuple[Column, Column]:
     dense = (i % F.lit(10)) < 4
     return (F.when(dense, dlng).otherwise(lng).alias("lng_udeg"),
             F.when(dense, dlat).otherwise(lat).alias("lat_udeg"))
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _int_div(a: Column, c: int) -> Column:
+    """Exact integer division on bigint columns: (a - a mod c) / c. The
+    subtraction makes the dividend an exact multiple, so the double divide
+    is exact (result magnitudes here stay far below 2^53) — avoids the
+    floor(double-div) misround at exact-boundary inputs."""
+    c = int(c)
+    return ((a - F.pmod(a, F.lit(c))) / F.lit(c)).cast("bigint")
+
+
+def geohash_udeg(lng_udeg: Column, lat_udeg: Column,
+                 chars: int = 7) -> Column:
+    """Base-32 geohash of an integer micro-degree point — the prefix-cell
+    index family alongside z/x/y quadkeys and Hilbert ids: a cell at
+    precision p is the length-p prefix of every finer cell inside it, so
+    prefix equality IS spatial containment (prefix joins, LIKE-pruning).
+
+    All-integer arithmetic (bit index = floor((coord + off) * 2^bits /
+    span) over micro-degrees; intermediates < 2^47), so cell boundaries
+    are exact and the DuckDB oracle (per-char div/mod arithmetic —
+    an independent formulation of the interleave) agrees bit-for-bit.
+    Pure Catalyst: shift/or fold into one 5*chars-bit key, then base-32
+    chars via element_at. Even interleave bits (MSB-first) come from
+    longitude, odd from latitude, per the public geohash spec.
+    """
+    chars = int(chars)
+    if not 1 <= chars <= 12:
+        raise ValueError(f"chars must be in 1..12, got {chars}")
+    nbits = 5 * chars
+    lng_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lng_idx = F.least(
+        _int_div((lng_udeg.cast("bigint") + F.lit(180_000_000))
+                 * F.lit(1 << lng_bits), 360_000_000),
+        F.lit((1 << lng_bits) - 1))
+    lat_idx = F.least(
+        _int_div((lat_udeg.cast("bigint") + F.lit(90_000_000))
+                 * F.lit(1 << lat_bits), 180_000_000),
+        F.lit((1 << lat_bits) - 1))
+    combined = F.lit(0).cast("bigint")
+    for j in range(nbits):
+        if j % 2 == 0:
+            bit = F.shiftright(lng_idx, lng_bits - 1 - j // 2)
+        else:
+            bit = F.shiftright(lat_idx, lat_bits - 1 - (j - 1) // 2)
+        combined = combined.bitwiseOR(
+            F.shiftleft(bit.bitwiseAND(F.lit(1)), nbits - 1 - j))
+    alpha = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    parts = [F.element_at(
+        alpha, (F.shiftright(combined, 5 * (chars - 1 - c))
+                .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
+        for c in range(chars)]
+    return F.concat(*parts)

@@ -2447,6 +2447,61 @@ FROM x
 """
 
 
+def q_geohash_cells(spark, sf_dir):
+    """Base-32 geohash prefix-cell index (functions/geo.geohash_udeg):
+    7-char cell per synthetic point (pure-Catalyst integer bit-interleave
+    fold), plus the per-5-char-prefix occupancy count — exercising the
+    property that makes geohash useful at scale: prefix equality IS
+    containment, so coarse-cell statistics need only a substring, never a
+    re-encode. Oracle: an independent per-char div/mod arithmetic
+    formulation of the interleave over the SAME exact integer indices
+    (all-integer math, so cell boundaries cannot disagree by float
+    rounding)."""
+    pts = _points_df(spark, sf_dir)
+    gh = geo.geohash_udeg(F.col("lng_udeg"), F.col("lat_udeg"), 7)
+    d = pts.select("doc_id", gh.alias("gh7"))
+    w = Window.partitionBy(F.substring("gh7", 1, 5))
+    return d.select(
+        "doc_id", "gh7",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_cell5"))
+
+
+def _geohash_sql_char(c: int) -> str:
+    """One base-32 output char as div/mod arithmetic over the bit indices
+    (independent of the Spark shift/or-fold formulation)."""
+    terms = []
+    for k in range(5):
+        j = 5 * c + k
+        if j % 2 == 0:
+            src, s = "lng_idx", 17 - j // 2
+        else:
+            src, s = "lat_idx", 16 - (j - 1) // 2
+        terms.append(f"(({src} // {1 << s}) % 2) * {1 << (4 - k)}")
+    from ..functions.geo import GEOHASH_ALPHABET
+    return (f"substr('{GEOHASH_ALPHABET}', "
+            f"CAST({' + '.join(terms)} AS INT) + 1, 1)")
+
+
+SQL_GEOHASH_CELLS = f"""
+WITH {POINTS_CTE},
+idx AS (
+  SELECT doc_id,
+    least(((lng_udeg + 180000000) * {1 << 18}) // 360000000,
+          {(1 << 18) - 1}) AS lng_idx,
+    least(((lat_udeg + 90000000) * {1 << 17}) // 180000000,
+          {(1 << 17) - 1}) AS lat_idx
+  FROM pts),
+gh AS (
+  SELECT doc_id,
+    {' || '.join(_geohash_sql_char(c) for c in range(7))} AS gh7
+  FROM idx)
+SELECT doc_id, gh7,
+       CAST(count(*) OVER (PARTITION BY substr(gh7, 1, 5)) AS BIGINT)
+           AS n_in_cell5
+FROM gh
+"""
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC ingestion round-trip (sources/warc.py): documents are packed
     into concatenated WARC/1.0 response records per archive file (pure
@@ -2675,6 +2730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "decontaminate_bloom": q_decontaminate_bloom,
     "warc_roundtrip": q_warc_roundtrip,
+    "geohash_cells": q_geohash_cells,
 }
 
 ORACLES: dict[str, str] = {
@@ -2738,4 +2794,5 @@ ORACLES: dict[str, str] = {
     "range_join": SQL_RANGE_JOIN,
     "decontaminate_bloom": SQL_DECONTAMINATE_BLOOM,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "geohash_cells": SQL_GEOHASH_CELLS,
 }
