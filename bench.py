@@ -159,7 +159,11 @@ def main():
                   "pack_composition", "url_registered_domain",
                   "dedup_keep_best", "domain_cap",
                   "stream_first_seen", "skew_salted_agg",
-                  "adaptive_cell_split", "lod_filter_chain"]:
+                  "adaptive_cell_split", "lod_filter_chain",
+                  "asof_join", "range_join", "decontaminate_bloom",
+                  "warc_roundtrip", "geohash_cells",
+                  "heavy_hitters", "weighted_sample", "grid_cluster",
+                  "bm25_topk"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

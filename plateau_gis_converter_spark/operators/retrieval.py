@@ -1,0 +1,151 @@
+"""BM25-shaped full-text retrieval over the corpus (inverted scoring).
+
+A curation pipeline constantly answers "which documents best match this
+probe?" — benchmark-contamination audits, topic filtering, nearest
+training docs for an eval item.  The classical engine for that is an
+inverted index + BM25 (Robertson & Spärck Jones; the Okapi formulation
+with k1 tf-saturation and b length normalization).  On Spark the index
+IS a DataFrame of postings, and scoring is one join + one aggregation:
+
+* **postings (map + one partial-agg shuffle)**: explode word-bigram
+  terms -> ``(doc_id, term, tf)``.  Bigrams (not unigrams) keep the
+  vocabulary discriminative on web text, same shape as
+  ``dedup.shingles``.
+* **corpus stats**: doc length ``dl`` (bigram count), total length
+  ``T = sum(dl)``, doc count ``N`` — O(1) scalars; per-term ``df`` — a
+  second partial agg over postings.
+* **scoring**: queries are a SMALL relation -> ``broadcast`` join
+  against postings on term (the posting-list probe; never a corpus
+  shuffle), then one groupBy (query, doc) sum.
+* **top-k**: ``row_number`` per query over (score desc, doc_id).
+
+INTEGER-EXACT scoring (the house discipline — integer-exact PageRank,
+geohash, raster): with k1 = 6/5 and b = 3/4, the Okapi tf-saturation
+term ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with the exact
+rational ``avgdl = T/N`` reduces to the all-integer ratio
+
+    sat_micro = (22 * tf * T * 10^6) // (10*tf*T + 3*T + 9*dl*N)
+
+and the idf uses the exact-rational surrogate ``idf_micro =
+((N - df) * 10^6) // df + 10^6`` — monotone-decreasing in df like
+``ln((N - df + .5)/(df + .5))`` but with no transcendental, so both
+engines agree bit-for-bit (a float ``ln`` can round differently across
+libms, which a value-hash gate cannot tolerate).  Score =
+``sum(idf_micro * sat_micro // 10^6)``.  Overflow bound: the sat
+numerator needs ``22 * tf * T * 10^6 < 2^63`` i.e. ``tf * T <
+4.2e11`` — fine through sf1-scale fixtures; a trillion-token corpus
+runs the same plan with the documented float scoring (``exact=False``)
+where hash-gating is not required.
+
+Scale: postings/df are partial-aggregated (map-side combine), the query
+side is broadcast, and nothing ever collects the corpus.  Skewed terms
+(stop-bigrams) are a real hazard at web scale — cap them upstream with
+``frequent.heavy_hitters`` as a stop-list (the standard trick), which
+composes as a broadcast anti-join on term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import _ngrams, _tokens
+
+MICRO = 1_000_000
+
+
+def doc_terms(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term) posting occurrences — word bigrams, one per
+    occurrence (tf = occurrence count downstream)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(F.col(text_col)).alias("toks"))
+    return toks.select("doc_id",
+                       F.explode(_ngrams(F.col("toks"), 2)).alias("term"))
+
+
+def postings(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf) + per-doc length dl — one partial-agg shuffle."""
+    occ = doc_terms(docs, text_col, id_col)
+    tf = occ.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dl = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              exact: bool = True) -> DataFrame:
+    """Top-k docs per query by BM25 (k1=1.2, b=0.75).
+
+    ``queries``: (query_id bigint, term string) — one row per query
+    term.  Returns (query_id, rank, doc_id, score_micro).
+
+    ``exact=True`` (default): the integer-exact rational scoring above —
+    hash-gateable, valid while ``22 * tf * T * 10^6 < 2^63``.
+    ``exact=False``: the standard Okapi float scoring (ln idf) for
+    corpora past the int64 ceiling; same plan shape, same ranking
+    tiebreak, score in micro-units rounded to bigint.
+    """
+    post = postings(docs, text_col, id_col)
+    # O(1) corpus scalars: N docs with >=1 term, T total bigram tokens
+    row = (post.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+           .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("dl").alias("t"))
+           .collect()[0])
+    n_docs, t_total = int(row["n"]), int(row["t"])
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+
+    q = F.broadcast(queries.select("query_id", "term"))
+    hits = (post.join(q, "term")
+            .join(F.broadcast(dfreq), "term"))
+    if exact:
+        # `div` = exact int64 integer division (never a double
+        # round-trip) — the only ceiling is int64 overflow:
+        # 22*tf*T*1e6 < 2^63
+        contrib = F.expr(
+            f"(((({n_docs} - df) * {MICRO}) div df + {MICRO})"
+            f" * ((22 * tf * {t_total} * {MICRO})"
+            f"    div (10 * tf * {t_total} + 3 * {t_total}"
+            f"         + 9 * dl * {n_docs}))) div {MICRO}")
+    else:
+        idf = F.log(F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        avgdl = float(t_total) / float(n_docs)
+        sat = (F.col("tf") * 2.2) / (
+            F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+        contrib = F.round(idf * sat * MICRO).cast("bigint")
+    scored = (hits.withColumn("c", contrib)
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("c").cast("bigint").alias("score_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score_micro"))
+
+
+def corpus_queries(docs: DataFrame, n_queries: int = 8,
+                   skip: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus-derived probe queries: rank terms by
+    (df desc, term), skip the ``skip`` most common (stop-bigrams), and
+    pair consecutive ranks into ``n_queries`` two-term queries.  Purely
+    a fixture generator for gates/benches — real callers pass their own
+    query relation."""
+    dfreq = (doc_terms(docs, text_col, id_col)
+             .groupBy("term")
+             .agg(F.count_distinct("doc_id").alias("df")))
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    ranked = (dfreq.withColumn("r", F.row_number().over(w))
+              .where((F.col("r") > skip)
+                     & (F.col("r") <= skip + 2 * n_queries)))
+    return ranked.select(
+        F.floor((F.col("r") - skip - 1) / 2).cast("bigint")
+        .alias("query_id"),
+        "term")

@@ -105,3 +105,30 @@ def cap_per_group(df: DataFrame, group_col: str, n_max: int,
     ranked = df.withColumn("__rk", F.row_number().over(
         Window.partitionBy(group_col).orderBy(*order_cols)))
     return ranked.where(F.col("__rk") <= n_max).drop("__rk")
+
+
+def weighted_sample(df: DataFrame, weight_col: str, max_weight: int,
+                    key_col: str = "doc_id",
+                    salt: str = "w0") -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability ``weight / max_weight`` — importance sampling by a
+    per-row integer weight (token count, quality ppm, ...) instead of
+    ``stratified_sample``'s finite per-stratum rates.
+
+    The draw is the same md5 bucket as ``stratified_sample`` and the
+    comparison is an integer CROSS-MULTIPLY — ``bucket * max_weight <
+    weight * BUCKETS`` — so there is no float division anywhere: the
+    kept set is a pure function of (key, salt, weight), bit-identical
+    across engines (exact SQL oracle), runs, and partitionings.  Weights
+    above ``max_weight`` clamp to always-keep; negative weights to
+    never-keep.
+
+    Scale: map-only (one md5 + one multiply per row), zero shuffle,
+    zero state — the filter pushes straight into the scan stage.
+    """
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    w = F.greatest(F.least(F.col(weight_col).cast("bigint"),
+                           F.lit(int(max_weight))), F.lit(0))
+    b = hash_bucket(F.col(key_col), salt)
+    return df.where(b * int(max_weight) < w * BUCKETS)

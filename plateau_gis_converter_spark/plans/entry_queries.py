@@ -2661,6 +2661,168 @@ GROUP BY iv.interval_id
 """
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Vocabulary heavy hitters (operators/frequent.py): tokens whose
+    count exceeds N/(k+1) of the token stream, found with the
+    Misra-Gries per-partition sketch (map-only, <= k candidates per
+    partition) + exact verify over candidates only.  The oracle is the
+    PLAIN exact groupBy+HAVING — so the gate proves the sketch
+    prefilter is LOSSLESS (pigeonhole guarantee), the same invariance
+    pattern as ``decontaminate_bloom`` and ``skew_salted_agg``."""
+    from ..operators import frequent as fq
+    from ..operators.text import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    return fq.heavy_hitters(toks, "tok", k=30)
+
+
+SQL_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+      string_split_regex(lower(trim(text)), '[^a-z0-9_]+'),
+      x -> x <> '')) AS key
+  FROM documents),
+n AS (SELECT count(*) AS n_total FROM toks)
+SELECT key, CAST(count(*) AS BIGINT) AS cnt
+FROM toks, n
+GROUP BY key, n.n_total
+HAVING count(*) * 31 > n.n_total
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted Bernoulli sample
+    (sampling.weighted_sample): keep probability proportional to
+    n_chars (clamped at 1000) via the md5 bucket and an all-integer
+    cross-multiply — the kept set is a pure function of
+    (doc_id, salt, weight), so the oracle reproduces it exactly."""
+    from ..operators import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    return (sp.weighted_sample(docs, "n_chars", max_weight=1000,
+                               key_col="doc_id", salt="w0")
+            .select("doc_id", "n_chars"))
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE (CAST(concat('0x',
+         substr(md5(CAST(doc_id AS VARCHAR) || 'w0'), 1, 15))
+       AS BIGINT) % 1000000) * 1000
+      < greatest(least(n_chars, 1000), 0) * 1000000
+"""
+
+
+def q_grid_cluster(spark, sf_dir):
+    """Grid-density spatial clustering (operators/spatial_cluster.py,
+    DBSCAN-lite): points snap to an eps=4000-udeg integer grid, cells
+    with >= 3 points are core, 8-adjacent core cells merge via the
+    alternating-CC operator (clustering runs on CELLS, never points),
+    labels = min packed cell key, non-core points are noise (-1).
+    Oracle: an independent DuckDB RECURSIVE-CTE transitive closure over
+    the same integer cells (inequality-join adjacency, fixpoint by
+    label reachability — not a port of the star-contraction rounds)."""
+    from ..operators import spatial_cluster as sc
+
+    pts = _points_df(spark, sf_dir)
+    out = sc.grid_cluster(pts, eps_udeg=4000, min_count=3)
+    return out.select("doc_id", "cell", "cluster")
+
+
+SQL_GRID_CLUSTER = f"""
+WITH RECURSIVE {POINTS_CTE},
+cells AS (
+  SELECT doc_id,
+         CAST(floor(lng_udeg / 4000.0) AS BIGINT) AS cx,
+         CAST(floor(lat_udeg / 4000.0) AS BIGINT) AS cy
+  FROM pts),
+keyed AS (
+  SELECT doc_id, cx, cy,
+         (cx + 1048576) * 2097152 + (cy + 1048576) AS cell
+  FROM cells),
+core AS (
+  SELECT cx, cy, cell FROM (
+    SELECT cx, cy, (cx + 1048576) * 2097152 + (cy + 1048576) AS cell,
+           count(*) AS n
+    FROM cells GROUP BY 1, 2) WHERE n >= 3),
+edges AS (
+  SELECT a.cell AS ca, b.cell AS cb
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cell <> b.cell),
+r(cell, lab) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT e.ca, r.lab FROM r JOIN edges e ON e.cb = r.cell),
+lab AS (SELECT cell, min(lab) AS lab FROM r GROUP BY cell)
+SELECT k.doc_id, k.cell,
+       CAST(coalesce(l.lab, -1) AS BIGINT) AS cluster
+FROM keyed k LEFT JOIN lab l ON k.cell = l.cell
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (operators/retrieval.py): integer-exact Okapi
+    scoring (k1=1.2, b=0.75 as exact rationals, `div` arithmetic — no
+    transcendental, so engines agree bit-for-bit) over word-bigram
+    postings; 8 corpus-derived two-term probe queries; top-10 per query
+    by (score desc, doc_id).  The posting probe is a broadcast join on
+    term — the corpus is never reshuffled per query."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = rt.corpus_queries(docs, n_queries=8, skip=5)
+    return rt.bm25_topk(docs, qs, k=10)
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)),
+                                        '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS term
+  FROM toks, UNNEST(range(greatest(len(t) - 1, 0))) AS u(i)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM occ GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM occ GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS t FROM dl),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r
+  FROM dfq),
+queries AS (
+  SELECT CAST((r - 6) // 2 AS BIGINT) AS query_id, term
+  FROM ranked WHERE r > 5 AND r <= 21),
+score AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(sum(
+      ((((s.n - dfq.df) * 1000000) // dfq.df + 1000000)
+       * ((22 * tf.tf * s.t * 1000000)
+          // (10 * tf.tf * s.t + 3 * s.t + 9 * dl.dl * s.n)))
+      // 1000000) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN queries q USING (term)
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, score_micro FROM (
+  SELECT query_id, doc_id, score_micro,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+  FROM score)
+WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -2731,6 +2893,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "warc_roundtrip": q_warc_roundtrip,
     "geohash_cells": q_geohash_cells,
+    # round-5 sketch / sampling / clustering / retrieval
+    "heavy_hitters": q_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
+    "grid_cluster": q_grid_cluster,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2795,4 +2962,8 @@ ORACLES: dict[str, str] = {
     "decontaminate_bloom": SQL_DECONTAMINATE_BLOOM,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "geohash_cells": SQL_GEOHASH_CELLS,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "grid_cluster": SQL_GRID_CLUSTER,
+    "bm25_topk": SQL_BM25_TOPK,
 }

@@ -93,6 +93,8 @@ def test_gate_queries_python_free_unless_whitelisted(spark):
         "multimodal_meta",    # binary sniffing mapInPandas
         "image_features",     # stub-decoder mapInPandas (byte-math oracle)
         "vshift_geoid",       # geoid grid sampler Arrow UDF
+        "warc_roundtrip",     # Content-Length-driven WARC record parser
+                              # mapInPandas (binary framing is the point)
     }
     markers = ("EvalPython", "InPandas", "ArrowEval", "PythonUDF")
     sf = "/root/testdata/sf0.001"
