@@ -1,0 +1,83 @@
+"""HyperLogLog distinct-count registers (mergeable cardinality sketch).
+
+"How many distinct urls / shingles / domains?" at 10^12 rows is the
+other canonical sketch question (Flajolet et al., "HyperLogLog", AofA
+2007; the practical variant in Heule et al., "HyperLogLog in Practice",
+EDBT 2013 — also the basis of Spark's own ``approx_count_distinct``).
+Spark's built-in returns only the final estimate with a private hash —
+useless when the REGISTERS must be stored, merged across days of
+ingest, or gate-checked.  This operator materializes the registers as
+a DataFrame:
+
+* hash: the house 60-bit md5 hash (``sampling.hash_bucket`` family) —
+  engine-portable, so the DuckDB oracle reproduces every register
+  EXACTLY (Spark's xxhash64 does not exist in DuckDB);
+* ``bucket`` = top ``p`` bits, ``rho`` = leading-zero count of the
+  remaining ``60-p`` bits + 1, via the all-integer
+  ``floor_log2(x) = length(bin(x)) - 1`` identity (both engines print
+  unpadded binary);
+* one partial-agg groupBy ``max(rho)`` — output bounded at ``2^p``
+  rows no matter the input size, map-side combined, and MERGEABLE:
+  registers of a union are the elementwise max of registers
+  (pytest-proven), which is what incremental daily ingest needs.
+
+The float estimate (alpha_m * m^2 / sum 2^-rho with the small-range
+linear-counting correction) is computed OUTSIDE the gate from the
+integer registers — the gate compares registers, never a float.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60
+
+
+def _hash60(col: Column, salt: str = "hll") -> Column:
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12,
+                  salt: str = "hll") -> DataFrame:
+    """(bucket, r) registers, <= 2^p rows; empty buckets omitted (their
+    register is 0 — ``hll_estimate`` accounts for them)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    rest_bits = HASH_BITS - p
+    h = _hash60(F.col(col), salt)
+    bucket = F.shiftrightunsigned(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = (F.when(rest == 0, F.lit(rest_bits + 1))
+           .otherwise(F.lit(rest_bits) - (F.length(F.bin(rest)) - 1)))
+    return (df.where(F.col(col).isNotNull())
+            .select(bucket.cast("bigint").alias("bucket"),
+                    rho.cast("bigint").alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").cast("bigint").alias("r")))
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 12) -> float:
+    """Classic HLL estimate from (bucket, r) pairs (empty buckets = 0),
+    with the small-range linear-counting correction."""
+    m = 1 << p
+    alpha = (0.673 if p == 4 else 0.697 if p == 5 else 0.709 if p == 6
+             else 0.7213 / (1 + 1.079 / m))
+    regs = dict(registers)
+    s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    e = alpha * m * m / s
+    zeros = m - len(regs)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
+
+
+def approx_distinct(df: DataFrame, col: str, p: int = 12,
+                    salt: str = "hll") -> float:
+    """Convenience: registers -> estimate (collects <= 2^p rows)."""
+    regs = [(r["bucket"], r["r"])
+            for r in hll_registers(df, col, p, salt).collect()]
+    return hll_estimate(regs, p)

@@ -2823,6 +2823,109 @@ WHERE rank <= 10
 """
 
 
+def q_extract_links(spark, sf_dir):
+    """Anchor extraction (operators/links.py): documents wrapped in pages
+    carrying six anchor variants — absolute, root-relative
+    (single-quoted, uppercase tag, rel=nofollow), protocol-relative,
+    fragment-only, mailto:, and dotted-relative (the last three must be
+    DROPPED) — extracted and resolved with the pure-Catalyst regex
+    chain.  Oracle re-derives tags/href/rel/resolution with DuckDB RE2
+    regexes (the patterns avoid lookarounds so the engines agree)."""
+    from ..operators import links as lk
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://site"), (did % 10).cast("string"),
+                   F.lit(".example.com/page/"), did.cast("string"))
+    page = F.concat(
+        F.lit('<html><body><a href="https://ex.org/d/'),
+        ((did * 7) % 997).cast("string"),
+        F.lit('">a</a><A HREF=\'/p/'),
+        ((did * 11) % 997).cast("string"),
+        F.lit('\' rel="nofollow">b</A><a class="x" href="//cdn.ex.net/r/'),
+        ((did * 13) % 997).cast("string"),
+        F.lit('">c</a><a href="#frag">d</a>'
+              '<a href="mailto:x@y.z">e</a>'
+              '<a href="rel/path">f</a></body></html>'))
+    pages = docs.select(did.alias("doc_id"), url.alias("url"),
+                        page.alias("html"))
+    out = lk.extract_links(pages)
+    return (pages.select("doc_id", "url").join(out, "url")
+            .select("doc_id", "dst_url",
+                    F.col("nofollow").cast("int").cast("bigint")
+                    .alias("nofollow")))
+
+
+SQL_EXTRACT_LINKS = """
+WITH pages AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 10 AS VARCHAR)
+      || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+    '<html><body><a href="https://ex.org/d/'
+      || CAST((doc_id * 7) % 997 AS VARCHAR)
+      || '">a</a><A HREF=''/p/' || CAST((doc_id * 11) % 997 AS VARCHAR)
+      || ''' rel="nofollow">b</A><a class="x" href="//cdn.ex.net/r/'
+      || CAST((doc_id * 13) % 997 AS VARCHAR)
+      || '">c</a><a href="#frag">d</a><a href="mailto:x@y.z">e</a>'
+      || '<a href="rel/path">f</a></body></html>' AS html
+  FROM documents),
+tags AS (
+  SELECT doc_id, url,
+         unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*>', 0)) AS tag
+  FROM pages),
+parsed AS (
+  SELECT doc_id, url, tag,
+    regexp_extract(tag, '(?i)href\\s*=\\s*["'']([^"''#]+)["'']', 1)
+        AS href,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) AS scheme,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1)
+        AS origin
+  FROM tags),
+resolved AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+         WHEN href LIKE '//%' THEN scheme || ':' || href
+         WHEN href LIKE '/%' THEN origin || href
+         ELSE NULL END AS dst_url,
+    CAST(regexp_matches(tag,
+         '(?i)rel\\s*=\\s*["''][^"'']*nofollow[^"'']*["'']')
+         AS BIGINT) AS nofollow
+  FROM parsed)
+SELECT doc_id, dst_url, nofollow FROM resolved WHERE dst_url IS NOT NULL
+"""
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog registers (operators/cardinality.py): distinct-shingle
+    cardinality sketch with the engine-portable 60-bit md5 hash, p=10.
+    One partial-agg groupBy bounded at 2^p rows regardless of corpus
+    size; registers are mergeable (elementwise max — pytest).  The gate
+    compares the INTEGER registers bit-for-bit (the float estimate is
+    derived outside the gate); the oracle recomputes bucket/rho with
+    div-mod arithmetic + the unpadded-binary floor_log2 identity."""
+    from ..operators import cardinality as cd
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(docs)
+    return cd.hll_registers(sh, "shingle", p=10)
+
+
+SQL_HLL_REGISTERS = f"""
+WITH {SHINGLES_CTE},
+h AS (
+  SELECT CAST(concat('0x', substr(md5(shingle || 'hll'), 1, 15))
+              AS BIGINT) AS hv
+  FROM sh),
+br AS (
+  SELECT hv // {1 << 50} AS bucket, hv % {1 << 50} AS rest FROM h)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rest = 0 THEN 51
+                     ELSE 50 - (length(bin(rest)) - 1) END)
+            AS BIGINT) AS r
+FROM br GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -2898,6 +3001,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "grid_cluster": q_grid_cluster,
     "bm25_topk": q_bm25_topk,
+    "extract_links": q_extract_links,
+    "hll_registers": q_hll_registers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2966,4 +3071,6 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "grid_cluster": SQL_GRID_CLUSTER,
     "bm25_topk": SQL_BM25_TOPK,
+    "extract_links": SQL_EXTRACT_LINKS,
+    "hll_registers": SQL_HLL_REGISTERS,
 }
