@@ -70,18 +70,27 @@ def _mg_merge(counters: dict, batch_counts: dict, k: int) -> None:
 def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries candidate keys (<= k per partition) —
     map-only, no shuffle; keys are carried as strings (the verify phase
-    compares on the same cast)."""
+    compares on the same cast).  Output (k, n): candidate rows have
+    n = 0; one NULL-key row per partition carries that partition's row
+    count (so the caller learns N without a second scan)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    src = df.select(F.col(key_col).cast("string").alias("k"))
+    src = (df.select(F.col(key_col).cast("string").alias("k"))
+           .where(F.col("k").isNotNull()))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n = 0
         for b in batches:
+            n += len(b)
             _mg_merge(counters, b["k"].value_counts().to_dict(), k)
-        yield pd.DataFrame({"k": pd.Series(list(counters), dtype="object")})
+        # one NULL-key row carries the partition row count, so callers
+        # get candidates AND the stream total N in a single scan
+        yield pd.DataFrame({
+            "k": pd.Series(list(counters) + [None], dtype="object"),
+            "n": [0] * len(counters) + [n]})
 
-    return src.mapInPandas(part, "k string")
+    return src.mapInPandas(part, "k string, n long")
 
 
 def heavy_hitters(df: DataFrame, key_col: str, k: int,
@@ -95,14 +104,20 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
     proves it against an independent exact SQL oracle)."""
     keyed = (df.select(F.col(key_col).cast("string").alias("key"))
              .where(F.col("key").isNotNull()))
-    n_total = keyed.count()
     if prefilter:
-        cands = [r["k"] for r in mg_candidates(df, key_col, k).collect()]
+        # ONE scan yields both the candidates and N (the NULL-key rows
+        # carry per-partition totals) — the exact path below is then the
+        # only other pass over the stream
+        rows = mg_candidates(df, key_col, k).collect()
+        n_total = sum(r["n"] for r in rows if r["k"] is None)
+        cands = sorted({r["k"] for r in rows if r["k"] is not None})
         # InSet hash probe (JVM, codegen); empty candidate set => no hitters
         if not cands:
             return keyed.limit(0).groupBy("key").agg(
                 F.count(F.lit(1)).alias("cnt"))
-        keyed = keyed.where(F.col("key").isin(sorted(set(cands))))
+        keyed = keyed.where(F.col("key").isin(cands))
+    else:
+        n_total = keyed.count()
     return (keyed.groupBy("key")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
             .where(F.col("cnt") * (k + 1) > F.lit(n_total)))

@@ -74,10 +74,14 @@ def grid_cluster(points: DataFrame, eps_udeg: int, min_count: int,
     component, or -1 for noise (point in a cell with < min_count
     points)."""
     pts = assign_cells(points, eps_udeg, lng_col, lat_col)
+    # the core-cell relation is tiny (bounded by extent/eps^2) but is
+    # consumed three times (both edge sides + the label join); pin it so
+    # the full point scan + partial agg runs once
     core = (pts.groupBy("cx", "cy", "cell")
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") >= min_count)
-            .select("cx", "cy", "cell"))
+            .select("cx", "cy", "cell")
+            .localCheckpoint(eager=True))
 
     # 8-neighbor edges between core cells: explode offsets, one equi-join
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)

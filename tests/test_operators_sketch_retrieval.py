@@ -58,9 +58,13 @@ def test_heavy_hitters_threshold_is_strict(spark):
 
 def test_mg_candidates_bounded(spark):
     df = _skewed_df(spark)
-    cands = fq.mg_candidates(df, "k", 5).collect()
-    # <= k per partition
-    assert len(cands) <= 5 * df.rdd.getNumPartitions()
+    rows = fq.mg_candidates(df, "k", 5).collect()
+    nparts = df.rdd.getNumPartitions()
+    cands = [r for r in rows if r["k"] is not None]
+    totals = [r["n"] for r in rows if r["k"] is None]
+    assert len(cands) <= 5 * nparts          # <= k per partition
+    assert len(totals) <= nparts
+    assert sum(totals) == df.count()         # N piggybacks on the scan
 
 
 def test_heavy_hitters_rejects_bad_k(spark):
