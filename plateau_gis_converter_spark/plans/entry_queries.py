@@ -2926,6 +2926,172 @@ FROM br GROUP BY bucket
 """
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Crawl snapshot delta (operators/delta.py): two synthetic crawl
+    snapshots derived from documents — doc_id % 17 == 0 removed,
+    % 13 == 0 (and not removed) content-changed, % 19 == 0 re-added
+    under a new url — classified added/removed/changed/unchanged by ONE
+    full-outer join on url with md5 content fingerprints.  Oracle: the
+    same snapshot derivation + DuckDB's FULL OUTER JOIN."""
+    from ..operators import delta as dl
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://example.org/doc/"),
+                   F.col("doc_id").cast("string"))
+    old = docs.select(url.alias("url"), F.md5("text").alias("fingerprint"))
+    kept = (docs.where(F.col("doc_id") % 17 != 0)
+            .select(url.alias("url"),
+                    F.md5(F.when(F.col("doc_id") % 13 == 0,
+                                 F.concat(F.col("text"), F.lit(" v2")))
+                          .otherwise(F.col("text"))).alias("fingerprint")))
+    added = (docs.where(F.col("doc_id") % 19 == 0)
+             .select(F.concat(url, F.lit("/new")).alias("url"),
+                     F.md5("text").alias("fingerprint")))
+    new = kept.unionAll(added)
+    return dl.crawl_delta(old, new).select(
+        "key", "status",
+        F.coalesce("old_fp", F.lit("-")).alias("old_fp"),
+        F.coalesce("new_fp", F.lit("-")).alias("new_fp"))
+
+
+SQL_CRAWL_DELTA = """
+WITH old AS (
+  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(text) AS fp
+  FROM documents),
+new AS (
+  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+             AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) || '/new',
+         md5(text)
+  FROM documents WHERE doc_id % 19 = 0)
+SELECT coalesce(old.url, new.url) AS key,
+  CASE WHEN old.url IS NULL THEN 'added'
+       WHEN new.url IS NULL THEN 'removed'
+       WHEN old.fp = new.fp THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  coalesce(old.fp, '-') AS old_fp,
+  coalesce(new.fp, '-') AS new_fp
+FROM old FULL OUTER JOIN new ON old.url = new.url
+"""
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact type-1 quantiles of doc length (operators/stats.py): one
+    partial-agg pass builds per-value counts, the running-sum window
+    runs over the SMALL distinct-value relation (never a global row
+    sort), target ranks are all-integer ceil(q*n/1e6).  Oracle: the
+    identical two-level grouped-cumsum formulation."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    return st.value_quantiles(
+        docs, "n_chars", [10_000, 250_000, 500_000, 750_000, 990_000])
+
+
+SQL_LENGTH_QUANTILES = """
+WITH c AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM c),
+n AS (SELECT count(*) AS n FROM documents),
+t AS (
+  SELECT q, (q * n.n + 999999) // 1000000 AS tgt
+  FROM (VALUES (10000), (250000), (500000), (750000), (990000)) AS qv(q),
+       n)
+SELECT CAST(t.q AS BIGINT) AS q_ppm, CAST(min(cum.v) AS BIGINT) AS value
+FROM t JOIN cum ON cum.cum >= t.tgt
+GROUP BY 1
+"""
+
+
+def q_ingest_e2e(spark, sf_dir):
+    """End-to-end crawl ingest (sources/warc.py + operators/html.py +
+    operators/text.py composed): documents wrapped in full html pages,
+    packed into WARC archives (JVM binary fold), re-parsed by the
+    Content-Length-driven record parser, payload html re-extracted to
+    text, and quality features computed on the EXTRACTED text — the
+    whole ingest front of the curation pipeline in one lineage, gate-
+    checked against an oracle that composes the same derivations in
+    DuckDB.  Proves the stages compose losslessly, not just pass alone."""
+    from ..operators import html as ht
+    from ..operators import text as tx
+    from ..sources import warc as wc
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit('<html><head><title>T&amp;C</title>'
+              '<script>if(a<b){s="</p>"}</script>'
+              '<style>p{color:red}</style></head>'
+              '<body><!-- no --><h1>&quot;Doc&quot; '),
+        did.cast("string"),
+        F.lit('</h1><p>'), F.col("text"),
+        F.lit(' &nbsp;&lt;end&gt;</p></body></html>'))
+    pages = docs.select("doc_id", page.alias("page"))
+    files = wc.synth_warc_files(pages, docs_per_file=100, text_col="page")
+    parsed = wc.parse_warc_records(files)
+    ex = ht.html_extract_text(F.decode(F.col("payload"), "UTF-8"))
+    feats = tx.quality_score(parsed.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "content_length", ex.alias("text")))
+    return feats.select(
+        "doc_id", "content_length", "n_tokens",
+        F.floor(F.col("quality") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("quality_e2"))
+
+
+SQL_INGEST_E2E = """
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><title>T&amp;C</title><script>if(a<b){s="</p>"}</script>'
+    || '<style>p{color:red}</style></head><body><!-- no --><h1>&quot;Doc&quot; '
+    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+    || ' &nbsp;&lt;end&gt;</p></body></html>' AS page
+  FROM documents),
+ex AS (
+  SELECT doc_id,
+    CAST(octet_length(encode(page)) AS BIGINT) AS content_length,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS text
+  FROM pages),
+f AS (
+  SELECT doc_id, content_length,
+    CAST(length(text) AS BIGINT) AS ln,
+    CAST(len(list_filter(string_split_regex(trim(text), '[^A-Za-z0-9_]+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+         AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         AS BIGINT) AS n_punct
+  FROM ex),
+r AS (
+  SELECT *,
+    CASE WHEN ln > 0 THEN CAST(n_punct AS DOUBLE) / CAST(ln AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE)
+                                / CAST(n_tokens AS DOUBLE)
+         ELSE 0.0 END AS mean_tok
+  FROM f)
+SELECT doc_id, content_length, n_tokens,
+  CAST(floor(((CASE WHEN ln >= 200 AND ln <= 20000 THEN 0.4 ELSE 0.0 END)
+   + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+   + (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 12.0 THEN 0.3 ELSE 0.0 END))
+   * 100 + 0.5) AS BIGINT) AS quality_e2
+FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -3003,6 +3169,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "extract_links": q_extract_links,
     "hll_registers": q_hll_registers,
+    "crawl_delta": q_crawl_delta,
+    "length_quantiles": q_length_quantiles,
+    "ingest_e2e": q_ingest_e2e,
 }
 
 ORACLES: dict[str, str] = {
@@ -3073,4 +3242,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "extract_links": SQL_EXTRACT_LINKS,
     "hll_registers": SQL_HLL_REGISTERS,
+    "crawl_delta": SQL_CRAWL_DELTA,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
+    "ingest_e2e": SQL_INGEST_E2E,
 }
