@@ -164,7 +164,9 @@ def main():
                   "warc_roundtrip", "geohash_cells",
                   "heavy_hitters", "weighted_sample", "grid_cluster",
                   "bm25_topk", "extract_links", "hll_registers",
-                  "crawl_delta", "length_quantiles", "ingest_e2e"]:
+                  "crawl_delta", "length_quantiles", "ingest_e2e",
+                  "incremental_dedup", "cms_registers",
+                  "group_cardinality", "dirty_tiles"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -60,6 +60,32 @@ def hll_registers(df: DataFrame, col: str, p: int = 12,
             .agg(F.max("rho").cast("bigint").alias("r")))
 
 
+def hll_registers_grouped(df: DataFrame, col: str, groups: list[str],
+                          p: int = 12, salt: str = "hll") -> DataFrame:
+    """(*groups, bucket, r) — one HLL register set PER GROUP, in a single
+    partial-agg groupBy (map-side combined).  Output bounded at
+    n_groups * 2^p rows; each group's registers are independently
+    mergeable, so per-group distinct counts compose across ingest days
+    exactly like the global sketch.  The canonical corpus question this
+    answers: distinct urls per registered domain / distinct users per
+    event type, at 10^12 rows, without a distinct-key shuffle per group."""
+    if not groups:
+        raise ValueError("groups must be non-empty; use hll_registers")
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    rest_bits = HASH_BITS - p
+    h = _hash60(F.col(col), salt)
+    bucket = F.shiftrightunsigned(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = (F.when(rest == 0, F.lit(rest_bits + 1))
+           .otherwise(F.lit(rest_bits) - (F.length(F.bin(rest)) - 1)))
+    return (df.where(F.col(col).isNotNull())
+            .select(*groups, bucket.cast("bigint").alias("bucket"),
+                    rho.cast("bigint").alias("rho"))
+            .groupBy(*groups, "bucket")
+            .agg(F.max("rho").cast("bigint").alias("r")))
+
+
 def hll_estimate(registers: list[tuple[int, int]], p: int = 12) -> float:
     """Classic HLL estimate from (bucket, r) pairs (empty buckets = 0),
     with the small-range linear-counting correction."""

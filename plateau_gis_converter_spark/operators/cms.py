@@ -1,0 +1,95 @@
+"""Count-min sketch registers (mergeable frequency sketch).
+
+The third canonical sketch for corpus statistics (Cormode & Muthukrishnan,
+"An improved data stream summary: the count-min sketch", J. Algorithms
+2005; mergeability per Agarwal et al., "Mergeable Summaries", PODS 2012):
+approximate counts for EVERY key in bounded space, where
+``operators/frequent.py`` answers only the heavy tail and
+``operators/cardinality.py`` answers only "how many distinct".  A
+training pipeline uses it for token/domain frequency tables that feed
+quality filters and sampling temperatures without shuffling the full
+distinct-key relation.
+
+Shape mirrors ``hll_registers`` — registers AS A DATAFRAME, because at
+10^12 rows the sketch must be stored, merged across ingest days, and
+gate-checked:
+
+* ``d`` independent rows, each hashing with the house 60-bit md5 hash
+  salted by the row index (engine-portable → the DuckDB oracle
+  reproduces every register EXACTLY);
+* one explode to (row, bucket) then ONE partial-agg groupBy sum —
+  output bounded at ``d*w`` rows regardless of input size, map-side
+  combined;
+* MERGEABLE: registers of a union are the elementwise SUM of
+  registers (pytest-proven) — incremental daily ingest;
+* point estimate = min over the d rows of the key's register
+  (never an undercount; overcount <= 2N/w per row with prob >= 1/2
+  independently per row).
+
+Estimates are integer mins over integer sums — no floats anywhere, so
+the gate compares registers bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash60(col: Column, salt: str) -> Column:
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def _bucket(col: Column, row: int, width: int) -> Column:
+    return _hash60(col, f":cms{row}") % width
+
+
+def cms_registers(df: DataFrame, col: str, depth: int = 4,
+                  width: int = 256,
+                  weight_col: str | None = None) -> DataFrame:
+    """(row, bucket, cnt) registers, <= depth*width rows; empty buckets
+    omitted (their register is 0).  ``weight_col`` counts each input row
+    with an integer weight instead of 1 (e.g. pre-aggregated token
+    counts)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, "
+                         f"got depth={depth} width={width}")
+    c = F.col(col)
+    w = (F.col(weight_col).cast("bigint") if weight_col is not None
+         else F.lit(1).cast("bigint"))
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("bigint").alias("row"),
+                 _bucket(c, r, width).alias("bucket"))
+        for r in range(depth)])
+    return (df.where(c.isNotNull())
+            .select(F.explode(cells).alias("cell"), w.alias("w"))
+            .groupBy(F.col("cell.row").alias("row"),
+                     F.col("cell.bucket").alias("bucket"))
+            .agg(F.sum("w").alias("cnt")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Registers of the union stream: elementwise sum."""
+    return (a.unionAll(b).groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_estimate(registers: DataFrame, keys: DataFrame, col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """(key, est) point estimates for every row of ``keys``: min over the
+    d rows of the key's register (0 when the bucket never filled).  The
+    register relation is <= d*w rows — broadcast it; the probe side
+    stays map-local."""
+    c = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("bigint").alias("row"),
+                 _bucket(c, r, width).alias("bucket"))
+        for r in range(depth)])
+    probe = (keys.select(c.alias("key"), F.explode(cells).alias("cell"))
+             .select("key", F.col("cell.row").alias("row"),
+                     F.col("cell.bucket").alias("bucket")))
+    return (probe.join(F.broadcast(registers), ["row", "bucket"], "left")
+            .groupBy("key")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+                 .alias("est")))

@@ -144,12 +144,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
                       .alias("sig"))
 
 
-def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16,
-                           bands: int = 4, n: int = 3,
-                           text_col: str = "text") -> DataFrame:
-    """LSH candidate pairs: split the signature into `bands` bands of
-    num_hashes/bands rows; docs agreeing on any full band are candidates.
-    Output (doc_a < doc_b) distinct."""
+def lsh_buckets(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, band, key) LSH bucket rows: the signature split into
+    ``bands`` bands of num_hashes/bands values, each band md5-folded to a
+    bucket key.  This relation IS the persistable dedup index — write it
+    once per snapshot and probe it with new docs' bucket rows
+    (operators/incremental.py) instead of re-shingling the corpus."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col)
     band_cols = []
@@ -158,9 +159,17 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16,
                  for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
         band_cols.append(F.struct(F.lit(bi).alias("band"),
                                   F.md5(F.concat_ws("_", *parts)).alias("key")))
-    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
-               .select("doc_id", F.col("bk.band").alias("band"),
-                       F.col("bk.key").alias("key")))
+    return (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+
+
+def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16,
+                           bands: int = 4, n: int = 3,
+                           text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any full band are candidates.
+    Output (doc_a < doc_b) distinct."""
+    buckets = lsh_buckets(docs, num_hashes, bands, n, text_col)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -171,13 +180,12 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16,
             .distinct())
 
 
-def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
-                        num_hashes: int = 16, bands: int = 4, n: int = 3,
-                        text_col: str = "text") -> DataFrame:
-    """LSH candidates verified by exact Jaccard (the production dedup path:
-    probabilistic recall, exact precision)."""
-    cand = minhash_lsh_candidates(docs, num_hashes, bands, n, text_col)
-    sh = shingles(docs, n, text_col).persist()
+def jaccard_verify(cand: DataFrame, sh: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate (doc_a, doc_b) pairs.
+    ``sh`` must carry (doc_id, shingle) for every doc appearing in
+    ``cand``; shuffles on the shingle key for the intersection and on
+    doc ids for the size joins — never all-pairs."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -191,6 +199,16 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                         / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"))
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
+                        num_hashes: int = 16, bands: int = 4, n: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """LSH candidates verified by exact Jaccard (the production dedup path:
+    probabilistic recall, exact precision)."""
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, n, text_col)
+    sh = shingles(docs, n, text_col).persist()
+    return jaccard_verify(cand, sh, threshold)
 
 
 def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text") -> DataFrame:

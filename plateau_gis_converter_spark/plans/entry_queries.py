@@ -3092,6 +3092,247 @@ FROM r
 """
 
 
+def q_cms_registers(spark, sf_dir):
+    """Count-min sketch registers (operators/cms.py): token-frequency
+    sketch, depth 4 x width 256, salted 60-bit md5 row hashes.  One
+    explode + ONE partial-agg groupBy bounded at d*w rows regardless of
+    corpus size; registers mergeable by elementwise sum (pytest), point
+    estimates never undercount (pytest).  The gate compares the INTEGER
+    registers bit-for-bit; the oracle recomputes each row's bucket with
+    the same md5-salt + mod arithmetic."""
+    from ..operators import cms
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                 lambda t: t != "")).alias("tok"))
+    return cms.cms_registers(toks, "tok", depth=4, width=256)
+
+
+def _cms_sql(depth: int = 4, width: int = 256) -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS rw, CAST(concat('0x', substr(md5(tok || ':cms{r}'),"
+        f" 1, 15)) AS BIGINT) % {width} AS bucket FROM tok"
+        for r in range(depth))
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT u.tok AS tok FROM toks, UNNEST(t) AS u(tok)),
+cells AS ({cells})
+SELECT CAST(rw AS BIGINT) AS row, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+"""
+
+
+SQL_CMS_REGISTERS = _cms_sql()
+
+
+def q_group_cardinality(spark, sf_dir):
+    """Per-group HLL registers (cardinality.hll_registers_grouped):
+    distinct users per event type as one partial-agg groupBy — output
+    bounded at n_groups * 2^p rows, each group's registers independently
+    mergeable.  Integer registers compared bit-for-bit; div/mod oracle."""
+    from ..operators import cardinality as cd
+
+    ev = _t(spark, sf_dir, "events")
+    return cd.hll_registers_grouped(ev, "user_id", ["event_type"], p=8)
+
+
+SQL_GROUP_CARDINALITY = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || 'hll'),
+              1, 15)) AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL),
+br AS (
+  SELECT event_type, hv // {1 << 52} AS bucket, hv % {1 << 52} AS rest
+  FROM h)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rest = 0 THEN 53
+                     ELSE 52 - (length(bin(rest)) - 1) END)
+            AS BIGINT) AS r
+FROM br GROUP BY event_type, bucket
+"""
+
+
+def q_dirty_tiles(spark, sf_dir):
+    """Incremental re-render set (delta.dirty_tiles): the crawl delta
+    routed into the tile pyramid — z12..14 tiles containing the NEW
+    location of added/changed pages or the OLD location of
+    removed/moved pages.  Changed docs both edit content (fp differs)
+    AND move +25000 µdeg east, so both old and new tiles go dirty;
+    oracle re-derives the full-outer delta + tile math in SQL."""
+    from ..operators import delta as dl
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lng, lat = geo.point_udeg_cols(did)
+    url = F.concat(F.lit("doc/"), did.cast("string"))
+    old = docs.select(url.alias("url"), F.md5("text").alias("fingerprint"),
+                      lng, lat)
+    lng_a, lat_a = geo.point_udeg_cols(did + 1000000)
+    kept = (docs.where(did % 17 != 0)
+            .select(url.alias("url"),
+                    F.md5(F.when(did % 13 == 0,
+                                 F.concat(F.col("text"), F.lit(" v2")))
+                          .otherwise(F.col("text"))).alias("fingerprint"),
+                    F.when(did % 13 == 0, lng + 25000).otherwise(lng)
+                    .alias("lng_udeg"), lat))
+    added = (docs.where(did % 19 == 0)
+             .select(F.concat(F.lit("doc/"), (did + 1000000).cast("string"))
+                     .alias("url"),
+                     F.md5("text").alias("fingerprint"), lng_a, lat_a))
+    new = kept.unionAll(added)
+    return dl.dirty_tiles(old, new, 12, 14)
+
+
+def _dirty_tiles_sql() -> str:
+    lng_o, lat_o = fx.point_udeg_sql("doc_id")
+    lng_a, lat_a = fx.point_udeg_sql("(doc_id + 1000000)")
+    tx, ty = _tile_xy_sql("z")
+    return f"""
+WITH old AS (
+  SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS key, md5(text) AS fp,
+         {lng_o} AS lng, {lat_o} AS lat
+  FROM documents),
+new AS (
+  SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS key,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+             AS fp,
+         CASE WHEN doc_id % 13 = 0 THEN {lng_o} + 25000 ELSE {lng_o} END
+             AS lng,
+         {lat_o} AS lat
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT 'doc/' || CAST(doc_id + 1000000 AS VARCHAR), md5(text),
+         {lng_a}, {lat_a}
+  FROM documents WHERE doc_id % 19 = 0),
+j AS (
+  SELECT old.fp AS ofp, new.fp AS nfp, old.lng AS olng, old.lat AS olat,
+         new.lng AS nlng, new.lat AS nlat
+  FROM old FULL OUTER JOIN new ON old.key = new.key),
+dirty AS (
+  SELECT * FROM j
+  WHERE NOT (ofp IS NOT NULL AND nfp IS NOT NULL AND ofp = nfp
+             AND olng = nlng AND olat = nlat)),
+pts AS (
+  SELECT DISTINCT lng_udeg, lat_udeg FROM (
+    SELECT olng AS lng_udeg, olat AS lat_udeg FROM dirty
+    UNION ALL
+    SELECT nlng, nlat FROM dirty)
+  WHERE lng_udeg IS NOT NULL AND lat_udeg IS NOT NULL),
+zs AS (SELECT CAST(u.z AS INT) AS z FROM UNNEST(range(12, 15)) AS u(z))
+SELECT DISTINCT z, {tx} AS x, {ty} AS y FROM pts, zs
+"""
+
+
+SQL_DIRTY_TILES = _dirty_tiles_sql()
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental LSH dedup (operators/incremental.py): the crawl-delta
+    routing contract end-to-end — unchanged corpus contributes only its
+    PERSISTED bucket-index rows, added+changed docs are shingled fresh,
+    and exact verification re-reads text for candidate members only.
+    Oracle: FULL minhash-LSH recompute over the union corpus restricted
+    to pairs involving a new doc — the gate proves the incremental path
+    lossless, the same invariance pattern as decontaminate_bloom."""
+    from ..operators import incremental as inc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    unchanged = docs.where((did % 17 != 0) & (did % 13 != 0))
+    changed = (docs.where((did % 17 != 0) & (did % 13 == 0))
+               .select("doc_id",
+                       F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    added = (docs.where(did % 19 == 0)
+             .select((did + 1000000).alias("doc_id"), "text"))
+    new_docs = changed.unionAll(added)
+    idx = dd.lsh_buckets(unchanged)
+    out = inc.incremental_dedup_pairs(idx, unchanged, new_docs,
+                                      threshold=0.5)
+    return out.select("doc_a", "doc_b",
+                      F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+                      .cast("bigint").alias("jaccard_e6"))
+
+
+def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Full-recompute oracle over the synthesized union corpus: the same
+    signature/band math as SQL_MINHASH_LSH but sourced from the corpus
+    CTE, with the final restriction to pairs involving a new doc."""
+    p = (1 << 31) - 1
+    rows_per_band = num_hashes // bands
+    cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 104729 * (i + 1)
+        cols.append(f"min((h % {p} * {a} + {b}) % {p}) AS mh{i}")
+    band_selects = []
+    for bi in range(bands):
+        parts = ", ".join(f"mh{i}" for i in range(bi * rows_per_band,
+                                                  (bi + 1) * rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws('_', {parts})) AS key"
+            " FROM sig")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' v2' FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 0
+),
+newids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 19 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks, UNNEST(range(greatest(len(t) - 2, 0))) AS u(i)
+),
+hs AS (SELECT doc_id, {_hex60_sql('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {', '.join(cols)} FROM hs GROUP BY doc_id),
+bk AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(floor(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) * 1000000
+       + 0.5) AS BIGINT) AS jaccard_e6
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
+  AND (i.doc_a IN (SELECT doc_id FROM newids)
+       OR i.doc_b IN (SELECT doc_id FROM newids))
+"""
+
+
+SQL_INCREMENTAL_DEDUP = _incremental_dedup_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -3172,6 +3413,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_delta": q_crawl_delta,
     "length_quantiles": q_length_quantiles,
     "ingest_e2e": q_ingest_e2e,
+    "incremental_dedup": q_incremental_dedup,
+    "cms_registers": q_cms_registers,
+    "group_cardinality": q_group_cardinality,
+    "dirty_tiles": q_dirty_tiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -3245,4 +3490,8 @@ ORACLES: dict[str, str] = {
     "crawl_delta": SQL_CRAWL_DELTA,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "ingest_e2e": SQL_INGEST_E2E,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "cms_registers": SQL_CMS_REGISTERS,
+    "group_cardinality": SQL_GROUP_CARDINALITY,
+    "dirty_tiles": SQL_DIRTY_TILES,
 }

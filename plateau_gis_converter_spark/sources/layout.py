@@ -1,0 +1,96 @@
+"""Hilbert-clustered parquet layout — spatial data-skipping at rest.
+
+The on-disk sibling of the IVF index (``similarity.write_ivf_index``)
+and the bucketed join layout (``sources/bucketed.py``): lay the corpus
+out so a SPATIAL predicate prunes I/O before any row is read.  Parquet
+keeps min/max statistics per row group for every column; a bbox filter
+(``lng BETWEEN .. AND lat BETWEEN ..``) lets the scan skip every row
+group whose [min,max] envelope misses the box.  Random or insert-order
+layouts defeat this — every row group spans the whole extent, so
+nothing skips.  Clustering rows by a space-filling curve (the SAME
+PMTiles Hilbert id the tile pipeline uses — ``functions/geo.
+hilbert_id_expr``, nusamai-mvt hilbert.rs parity) makes each row group
+a compact spatial block, so a city-sized box touches a handful of
+groups out of thousands.  This is the standard lakehouse Z-ORDER /
+Hilbert-cluster technique (Delta OPTIMIZE ZORDER, Iceberg sort orders)
+expressed with stock Spark:
+
+* ``repartitionByRange`` on the Hilbert key → one range shuffle, files
+  = contiguous curve segments (ranges sampled, so skew in the curve
+  key balances file sizes);
+* ``sortWithinPartitions`` → row groups inside each file are curve
+  segments too — pruning works at BOTH granularities (Spark prunes
+  row groups via pushed filters; a catalog can prune whole files from
+  the same footer stats).
+
+At 100 TB the layout is written once per snapshot (the same "pay the
+shuffle once" story as bucketing) and every subsequent spatial read —
+tile builds, geocode joins, kNN seeds — pays I/O proportional to the
+query box, not the corpus.  ``bbox_rowgroup_stats`` audits the footer
+metadata directly (pyarrow), counting exactly the row groups a
+stats-aware reader must touch — the same min/max intersection test the
+scan's pushed filter performs, measured from the files themselves.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+
+def hilbert_key(df: DataFrame, z: int = 12, lng_col: str = "lng_udeg",
+                lat_col: str = "lat_udeg", out: str = "hkey") -> DataFrame:
+    """Append the zoom-``z`` PMTiles Hilbert id of each point as ``out``
+    (pure Catalyst — the const_z unrolled bit-fold)."""
+    cols = df.columns
+    t = geo.with_point_tiles(df, F.lit(z).cast("int"), lng_col, lat_col)
+    h = geo.hilbert_id_expr(t, x="x", y="y", out=out, const_z=z)
+    return h.select(*cols, out)
+
+
+def write_hilbert_layout(df: DataFrame, path: str, z: int = 12,
+                         n_files: int = 8, lng_col: str = "lng_udeg",
+                         lat_col: str = "lat_udeg",
+                         row_group_bytes: int | None = None) -> None:
+    """Write ``df`` Hilbert-clustered: range-partitioned AND sorted by the
+    curve key, so both files and row groups are compact spatial blocks.
+    ``row_group_bytes`` shrinks parquet row groups (tests force several
+    groups per file; production keeps the 128 MB default)."""
+    keyed = hilbert_key(df, z, lng_col, lat_col)
+    w = (keyed.repartitionByRange(n_files, "hkey")
+         .sortWithinPartitions("hkey")
+         .write.mode("overwrite"))
+    if row_group_bytes is not None:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
+
+
+def bbox_rowgroup_stats(path: str, lng_min: int, lng_max: int,
+                        lat_min: int, lat_max: int,
+                        lng_col: str = "lng_udeg",
+                        lat_col: str = "lat_udeg") -> tuple[int, int]:
+    """(total_row_groups, row_groups_a_stats_aware_scan_must_read) for a
+    bbox query, from the parquet footers alone — the exact min/max
+    intersection test the pushed-down scan filter applies."""
+    total = touched = 0
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        li, la = names.index(lng_col), names.index(lat_col)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            total += 1
+            slng, slat = rg.column(li).statistics, rg.column(la).statistics
+            if slng is None or slat is None:
+                touched += 1  # no stats -> reader cannot skip
+                continue
+            if (slng.max >= lng_min and slng.min <= lng_max
+                    and slat.max >= lat_min and slat.min <= lat_max):
+                touched += 1
+    return total, touched

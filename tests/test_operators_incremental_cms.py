@@ -1,0 +1,198 @@
+"""Units for operators/incremental.py, operators/cms.py, and
+cardinality.hll_registers_grouped — the mergeable-sketch and
+incremental-ingest layer."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def toks(spark, docs):
+    return docs.select(F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                 lambda t: t != "")).alias("tok")).persist()
+
+
+def test_cms_never_undercounts(spark, toks):
+    from plateau_gis_converter_spark.operators import cms
+
+    regs = cms.cms_registers(toks, "tok", depth=4, width=256).persist()
+    exact = toks.groupBy(F.col("tok").alias("key")) \
+        .agg(F.count(F.lit(1)).alias("exact"))
+    keys = exact.select(F.col("key").alias("tok"))
+    est = cms.cms_estimate(regs, keys, "tok", depth=4, width=256)
+    bad = est.join(exact, "key").where(F.col("est") < F.col("exact")).count()
+    assert bad == 0  # CMS guarantee: estimate >= true count, always
+    # and the total register mass per row is exactly the stream length
+    n = toks.count()
+    per_row = regs.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+    assert len(per_row) == 4 and all(r["m"] == n for r in per_row)
+
+
+def test_cms_merge_is_union(spark, toks):
+    from plateau_gis_converter_spark.operators import cms
+
+    a = toks.where(F.crc32("tok") % 2 == 0)
+    b = toks.where(F.crc32("tok") % 2 == 1)
+    merged = cms.cms_merge(cms.cms_registers(a, "tok"),
+                           cms.cms_registers(b, "tok"))
+    whole = cms.cms_registers(toks, "tok")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted_equals_expanded(spark):
+    from plateau_gis_converter_spark.operators import cms
+
+    rows = [("a", 3), ("b", 1), ("c", 5), ("a", 2)]
+    wdf = spark.createDataFrame(rows, "k string, w int")
+    expanded = spark.createDataFrame(
+        [(k,) for k, w in rows for _ in range(w)], "k string")
+    wr = cms.cms_registers(wdf, "k", depth=3, width=16, weight_col="w")
+    er = cms.cms_registers(expanded, "k", depth=3, width=16)
+    assert wr.exceptAll(er).count() == 0 and er.exceptAll(wr).count() == 0
+
+
+def test_cms_rejects_bad_shape(spark, toks):
+    from plateau_gis_converter_spark.operators import cms
+
+    with pytest.raises(ValueError):
+        cms.cms_registers(toks, "tok", depth=0)
+    with pytest.raises(ValueError):
+        cms.cms_registers(toks, "tok", width=1)
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL
+# ---------------------------------------------------------------------------
+
+def test_grouped_hll_matches_per_group_sketches(spark):
+    from plateau_gis_converter_spark.operators import cardinality as cd
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    grouped = cd.hll_registers_grouped(ev, "user_id", ["event_type"], p=8)
+    for et in [r["event_type"] for r in
+               ev.select("event_type").distinct().collect()]:
+        solo = cd.hll_registers(ev.where(F.col("event_type") == et),
+                                "user_id", p=8)
+        sub = grouped.where(F.col("event_type") == et).select("bucket", "r")
+        assert sub.exceptAll(solo).count() == 0
+        assert solo.exceptAll(sub).count() == 0
+
+
+def test_grouped_hll_estimate_close_and_mergeable(spark):
+    from plateau_gis_converter_spark.operators import cardinality as cd
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").persist()
+    grouped = cd.hll_registers_grouped(ev, "user_id", ["event_type"], p=8)
+    exact = {r["event_type"]: r["d"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("d")).collect()}
+    regs: dict[str, list[tuple[int, int]]] = {}
+    for row in grouped.collect():
+        regs.setdefault(row["event_type"], []).append((row["bucket"], row["r"]))
+    for et, d in exact.items():
+        est = cd.hll_estimate(regs[et], p=8)
+        assert abs(est - d) <= max(3.0, 0.15 * d), (et, est, d)
+    # merge across two halves = elementwise max
+    a = cd.hll_registers_grouped(ev.where(F.col("event_id") % 2 == 0),
+                                 "user_id", ["event_type"], p=8)
+    b = cd.hll_registers_grouped(ev.where(F.col("event_id") % 2 == 1),
+                                 "user_id", ["event_type"], p=8)
+    merged = (a.unionAll(b).groupBy("event_type", "bucket")
+              .agg(F.max("r").alias("r")))
+    assert merged.exceptAll(grouped).count() == 0
+    assert grouped.exceptAll(merged).count() == 0
+
+
+def test_grouped_hll_validates(spark):
+    from plateau_gis_converter_spark.operators import cardinality as cd
+
+    ev = spark.range(5)
+    with pytest.raises(ValueError):
+        cd.hll_registers_grouped(ev, "id", [], p=8)
+    with pytest.raises(ValueError):
+        cd.hll_registers_grouped(ev, "id", ["id"], p=3)
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH dedup
+# ---------------------------------------------------------------------------
+
+def _snapshots(docs):
+    did = F.col("doc_id")
+    unchanged = docs.where((did % 17 != 0) & (did % 13 != 0))
+    changed = (docs.where((did % 17 != 0) & (did % 13 == 0))
+               .select("doc_id",
+                       F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    added = (docs.where(did % 19 == 0)
+             .select((did + 1000000).alias("doc_id"), "text"))
+    return unchanged, changed.unionAll(added)
+
+
+def test_incremental_equals_full_recompute_restricted(spark, docs):
+    from plateau_gis_converter_spark.operators import dedup as dd
+    from plateau_gis_converter_spark.operators import incremental as inc
+
+    unchanged, new_docs = _snapshots(docs)
+    idx = dd.lsh_buckets(unchanged)
+    got = inc.incremental_dedup_pairs(idx, unchanged, new_docs,
+                                      threshold=0.5) \
+        .select("doc_a", "doc_b").persist()
+    assert got.count() > 0  # the fixture must actually exercise pairs
+
+    full = dd.minhash_dedup_pairs(unchanged.unionAll(new_docs),
+                                  threshold=0.5)
+    new_ids = new_docs.select("doc_id")
+    want = (full
+            .join(new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a",
+                  "left_semi")
+            .unionAll(full.join(
+                new_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b",
+                "left_semi").select("doc_a", "doc_b", "jaccard"))
+            .select("doc_a", "doc_b").distinct())
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # both cross (new-vs-old) and intra-new pairs must occur
+    crosses = got.join(new_ids.withColumnRenamed("doc_id", "doc_a"),
+                       "doc_a", "left_anti").count()
+    intra = (got.join(new_ids.withColumnRenamed("doc_id", "doc_a"),
+                      "doc_a", "left_semi")
+             .join(new_ids.withColumnRenamed("doc_id", "doc_b"),
+                   "doc_b", "left_semi").count())
+    assert crosses > 0 and intra > 0
+
+
+def test_lsh_index_roundtrip(spark, docs, tmp_path):
+    from plateau_gis_converter_spark.operators import dedup as dd
+    from plateau_gis_converter_spark.operators import incremental as inc
+
+    unchanged, new_docs = _snapshots(docs)
+    path = str(tmp_path / "lsh_index")
+    inc.write_lsh_index(unchanged, path)
+    # partitioned by band -> probing one band reads one directory
+    assert sorted(d for d in os.listdir(path) if d.startswith("band=")) == \
+        [f"band={b}" for b in range(4)]
+    idx = inc.read_lsh_index(spark, path)
+    live = dd.lsh_buckets(unchanged)
+    assert idx.exceptAll(live).count() == 0
+    assert live.exceptAll(idx).count() == 0
+    via_disk = inc.incremental_dedup_pairs(idx, unchanged, new_docs) \
+        .select("doc_a", "doc_b")
+    via_mem = inc.incremental_dedup_pairs(live, unchanged, new_docs) \
+        .select("doc_a", "doc_b")
+    assert via_disk.exceptAll(via_mem).count() == 0
+    assert via_mem.exceptAll(via_disk).count() == 0

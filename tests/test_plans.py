@@ -95,6 +95,7 @@ def test_gate_queries_python_free_unless_whitelisted(spark):
         "vshift_geoid",       # geoid grid sampler Arrow UDF
         "warc_roundtrip",     # Content-Length-driven WARC record parser
                               # mapInPandas (binary framing is the point)
+        "ingest_e2e",         # composes the same WARC record parser
     }
     markers = ("EvalPython", "InPandas", "ArrowEval", "PythonUDF")
     sf = "/root/testdata/sf0.001"
