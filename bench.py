@@ -166,7 +166,8 @@ def main():
                   "bm25_topk", "extract_links", "hll_registers",
                   "crawl_delta", "length_quantiles", "ingest_e2e",
                   "incremental_dedup", "cms_registers",
-                  "group_cardinality", "dirty_tiles"]:
+                  "group_cardinality", "dirty_tiles",
+                  "incremental_clusters", "stream_dirty_tiles"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -100,3 +100,64 @@ def write_lsh_index(docs: DataFrame, path: str, num_hashes: int = 16,
 def read_lsh_index(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select("doc_id", F.col("band").cast("int").alias("band"), "key")
+
+
+def incremental_connected_components(prev_labels: DataFrame,
+                                     prev_pairs: DataFrame,
+                                     stale_ids: DataFrame,
+                                     new_pairs: DataFrame,
+                                     max_iters: int = 50) -> DataFrame:
+    """Dedup clusters for the new snapshot, recomputing ONLY components
+    the delta touched.
+
+    Inputs are the previous run's stored outputs plus the delta:
+
+    * ``prev_labels`` — (id, component_id) from the previous snapshot's
+      ``connected_components``;
+    * ``prev_pairs`` — the previous snapshot's verified pair relation
+      (doc_a, doc_b) — the dedup output a pipeline persists anyway;
+    * ``stale_ids`` — (doc_id) nodes invalid in the new snapshot:
+      removed docs AND content-changed docs (their old pairs no longer
+      describe their text; changed docs re-enter through ``new_pairs``);
+    * ``new_pairs`` — pairs involving added/changed docs
+      (``incremental_dedup_pairs``).
+
+    A component is DIRTY iff it contains a stale doc or one of its
+    members appears in a new pair.  Clean components cannot have gained
+    or lost an edge (pairs between unchanged docs are deterministic in
+    the text, and any new pair would have dirtied them), so their labels
+    carry over verbatim — zero compute.  Dirty components re-run
+    alternating-CC over exactly their surviving old pairs (both
+    endpoints unchanged) plus the new pairs.  Output is IDENTICAL to
+    ``connected_components(all pairs of the new snapshot)`` — the
+    ``incremental_clusters`` gate proves it against a full-recompute
+    oracle.  Work scales with the dirty subgraph, not the corpus:
+    removal-only deltas touch O(affected clusters), and the carried
+    part is one anti-join.
+    """
+    from . import graph as gr
+
+    members = (new_pairs.select(F.col("doc_a").alias("id"))
+               .unionAll(new_pairs.select(F.col("doc_b").alias("id"))))
+    dirty = (prev_labels.join(stale_ids.select(F.col("doc_id").alias("id")),
+                              "id", "left_semi")
+             .select("component_id")
+             .unionAll(prev_labels.join(members, "id", "left_semi")
+                       .select("component_id"))
+             .distinct())
+    carried = prev_labels.join(dirty, "component_id", "left_anti")
+
+    stale = stale_ids.select(F.col("doc_id").alias("id"))
+    old_edges = (prev_pairs
+                 .join(prev_labels.select(F.col("id").alias("doc_a"),
+                                          "component_id"), "doc_a")
+                 .join(dirty, "component_id", "left_semi")
+                 .select("doc_a", "doc_b")
+                 .join(stale.withColumnRenamed("id", "doc_a"), "doc_a",
+                       "left_anti")
+                 .join(stale.withColumnRenamed("id", "doc_b"), "doc_b",
+                       "left_anti"))
+    edges = old_edges.unionAll(new_pairs.select("doc_a", "doc_b"))
+    redone = gr.connected_components(edges, max_iters=max_iters)
+    return carried.select("id", "component_id").unionAll(
+        redone.select("id", "component_id"))

@@ -807,6 +807,48 @@ FROM pages GROUP BY fingerprint
 """
 
 
+def q_stream_dirty_tiles(spark, sf_dir):
+    """Streaming dirty tiles (streaming_dirty_tiles,
+    applyInPandasWithState keyed on the tile): a file-source stream of
+    page updates (every third doc) explodes to z12 tiles and each tile
+    is emitted the FIRST time it goes dirty with that batch's update
+    count — state bounded by the pyramid, not the stream.  availableNow
+    single batch -> deterministic -> the oracle is the distinct-tile
+    GROUP BY with the same wrap/clamp tile math."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    updates = (stream.where(F.col("doc_id") % 3 == 0)
+               .select("doc_id", lng, lat))
+    out = sp.streaming_dirty_tiles(updates, zoom=12)
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_dirty_tiles_gate_{_STREAM_GATE_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dirty_tiles_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT z, x, y, n_updates FROM {qname}")
+
+
+_SDT_TX, _SDT_TY = _tile_xy_sql("12")
+SQL_STREAM_DIRTY_TILES = f"""
+WITH pts AS (
+  SELECT doc_id, {_POINTS_SQL_LNG} AS lng_udeg, {_POINTS_SQL_LAT} AS lat_udeg
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT CAST(12 AS INT) AS z, {_SDT_TX} AS x, {_SDT_TY} AS y,
+       CAST(count(*) AS BIGINT) AS n_updates
+FROM pts GROUP BY 2, 3
+"""
+
+
 def q_events_json(spark, sf_dir):
     """Semi-structured: JSON field extraction + agg (map/json functions)."""
     e = _t(spark, sf_dir, "events")
@@ -3259,10 +3301,13 @@ def q_incremental_dedup(spark, sf_dir):
                       .cast("bigint").alias("jaccard_e6"))
 
 
-def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4) -> str:
-    """Full-recompute oracle over the synthesized union corpus: the same
-    signature/band math as SQL_MINHASH_LSH but sourced from the corpus
-    CTE, with the final restriction to pairs involving a new doc."""
+def _union_corpus_minhash_body(num_hashes: int = 16,
+                               bands: int = 4) -> str:
+    """Shared oracle CTE chain: the synthesized union corpus (unchanged +
+    changed + added snapshots) -> shingles -> signatures -> banded
+    buckets -> candidate pairs -> exact-Jaccard intersections.  Consumed
+    by SQL_INCREMENTAL_DEDUP (pair restriction) and
+    SQL_INCREMENTAL_CLUSTERS (recursive closure)."""
     p = (1 << 31) - 1
     rows_per_band = num_hashes // bands
     cols = []
@@ -3277,8 +3322,7 @@ def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4) -> str:
         band_selects.append(
             f"SELECT doc_id, {bi} AS band, md5(concat_ws('_', {parts})) AS key"
             " FROM sig")
-    return f"""
-WITH corpus AS (
+    return f"""corpus AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
   UNION ALL
@@ -3286,11 +3330,6 @@ WITH corpus AS (
   WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 0
-),
-newids AS (
-  SELECT doc_id FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
-  UNION ALL
-  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 19 = 0
 ),
 toks AS (
   SELECT doc_id,
@@ -3317,6 +3356,16 @@ inter AS (
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
+)"""
+
+
+def _incremental_dedup_sql() -> str:
+    return f"""
+WITH {_union_corpus_minhash_body()},
+newids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 19 = 0
 )
 SELECT i.doc_a, i.doc_b,
   CAST(floor(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) * 1000000
@@ -3331,6 +3380,61 @@ WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
 
 
 SQL_INCREMENTAL_DEDUP = _incremental_dedup_sql()
+
+
+def q_incremental_clusters(spark, sf_dir):
+    """Incremental dedup clusters (incremental.
+    incremental_connected_components): clean components carry over from
+    the previous snapshot's stored labels with ONE anti-join; only
+    components containing a stale doc or touched by a new pair re-run
+    alternating-CC — work scales with the dirty subgraph, not the
+    corpus.  Oracle: full recursive-closure recompute over ALL pairs of
+    the new snapshot — the gate proves the carried+recomputed union
+    identical to from-scratch clustering."""
+    from ..operators import graph as gr
+    from ..operators import incremental as inc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    unchanged = docs.where((did % 17 != 0) & (did % 13 != 0))
+    changed = (docs.where((did % 17 != 0) & (did % 13 == 0))
+               .select("doc_id",
+                       F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    added = (docs.where(did % 19 == 0)
+             .select((did + 1000000).alias("doc_id"), "text"))
+    new_docs = changed.unionAll(added)
+    stale = docs.where((did % 17 == 0) | (did % 13 == 0)).select("doc_id")
+
+    prev_pairs = dd.minhash_dedup_pairs(docs, threshold=0.5) \
+        .select("doc_a", "doc_b").persist()
+    prev_labels = gr.connected_components(prev_pairs).persist()
+    new_pairs = inc.incremental_dedup_pairs(
+        dd.lsh_buckets(unchanged), unchanged, new_docs,
+        threshold=0.5).select("doc_a", "doc_b")
+    out = inc.incremental_connected_components(
+        prev_labels, prev_pairs, stale, new_pairs)
+    return out.select(F.col("id").alias("doc_id"), "component_id")
+
+
+SQL_INCREMENTAL_CLUSTERS = f"""
+WITH RECURSIVE {_union_corpus_minhash_body()},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component_id
+FROM reach GROUP BY src
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3417,6 +3521,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_registers": q_cms_registers,
     "group_cardinality": q_group_cardinality,
     "dirty_tiles": q_dirty_tiles,
+    "incremental_clusters": q_incremental_clusters,
+    "stream_dirty_tiles": q_stream_dirty_tiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -3494,4 +3600,6 @@ ORACLES: dict[str, str] = {
     "cms_registers": SQL_CMS_REGISTERS,
     "group_cardinality": SQL_GROUP_CARDINALITY,
     "dirty_tiles": SQL_DIRTY_TILES,
+    "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,
+    "stream_dirty_tiles": SQL_STREAM_DIRTY_TILES,
 }

@@ -132,3 +132,57 @@ def streaming_dedup_first_seen(pages: DataFrame,
     return (keyed.groupBy("fingerprint")
             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
                                     "append", timeout))
+
+
+def streaming_dirty_tiles(updates: DataFrame, zoom: int = 12) -> DataFrame:
+    """Streaming form of ``delta.dirty_tiles``: over an unbounded stream
+    of page updates (the delta router's added/changed/removed coordinate
+    feed), emit each (z, x, y) tile the FIRST time it goes dirty across
+    the run, with the number of updates that landed in it that batch —
+    the trigger feed for a continuously re-rendering tile pyramid (each
+    emission enqueues one tile rebuild; later updates to an
+    already-dirty tile are suppressed until the pyramid is re-baked and
+    the state is reset).
+
+    Same ``applyInPandasWithState`` shape as
+    ``streaming_dedup_first_seen``: keyed state = one counter per dirty
+    tile, O(1) per key, bounded by the tile pyramid (4^z cap) rather
+    than the update stream.  Single-batch runs (availableNow) are a
+    pure function of the input — the gate's SQL oracle is the distinct
+    tile set with counts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    z = F.lit(zoom)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    tiled = (updates
+             .where(F.col("lng_udeg").isNotNull()
+                    & F.col("lat_udeg").isNotNull())
+             .withColumn("x", geo.tile_x(z, mx))
+             .withColumn("y", geo.tile_y(z, my)))
+
+    out_schema = T.StructType([
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def first_dirty_fn(key, pdf_iter, state: GroupState):
+        x, y = key
+        seen = state.get[0] if state.exists else 0
+        n = 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((seen + n,))
+        if seen == 0 and n > 0:
+            yield pd.DataFrame({"z": [zoom], "x": [x], "y": [y],
+                                "n_updates": [n]})
+
+    return (tiled.groupBy("x", "y")
+            .applyInPandasWithState(first_dirty_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -196,3 +196,56 @@ def test_lsh_index_roundtrip(spark, docs, tmp_path):
         .select("doc_a", "doc_b")
     assert via_disk.exceptAll(via_mem).count() == 0
     assert via_mem.exceptAll(via_disk).count() == 0
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs or [(0, 0)],
+                                 "doc_a long, doc_b long") \
+        .where(F.lit(bool(pairs)))
+
+
+def test_incremental_cc_bridge_removal_splits_cluster(spark):
+    """Removing a bridge doc must SPLIT its old component — the case a
+    naive merge-only incremental CC gets wrong."""
+    from plateau_gis_converter_spark.operators import graph as gr
+    from plateau_gis_converter_spark.operators import incremental as inc
+
+    prev_pairs = _pairs_df(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+    prev_labels = gr.connected_components(prev_pairs)
+    stale = spark.createDataFrame([(2,)], "doc_id long")
+    new_pairs = _pairs_df(spark, [(3, 30)])
+    got = inc.incremental_connected_components(
+        prev_labels, prev_pairs, stale, new_pairs)
+    res = {r["id"]: r["component_id"] for r in got.collect()}
+    # doc 2 gone; doc 1 lost all pairs -> absent; {3,30} is a new cluster
+    assert res == {3: 3, 30: 3, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_incremental_cc_removal_only_delta(spark):
+    from plateau_gis_converter_spark.operators import graph as gr
+    from plateau_gis_converter_spark.operators import incremental as inc
+
+    prev_pairs = _pairs_df(spark, [(1, 2), (2, 3), (10, 11)])
+    prev_labels = gr.connected_components(prev_pairs)
+    stale = spark.createDataFrame([(3,)], "doc_id long")
+    new_pairs = _pairs_df(spark, [])
+    got = inc.incremental_connected_components(
+        prev_labels, prev_pairs, stale, new_pairs)
+    res = {r["id"]: r["component_id"] for r in got.collect()}
+    assert res == {1: 1, 2: 1, 10: 10, 11: 10}
+
+
+def test_incremental_cc_merges_two_clean_clusters(spark):
+    """A new doc bridging two previously-separate components must merge
+    them under the global min id."""
+    from plateau_gis_converter_spark.operators import graph as gr
+    from plateau_gis_converter_spark.operators import incremental as inc
+
+    prev_pairs = _pairs_df(spark, [(5, 6), (10, 11), (20, 21)])
+    prev_labels = gr.connected_components(prev_pairs)
+    stale = spark.createDataFrame([(0,)], "doc_id long").where(F.lit(False))
+    new_pairs = _pairs_df(spark, [(6, 100), (100, 10)])
+    got = inc.incremental_connected_components(
+        prev_labels, prev_pairs, stale, new_pairs)
+    res = {r["id"]: r["component_id"] for r in got.collect()}
+    assert res == {5: 5, 6: 5, 10: 5, 11: 5, 100: 5, 20: 20, 21: 20}

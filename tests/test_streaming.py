@@ -177,3 +177,46 @@ def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path):
         assert len(alpha) == 2        # alpha emitted twice across the TTL
     finally:
         q.stop()
+
+
+def test_streaming_dirty_tiles_suppresses_repeat_tiles(spark, tmp_path):
+    """delta.dirty_tiles's streaming form: a tile goes dirty ONCE per
+    run — a second batch of updates landing in an already-dirty tile
+    emits nothing, a batch reaching a fresh tile emits it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "updates"
+    d.mkdir()
+
+    # z12 tile width = 360/4096 deg ≈ 87891 µdeg: the first two points
+    # share a tile, the third is ~3 tiles east, the fourth further yet
+    def write_batch(name, coords):
+        pq.write_table(pa.table({
+            "lng_udeg": pa.array([c[0] for c in coords], pa.int64()),
+            "lat_udeg": pa.array([c[1] for c in coords], pa.int64()),
+        }), str(d / name))
+
+    base = (139_700_000, 35_680_000)
+    write_batch("b0.parquet", [base, (base[0] + 1000, base[1] + 1000)])
+    stream = spark.readStream.schema("lng_udeg long, lat_udeg long") \
+        .parquet(str(d))
+    out = sp.streaming_dirty_tiles(stream, zoom=12)
+    q = (out.writeStream.format("memory").queryName("dirty_tiles_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT * FROM dirty_tiles_t").toPandas()
+        assert len(got1) == 1 and int(got1["n_updates"].iloc[0]) == 2
+        # batch 2: same tile again (suppressed) + one new tile east
+        write_batch("b1.parquet", [base, (base[0] + 300_000, base[1])])
+        q.processAllAvailable()
+        got2 = spark.sql("SELECT * FROM dirty_tiles_t").toPandas()
+        assert len(got2) == 2
+        assert got2["n_updates"].tolist().count(1) == 1
+        xs = sorted(got2["x"].tolist())
+        assert xs[1] > xs[0]  # the new tile is strictly east
+    finally:
+        q.stop()
