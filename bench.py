@@ -165,9 +165,9 @@ def main():
                   "heavy_hitters", "weighted_sample", "grid_cluster",
                   "bm25_topk", "extract_links", "hll_registers",
                   "crawl_delta", "length_quantiles", "ingest_e2e",
-                  "incremental_dedup", "cms_registers",
+                  "cms_registers", "cms_estimate",
                   "group_cardinality", "dirty_tiles",
-                  "incremental_clusters", "stream_dirty_tiles"]:
+                  "stream_dirty_tiles"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 
@@ -187,9 +187,10 @@ def main():
     def stage_pairs_cc():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pairs = dd.minhash_dedup_pairs(docs, threshold=0.5).select(
-            "doc_a", "doc_b")
+            "doc_a", "doc_b").localCheckpoint(eager=True)
         comp = gr.connected_components(pairs).localCheckpoint(eager=True)
         staged["docs"], staged["comp"] = docs, comp
+        staged["prev_pairs"] = pairs
         return comp
 
     run("dedup_pairs_cc", lambda: stage_pairs_cc(),
@@ -199,6 +200,52 @@ def main():
             "id as doc_id", "component_id").count())
     run("dedup_keep_list",
         lambda: dd.dedup_keep_list(staged["docs"], staged["comp"]).count())
+
+    # Incremental-ingest stages (r5): in production the previous
+    # snapshot's LSH index, pair relation, and CC labels are STORED —
+    # re-deriving them inside the incremental queries would measure the
+    # full-recompute cost the incremental path exists to avoid. The
+    # bench stages each prerequisite once per pass (its build is its own
+    # measured line) and the incremental operators consume the staged
+    # state, exactly like a recurring crawl consumes last month's run.
+    from pyspark.sql import functions as _F
+
+    from plateau_gis_converter_spark.operators import incremental as inc
+
+    def _snapshots(docs):
+        did = _F.col("doc_id")
+        unchanged = docs.where((did % 17 != 0) & (did % 13 != 0)) \
+            .select("doc_id", "text")
+        changed = (docs.where((did % 17 != 0) & (did % 13 == 0))
+                   .select("doc_id", _F.concat(_F.col("text"),
+                                               _F.lit(" v2")).alias("text")))
+        added = (docs.where(did % 19 == 0)
+                 .select((did + 1000000).alias("doc_id"), "text"))
+        return unchanged, changed.unionAll(added)
+
+    def stage_lsh_index():
+        unchanged, new_docs = _snapshots(staged["docs"])
+        staged["unchanged"], staged["new_docs"] = unchanged, new_docs
+        staged["idx"] = dd.lsh_buckets(unchanged).localCheckpoint(eager=True)
+
+    def run_incremental_dedup():
+        staged["new_pairs"] = inc.incremental_dedup_pairs(
+            staged["idx"], staged["unchanged"], staged["new_docs"],
+            threshold=0.5).select("doc_a", "doc_b") \
+            .localCheckpoint(eager=True)
+        return staged["new_pairs"].count()
+
+    def run_incremental_clusters():
+        did = _F.col("doc_id")
+        stale = staged["docs"].where((did % 17 == 0) | (did % 13 == 0)) \
+            .select("doc_id")
+        return inc.incremental_connected_components(
+            staged["comp"].selectExpr("id", "component_id"),
+            staged["prev_pairs"], stale, staged["new_pairs"]).count()
+
+    run("lsh_index_build", stage_lsh_index)
+    run("incremental_dedup", run_incremental_dedup)
+    run("incremental_clusters", run_incremental_clusters)
 
     execute(passes=3)
     total = round(sum(timings.values()), 3)

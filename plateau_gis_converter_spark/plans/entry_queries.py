@@ -3172,6 +3172,55 @@ FROM cells GROUP BY 1, 2
 SQL_CMS_REGISTERS = _cms_sql()
 
 
+def q_cms_estimate(spark, sf_dir):
+    """CMS point-estimate probe (cms.cms_estimate): for every token whose
+    exact count >= 50, the estimate = min over the d register rows at the
+    token's salted buckets (broadcast probe, map-local).  Integer mins
+    over integer sums — the oracle recomputes registers AND probe with
+    the same md5+mod arithmetic, so estimates match bit-for-bit; the
+    never-undercount guarantee itself is pytest-proven."""
+    from ..operators import cms
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                 lambda t: t != "")).alias("tok")).persist()
+    regs = cms.cms_registers(toks, "tok", depth=4, width=256)
+    keys = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 50).select("tok"))
+    return cms.cms_estimate(regs, keys, "tok", depth=4, width=256)
+
+
+def _cms_estimate_sql(depth: int = 4, width: int = 256) -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS rw, CAST(concat('0x', substr(md5(tok || ':cms{r}'),"
+        f" 1, 15)) AS BIGINT) % {width} AS bucket FROM tok"
+        for r in range(depth))
+    probes = " UNION ALL ".join(
+        f"SELECT tok AS key, {r} AS rw, CAST(concat('0x', substr(md5(tok ||"
+        f" ':cms{r}'), 1, 15)) AS BIGINT) % {width} AS bucket FROM keys"
+        for r in range(depth))
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT u.tok AS tok FROM toks, UNNEST(t) AS u(tok)),
+cells AS ({cells}),
+regs AS (
+  SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2),
+keys AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) >= 50),
+probe AS ({probes})
+SELECT p.key, CAST(min(coalesce(r.cnt, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN regs r ON r.rw = p.rw AND r.bucket = p.bucket
+GROUP BY p.key
+"""
+
+
+SQL_CMS_ESTIMATE = _cms_estimate_sql()
+
+
 def q_group_cardinality(spark, sf_dir):
     """Per-group HLL registers (cardinality.hll_registers_grouped):
     distinct users per event type as one partial-agg groupBy — output
@@ -3519,6 +3568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_e2e": q_ingest_e2e,
     "incremental_dedup": q_incremental_dedup,
     "cms_registers": q_cms_registers,
+    "cms_estimate": q_cms_estimate,
     "group_cardinality": q_group_cardinality,
     "dirty_tiles": q_dirty_tiles,
     "incremental_clusters": q_incremental_clusters,
@@ -3598,6 +3648,7 @@ ORACLES: dict[str, str] = {
     "ingest_e2e": SQL_INGEST_E2E,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "cms_registers": SQL_CMS_REGISTERS,
+    "cms_estimate": SQL_CMS_ESTIMATE,
     "group_cardinality": SQL_GROUP_CARDINALITY,
     "dirty_tiles": SQL_DIRTY_TILES,
     "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,
