@@ -249,3 +249,35 @@ def test_incremental_cc_merges_two_clean_clusters(spark):
         prev_labels, prev_pairs, stale, new_pairs)
     res = {r["id"]: r["component_id"] for r in got.collect()}
     assert res == {5: 5, 6: 5, 10: 5, 11: 5, 100: 5, 20: 20, 21: 20}
+
+
+def test_incremental_keep_list_equals_full(spark, docs):
+    """The incremental curation chain end-to-end: delta-routed pairs ->
+    incremental CC -> keep-list equals the from-scratch keep-list over
+    the new snapshot — so a recurring crawl's deduplicated corpus can be
+    maintained without ever re-clustering clean components."""
+    from plateau_gis_converter_spark.operators import dedup as dd
+    from plateau_gis_converter_spark.operators import graph as gr
+    from plateau_gis_converter_spark.operators import incremental as inc
+
+    did = F.col("doc_id")
+    unchanged, new_docs = _snapshots(docs)
+    new_corpus = unchanged.unionAll(new_docs)
+    stale = docs.where((did % 17 == 0) | (did % 13 == 0)).select("doc_id")
+
+    prev_pairs = dd.minhash_dedup_pairs(docs, threshold=0.5) \
+        .select("doc_a", "doc_b").persist()
+    prev_labels = gr.connected_components(prev_pairs).persist()
+    new_pairs = inc.incremental_dedup_pairs(
+        dd.lsh_buckets(unchanged), unchanged, new_docs,
+        threshold=0.5).select("doc_a", "doc_b")
+    inc_labels = inc.incremental_connected_components(
+        prev_labels, prev_pairs, stale, new_pairs)
+    got = dd.dedup_keep_list(new_corpus, inc_labels)
+
+    full_labels = gr.connected_components(
+        dd.minhash_dedup_pairs(new_corpus, threshold=0.5)
+        .select("doc_a", "doc_b"))
+    want = dd.dedup_keep_list(new_corpus, full_labels)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
