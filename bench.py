@@ -149,6 +149,7 @@ def main():
     # operator coverage at sf_dir (entry-query implementations)
     for qname in ["pricing_summary", "revenue_by_nation", "window_top_orders",
                   "events_sessionize", "events_windowed", "dedup_ngram_jaccard",
+                  "jaccard_prefix_filter",
                   "minhash_signatures", "simhash", "embedding_topk",
                   "hilbert_tile_id", "rasterize_heatmap", "tile_rollup", "spatial_join_pip",
                   "text_features", "extract_text", "ann_ivf_topk", "vshift_geoid",

@@ -403,3 +403,78 @@ def dedup_keep_list(docs: DataFrame, components: DataFrame,
     return (labeled.join(reps, "component_id")
             .select(key_col, "component_id",
                     (F.col(key_col) == F.col("__keep")).alias("kept")))
+
+
+def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
+                                threshold: float = 0.5,
+                                text_col: str = "text") -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the PPJoin /
+    AllPairs family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    Same output contract as ``ngram_jaccard_pairs(max_df=None)``
+    (doc_a < doc_b, jaccard >= τ, exact) but a fundamentally cheaper
+    candidate generator: instead of joining on ANY shared shingle, each
+    document's shingles are put in one global canonical order (ascending
+    document frequency, shingle tiebreak) and only the first
+    ``|x| - ceil(τ·|x|) + 1`` shingles — the PREFIX — participate in the
+    equi-join. Two sets with Jaccard >= τ must share at least one prefix
+    token under any global order (pigeonhole on the >= ceil(τ·|x|)
+    overlap), so the filter is LOSSLESS; ordering by ascending df puts
+    the rarest shingles in the prefix, which is what collapses the
+    candidate count (the frequent boilerplate shingles that make the
+    naive join quadratic land at the back and never join). A length
+    filter (τ·|a| <= |b| <= |a|/τ) prunes inside the join condition.
+
+    Complement to the two existing scale paths: minhash-LSH is
+    probabilistic (can miss pairs), ``max_df``-capped Jaccard changes the
+    measure; prefix filtering is exact on the TRUE shingle sets AND
+    avoids the hot-key blowup. Cost model at 10^12 docs: one df
+    aggregation (partial-agg), one per-doc sort window over shingles
+    (shuffle keyed by doc_id), a candidate equi-join keyed by prefix
+    shingle (bounded per key by df, which the prefix biases small), and
+    one verify join of candidates back to full shingle sets.
+
+    Reference anchor: the reference dedupes vertices/features by exact
+    key equality (nusamai-citygml geometry dedup); this is the
+    web-corpus generalization the brief's training-pipeline axis asks
+    for.
+    """
+    sh = shingles(docs, n, text_col).persist()
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    order = Window.partitionBy("doc_id").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc())
+    ranked = (sh.join(dfreq, "shingle")
+              .select("doc_id", "shingle",
+                      F.row_number().over(order).alias("__pos"))
+              .join(sizes, "doc_id"))
+    # prefix length |x| - ceil(τ|x|) + 1 (Jaccard prefix, Xiao et al. §3)
+    pre = ranked.where(
+        F.col("__pos")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    a = pre.select(F.col("doc_id").alias("doc_a"), "shingle",
+                   F.col("n_sh").alias("na"))
+    b = pre.select(F.col("doc_id").alias("doc_b"), "shingle",
+                   F.col("n_sh").alias("nb"))
+    cand = (a.join(b, ["shingle"])
+            .where((F.col("doc_a") < F.col("doc_b"))
+                   & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+                   & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb"))))
+            .select("doc_a", "doc_b", "na", "nb")
+            .distinct())
+    # exact verify: intersection count over the FULL shingle sets of the
+    # surviving candidates only (two equi-joins keyed by doc id + shingle)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b", "na", "nb")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter.withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                .cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

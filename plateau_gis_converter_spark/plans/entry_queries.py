@@ -988,6 +988,36 @@ WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
 """
 
 
+def q_jaccard_prefix_filter(spark, sf_dir):
+    """EXACT similarity join via prefix filtering (PPJoin/AllPairs family)
+    at τ=0.5 — NO df cap, true shingle sets. The oracle is the naive
+    brute-force any-shared-shingle join, so the gate proves the prefix
+    candidate generation (rarest-first canonical order, |x|-ceil(τ|x|)+1
+    prefix, length filter) is lossless end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("bigint")
+        .alias("jaccard_e6"))
+
+
+SQL_JACCARD_PREFIX = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(floor(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) * 1000000
+       + 0.5) AS BIGINT) AS jaccard_e6
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.5
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (16 hashes over 3-gram shingles) — flat columns."""
     docs = _t(spark, sf_dir, "documents")
@@ -3518,6 +3548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_quality_filter": q_lang_quality_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "jaccard_prefix_filter": q_jaccard_prefix_filter,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
@@ -3604,6 +3635,7 @@ ORACLES: dict[str, str] = {
     "lang_quality_filter": SQL_LANG_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "jaccard_prefix_filter": SQL_JACCARD_PREFIX,
     "minhash_signatures": SQL_MINHASH,
     "simhash": SQL_SIMHASH,
     "embedding_topk": SQL_EMB_TOPK,

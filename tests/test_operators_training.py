@@ -903,3 +903,26 @@ def test_ivf_partitioned_index_pruned_probe(spark, tmp_path):
     b = sorted(map(tuple, mem.select("query_id", "vec_id", "rank")
                    .collect()))
     assert a == b and len(a) > 0
+
+
+def test_prefix_filter_jaccard_synthetic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z q w")],
+        ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.prefix_filter_jaccard_pairs(
+               df, 3, threshold=0.3).collect()}
+    assert got == {(1, 2): 0.5}
+
+
+def test_prefix_filter_equals_exact_jaccard(docs):
+    """Prefix filtering is LOSSLESS: same pairs + same jaccard values as
+    the uncapped any-shared-shingle exact join, at two thresholds."""
+    for tau in (0.5, 0.3):
+        want = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, 3, threshold=tau).collect()}
+        got = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+               for r in dedup.prefix_filter_jaccard_pairs(
+                   docs, 3, threshold=tau).collect()}
+        assert got == want and len(want) > 0
