@@ -154,7 +154,8 @@ def main():
                   "hilbert_tile_id", "rasterize_heatmap", "tile_rollup", "spatial_join_pip",
                   "text_features", "extract_text", "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
-                  "url_host_stats", "repetition_quality", "chunk_dedup",
+                  "url_host_stats", "crawl_schedule",
+                  "repetition_quality", "chunk_dedup",
                   "pagerank", "pagerank_dangling", "image_features",
                   "stratified_sample", "decontaminate", "pack_chunks",
                   "pack_composition", "url_registered_domain",

@@ -1749,6 +1749,42 @@ def q_url_host_stats(spark, sf_dir):
     return urls.host_stats(pages)
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Crawl-frontier politeness planner (operators/frontier.py): derive a
+    frontier from documents (host = source, priority = n_chars), plan one
+    cycle with 8 fetchers / 5 s per-host delay / per-host budget 40. The
+    oracle re-derives the window + md5 routing + budget independently."""
+    from ..operators import frontier
+
+    docs = _t(spark, sf_dir, "documents")
+    fr = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("host"),
+        F.col("n_chars").alias("pr"))
+    return frontier.politeness_schedule(
+        fr, n_fetchers=8, delay_s=5, max_per_host=40, priority_col="pr")
+
+
+SQL_CRAWL_SCHEDULE = """
+WITH fr AS (
+  SELECT concat('https://', source, '/doc/', CAST(doc_id AS VARCHAR)) AS url,
+         source AS host, n_chars AS pr
+  FROM documents
+),
+s AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY pr DESC, url ASC)
+              - 1 AS BIGINT) AS seq
+  FROM fr
+)
+SELECT url, host,
+  CAST(concat('0x', substr(md5(host), 1, 15)) AS BIGINT) % 8 AS fetcher,
+  seq, CAST(seq * 5 AS BIGINT) AS not_before_s
+FROM s WHERE seq < 40
+"""
+
+
 SQL_URL_HOST_STATS = """
 WITH pages AS (
   SELECT concat('HTTPS://WWW.', source, '/Doc/',
@@ -3566,6 +3602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     # round-3 webtext operators
     "url_host_stats": q_url_host_stats,
+    "crawl_schedule": q_crawl_schedule,
     "url_registered_domain": q_url_registered_domain,
     "extract_text": q_extract_text,
     "domain_cap": q_domain_cap,
@@ -3649,6 +3686,7 @@ ORACLES: dict[str, str] = {
     "appearance_resolve": SQL_APPEARANCE,
     "ann_ivf_topk": SQL_ANN_IVF,
     "url_host_stats": SQL_URL_HOST_STATS,
+    "crawl_schedule": SQL_CRAWL_SCHEDULE,
     "url_registered_domain": SQL_URL_REGISTERED_DOMAIN,
     "extract_text": SQL_EXTRACT_TEXT,
     "domain_cap": SQL_DOMAIN_CAP,
