@@ -165,7 +165,8 @@ def main():
                   "asof_join", "range_join", "decontaminate_bloom",
                   "warc_roundtrip", "geohash_cells",
                   "heavy_hitters", "weighted_sample", "grid_cluster",
-                  "bm25_topk", "extract_links", "hll_registers",
+                  "bm25_topk", "phrase_search", "extract_links",
+                  "hll_registers",
                   "crawl_delta", "length_quantiles", "ingest_e2e",
                   "cms_registers", "cms_estimate",
                   "group_cardinality", "dirty_tiles",

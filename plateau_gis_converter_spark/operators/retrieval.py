@@ -154,3 +154,72 @@ def corpus_queries(docs: DataFrame, n_queries: int = 8,
         F.floor((F.col("r") - skip - 1) / 2).cast("bigint")
         .alias("query_id"),
         "term")
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted index as a DataFrame: (doc_id, pos, term) with
+    0-based token positions — the index layout phrase/proximity queries
+    need (Lucene's positions file, Manning IR §2.4.2). Map-only: one
+    posexplode of the token array; at 10^12 docs this is a staged table
+    partitioned/bucketed by term."""
+    t = docs.select(id_col, _tokens(F.col(text_col)).alias("_t"))
+    return t.select(id_col, F.posexplode("_t").alias("pos", "term")) \
+        .select(id_col, F.col("pos").cast("bigint").alias("pos"), "term")
+
+
+def phrase_match(docs: DataFrame, phrases: DataFrame,
+                 phrase_col: str = "phrase", qid_col: str = "query_id",
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """EXACT phrase search over the positional index: for each (query_id,
+    phrase) return every document containing the phrase's tokens
+    CONSECUTIVELY, with occurrence count and first position.
+
+    The classic decomposition (Manning IR §2.4.2): a phrase [q0..qk]
+    matches doc d at base position p iff token qj sits at p+j for every
+    j. In relational form: join postings to phrase terms, normalize each
+    hit to ``base = pos - qpos``, and a base where the DISTINCT matched
+    qpos count equals the phrase length is a full consecutive match
+    (duplicate terms inside the phrase are handled because each qpos is
+    tested independently at the same base).
+
+    Scale: the phrase relation is tiny -> broadcast against the postings
+    (never a corpus shuffle); the match test is one partial-agg groupBy
+    keyed by (query, doc, base); per-doc fan-out is bounded by phrase
+    length x tf of the phrase's terms in that doc. Zero Python, zero
+    driver data.
+
+    Output: (query_id, doc_id, n_hits, first_pos).
+    """
+    qt = phrases.select(qid_col, _tokens(F.col(phrase_col)).alias("_qt"))
+    qterms = (qt.select(qid_col, F.size("_qt").alias("qlen"),
+                        F.posexplode("_qt").alias("qpos", "term"))
+              .select(qid_col, F.col("qlen").cast("bigint").alias("qlen"),
+                      F.col("qpos").cast("bigint").alias("qpos"), "term"))
+    post = positional_postings(docs, text_col, id_col)
+    hits = (post.join(F.broadcast(qterms), "term")
+            .select(qid_col, id_col,
+                    (F.col("pos") - F.col("qpos")).alias("base"),
+                    "qpos", "qlen")
+            .where(F.col("base") >= 0))
+    matches = (hits.groupBy(qid_col, id_col, "base", "qlen")
+               .agg(F.countDistinct("qpos").alias("__nq"))
+               .where(F.col("__nq") == F.col("qlen")))
+    return (matches.groupBy(qid_col, id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.min("base").alias("first_pos")))
+
+
+def corpus_phrases(docs: DataFrame, every: int = 97, start: int = 3,
+                   length: int = 4, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus-derived probe phrases (fixture generator, like
+    corpus_queries): for docs with id % every == 0 and enough tokens,
+    the phrase is tokens [start, start+length) — so each phrase has at
+    least its source doc as a guaranteed hit."""
+    t = docs.select(id_col, _tokens(F.col(text_col)).alias("_t"))
+    return (t.where((F.col(id_col) % every == 0)
+                    & (F.size("_t") >= start + length))
+            .select(F.col(id_col).alias("query_id"),
+                    F.array_join(F.slice("_t", start + 1, length), " ")
+                    .alias("phrase")))

@@ -2885,6 +2885,45 @@ def q_bm25_topk(spark, sf_dir):
     return rt.bm25_topk(docs, qs, k=10)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search over the positional inverted index
+    (operators/retrieval.py): corpus-derived 4-token probe phrases
+    (every 97th doc, tokens 3..6), consecutive-position match via the
+    base = pos - qpos normalization; broadcast phrase relation, one
+    partial-agg groupBy keyed by (query, doc, base)."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    phrases = rt.corpus_phrases(docs, every=97, start=3, length=4)
+    return rt.phrase_match(docs, phrases)
+
+
+SQL_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+post AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS term
+  FROM toks, UNNEST(range(len(t))) AS u(i)),
+qt AS (
+  SELECT doc_id AS query_id, CAST(j AS BIGINT) AS qpos, t[4+j] AS term
+  FROM toks, UNNEST(range(4)) AS v(j)
+  WHERE doc_id % 97 = 0 AND len(t) >= 7),
+hits AS (
+  SELECT q.query_id, p.doc_id, p.pos - q.qpos AS base, q.qpos
+  FROM post p JOIN qt q ON p.term = q.term
+  WHERE p.pos - q.qpos >= 0),
+m AS (
+  SELECT query_id, doc_id, base
+  FROM hits GROUP BY 1, 2, 3 HAVING count(DISTINCT qpos) = 4)
+SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       min(base) AS first_pos
+FROM m GROUP BY 1, 2
+"""
+
+
 SQL_BM25_TOPK = """
 WITH toks AS (
   SELECT doc_id,
@@ -3629,6 +3668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "grid_cluster": q_grid_cluster,
     "bm25_topk": q_bm25_topk,
+    "phrase_search": q_phrase_search,
     "extract_links": q_extract_links,
     "hll_registers": q_hll_registers,
     "crawl_delta": q_crawl_delta,
@@ -3711,6 +3751,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "grid_cluster": SQL_GRID_CLUSTER,
     "bm25_topk": SQL_BM25_TOPK,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "extract_links": SQL_EXTRACT_LINKS,
     "hll_registers": SQL_HLL_REGISTERS,
     "crawl_delta": SQL_CRAWL_DELTA,

@@ -209,3 +209,43 @@ def test_bm25_query_side_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_phrase_match_semantics(spark):
+    from plateau_gis_converter_spark.operators import retrieval as rt
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the cat sat mat"),
+         (2, "cat sat elsewhere the cat sat"),
+         (3, "sat cat the")],
+        ["doc_id", "text"])
+    phrases = spark.createDataFrame(
+        [(10, "cat sat"), (11, "the cat sat"), (12, "cat cat")],
+        ["query_id", "phrase"])
+    got = {(r["query_id"], r["doc_id"]): (r["n_hits"], r["first_pos"])
+           for r in rt.phrase_match(docs, phrases).collect()}
+    # doc1 tokens: the cat sat on the cat sat mat -> "cat sat" at 1 and 5
+    assert got[(10, 1)] == (2, 1)
+    assert got[(10, 2)] == (2, 0)
+    # "the cat sat": doc1 at 0 and 4; doc2 at 3 only
+    assert got[(11, 1)] == (2, 0)
+    assert got[(11, 2)] == (1, 3)
+    # scrambled tokens (doc3) never match; "cat cat" matches nowhere
+    assert (12, 1) not in got and (12, 2) not in got and (12, 3) not in got
+    assert not any(d == 3 for (_, d) in got)
+
+
+def test_corpus_phrases_hit_source_doc(spark):
+    from plateau_gis_converter_spark.operators import retrieval as rt
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    phrases = rt.corpus_phrases(docs, every=97, start=3, length=4)
+    n_q = phrases.count()
+    assert n_q > 0
+    hits = rt.phrase_match(docs, phrases)
+    # every probe phrase must at minimum hit the doc it was cut from,
+    # at exactly first position <= 3 (the cut offset)
+    self_hits = hits.where(F.col("query_id") == F.col("doc_id")).collect()
+    assert len(self_hits) == n_q
+    for r in self_hits:
+        assert r["n_hits"] >= 1 and r["first_pos"] <= 3
