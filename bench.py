@@ -151,7 +151,8 @@ def main():
                   "events_sessionize", "events_windowed", "dedup_ngram_jaccard",
                   "jaccard_prefix_filter",
                   "minhash_signatures", "simhash", "embedding_topk",
-                  "hilbert_tile_id", "rasterize_heatmap", "tile_rollup", "spatial_join_pip",
+                  "hilbert_tile_id", "rasterize_heatmap", "raster_delta",
+                  "tile_rollup", "spatial_join_pip",
                   "text_features", "extract_text", "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
                   "url_host_stats", "crawl_schedule",

@@ -98,3 +98,40 @@ def raster_cell_bounds(raster: DataFrame, zoom: int,
             # is its bottom edge gy+1
             .withColumn("lat_min_udeg", lat_udeg(gy + F.lit(1)))
             .withColumn("lat_max_udeg", lat_udeg(gy)))
+
+
+def apply_raster_delta(prev_raster: DataFrame, added_pts: DataFrame,
+                       removed_pts: DataFrame, zoom: int,
+                       tile_px: int = 256,
+                       lng_col: str = "lng_udeg",
+                       lat_col: str = "lat_udeg") -> DataFrame:
+    """Incremental raster maintenance: fold a snapshot delta into a
+    STORED density raster instead of re-rasterizing the corpus.
+
+    ``new_raster = prev_raster + rasterize(added) - rasterize(removed)``,
+    pixels whose count reaches 0 drop out. Lossless by linearity of the
+    count aggregate: if ``prev_raster == rasterize(old points)`` and
+    (added, removed) are the point-multiset delta (a moved/changed page
+    contributes its old location to ``removed`` and its new location to
+    ``added`` — exactly the two sides ``delta.crawl_delta`` routes),
+    the result is bit-identical to ``rasterize_points(new points)``;
+    the gate proves it against a full-recompute oracle.
+
+    Scale: the two delta rasters aggregate only the DELTA points
+    (partial-agg), the merge is one unionAll + one groupBy keyed by
+    pixel — O(changed pixels + stored pixels), never O(corpus). This is
+    the raster face of the incremental layer (crawl_delta -> dirty_tiles
+    for vector tiles, this for heatmap tiles). A negative pixel count
+    means the caller's delta is inconsistent with the stored raster;
+    those rows are dropped with the zeros (both are "pixel is gone"),
+    so a stale prev_raster cannot fabricate phantom pixels.
+    """
+    cols = ["z", "x", "y", "px", "py"]
+    ra = rasterize_points(added_pts, zoom, tile_px, lng_col, lat_col)
+    rr = rasterize_points(removed_pts, zoom, tile_px, lng_col, lat_col)
+    signed = (prev_raster.select(*cols, F.col("n_points").alias("d"))
+              .unionAll(ra.select(*cols, F.col("n_points").alias("d")))
+              .unionAll(rr.select(*cols, (-F.col("n_points")).alias("d"))))
+    return (signed.groupBy(*cols)
+            .agg(F.sum("d").alias("n_points"))
+            .where(F.col("n_points") > 0))

@@ -202,6 +202,55 @@ FROM r
 """
 
 
+def q_raster_delta(spark, sf_dir):
+    """Incremental raster maintenance (raster.apply_raster_delta): stored
+    z=11 heatmap raster + snapshot delta (removed docs at old location,
+    changed docs moved +25000 µdeg east, added docs at fresh ids) —
+    proven LOSSLESS against the oracle's full re-rasterization of the
+    new snapshot (linearity of the count aggregate)."""
+    from ..operators import raster as ra
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lng, lat = geo.point_udeg_cols(did)
+    prev = ra.rasterize_points(docs.select(lng, lat), zoom=11, tile_px=16)
+    removed = (docs.where((did % 17 == 0) | (did % 13 == 0))
+               .select(lng, lat))
+    lng_a, lat_a = geo.point_udeg_cols(did + 1000000)
+    moved = (docs.where((did % 17 != 0) & (did % 13 == 0))
+             .select((lng + 25000).alias("lng_udeg"), lat))
+    added = (docs.where(did % 19 == 0).select(lng_a, lat_a))
+    return ra.apply_raster_delta(prev, moved.unionAll(added), removed,
+                                 zoom=11, tile_px=16)
+
+
+def _raster_delta_sql() -> str:
+    lng_o, lat_o = fx.point_udeg_sql("doc_id")
+    lng_a, lat_a = fx.point_udeg_sql("(doc_id + 1000000)")
+    return f"""
+WITH np AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN {lng_o} + 25000 ELSE {lng_o} END
+             AS lng_udeg,
+         {lat_o} AS lat_udeg
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT {lng_a}, {lat_a} FROM documents WHERE doc_id % 19 = 0),
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 32768.0) AS BIGINT) % 32768 + 32768) % 32768)
+        AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 32768.0) AS BIGINT), 32767)) AS gy
+  FROM np)
+SELECT CAST(11 AS INT) AS z, gx // 16 AS x, gy // 16 AS y,
+       gx % 16 AS px, gy % 16 AS py, CAST(count(*) AS BIGINT) AS n_points
+FROM g GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+SQL_RASTER_DELTA = _raster_delta_sql()
+
+
 def q_hilbert_tile_id(spark, sf_dir):
     """G8: PMTiles Hilbert ids for the z12..15 tiles (vectorized Arrow UDF)."""
     pts = _points_df(spark, sf_dir)
@@ -3597,6 +3646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_assign": q_tile_assign,
     "hilbert_tile_id": q_hilbert_tile_id,
     "rasterize_heatmap": q_rasterize_heatmap,
+    "raster_delta": q_raster_delta,
     "spatial_join_pip": q_spatial_join,
     "tile_agg": q_tile_agg,
     "tile_rollup": q_tile_rollup,
@@ -3688,6 +3738,7 @@ ORACLES: dict[str, str] = {
     "tile_assign": SQL_TILE_ASSIGN,
     "hilbert_tile_id": SQL_HILBERT,
     "rasterize_heatmap": SQL_RASTERIZE,
+    "raster_delta": SQL_RASTER_DELTA,
     "spatial_join_pip": SQL_SPATIAL_JOIN,
     "tile_agg": SQL_TILE_AGG,
     "tile_rollup": SQL_TILE_ROLLUP,

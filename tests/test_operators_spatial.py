@@ -201,3 +201,36 @@ def test_rasterize_points_counts_and_inverse_bounds(spark):
         | (F.col("lat_udeg") < F.col("lat_min_udeg") - 1)
         | (F.col("lat_udeg") > F.col("lat_max_udeg") + 1)).count()
     assert bad == 0
+
+
+def test_apply_raster_delta_lossless_and_guarded(spark):
+    """Incremental raster = full recompute when the delta is consistent;
+    zero/negative pixels drop out (stale-delta guard)."""
+    from plateau_gis_converter_spark.operators import raster as ra
+
+    def pts(rows):
+        return spark.createDataFrame(rows, ["lng_udeg", "lat_udeg"])
+
+    # two points share a pixel, one moves away, one is removed, one added
+    old = pts([(139700000, 35690000), (139700000, 35690000),
+               (139800000, 35600000), (135000000, 34700000)])
+    removed = pts([(139800000, 35600000),   # removed outright
+                   (135000000, 34700000)])  # moved: old side
+    added = pts([(135500000, 34900000),     # moved: new side
+                 (140000000, 36000000)])    # brand new
+    new = pts([(139700000, 35690000), (139700000, 35690000),
+               (135500000, 34900000), (140000000, 36000000)])
+
+    prev = ra.rasterize_points(old, zoom=11, tile_px=16)
+    got = ra.apply_raster_delta(prev, added, removed, zoom=11, tile_px=16)
+    want = ra.rasterize_points(new, zoom=11, tile_px=16)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # inconsistent delta: removing a point twice cannot go negative —
+    # the pixel just disappears
+    double_removed = pts([(139800000, 35600000), (139800000, 35600000)])
+    empty = spark.createDataFrame([], "lng_udeg bigint, lat_udeg bigint")
+    guarded = ra.apply_raster_delta(prev, empty, double_removed,
+                                    zoom=11, tile_px=16)
+    assert guarded.where(F.col("n_points") <= 0).count() == 0
