@@ -152,7 +152,7 @@ def main():
                   "jaccard_prefix_filter",
                   "minhash_signatures", "simhash", "embedding_topk",
                   "hilbert_tile_id", "rasterize_heatmap", "raster_delta",
-                  "tile_rollup", "spatial_join_pip",
+                  "raster_pyramid", "tile_rollup", "spatial_join_pip",
                   "text_features", "extract_text", "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
                   "url_host_stats", "crawl_schedule",
@@ -163,7 +163,8 @@ def main():
                   "dedup_keep_best", "domain_cap",
                   "stream_first_seen", "skew_salted_agg",
                   "adaptive_cell_split", "lod_filter_chain",
-                  "asof_join", "range_join", "decontaminate_bloom",
+                  "asof_join", "funnel_stages", "range_join",
+                  "decontaminate_bloom",
                   "warc_roundtrip", "geohash_cells",
                   "heavy_hitters", "weighted_sample", "grid_cluster",
                   "bm25_topk", "phrase_search", "extract_links",

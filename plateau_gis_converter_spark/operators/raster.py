@@ -135,3 +135,31 @@ def apply_raster_delta(prev_raster: DataFrame, added_pts: DataFrame,
     return (signed.groupBy(*cols)
             .agg(F.sum("d").alias("n_points"))
             .where(F.col("n_points") > 0))
+
+
+def raster_downsample(raster: DataFrame, levels: int,
+                      tile_px: int = 256) -> DataFrame:
+    """Roll a density raster up the pyramid by ``levels`` zooms: parent
+    global pixel = child global pixel // 2^levels, counts sum. Because
+    the pixel index is floor(m * 2^z * P), floor-dividing indices is
+    EXACTLY equivalent to rasterizing the original points at the lower
+    zoom (floor(floor(a*4)/4) == floor(a); the wrap modulus and the gy
+    clamp commute with the division since world widths scale by the
+    same power of two) — so a production heatmap pyramid rasterizes the
+    corpus ONCE at max zoom and derives every other level with one
+    partial-agg groupBy per level, never re-reading the points. The
+    gate proves the equivalence: Spark downsamples z11->z9, the oracle
+    rasterizes directly at z9.
+    """
+    p = F.lit(tile_px).cast("bigint")
+    d = F.lit(1 << levels).cast("bigint")
+    gx = F.floor((F.col("x") * p + F.col("px")) / d).cast("bigint")
+    gy = F.floor((F.col("y") * p + F.col("py")) / d).cast("bigint")
+    return (raster.select(
+                (F.col("z") - F.lit(levels)).cast("int").alias("z"),
+                F.floor(gx / p).cast("bigint").alias("x"),
+                F.floor(gy / p).cast("bigint").alias("y"),
+                (gx % p).alias("px"), (gy % p).alias("py"),
+                F.col("n_points"))
+            .groupBy("z", "x", "y", "px", "py")
+            .agg(F.sum("n_points").alias("n_points")))

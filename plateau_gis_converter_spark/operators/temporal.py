@@ -153,3 +153,51 @@ def interval_join_points(points: DataFrame, intervals: DataFrame,
     proj += [F.col(f"__pt_{c}").alias(c)
              for c in points.columns if c not in keys]
     return joined.select(*proj)
+
+
+def funnel_stages(events: DataFrame, steps: Sequence[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis (the web-analytics staple Spark has no
+    built-in for; ClickHouse calls it windowFunnel, BigQuery sells it as
+    a funnel template): for each user, how far through the ordered step
+    list did they get, with arbitrary other events allowed in between?
+
+    Semantics: stage k is reached iff there exist events e1 < e2 < ... <
+    ek (STRICTLY increasing ts) with types steps[0..k-1]. Computed by
+    the earliest-completion recurrence t_i = min ts of a step-i event
+    with ts > t_{i-1} — greedy-earliest is optimal here (taking the
+    earliest possible step-i event never forecloses a later step), so
+    the recurrence decides exactly the existence semantics above.
+
+    Output: one row per user seen in ``events`` — (user, stage,
+    completed_ts_us) where stage in [0, len(steps)] and completed_ts_us
+    is the epoch-microsecond timestamp of the LAST completed step (NULL
+    at stage 0).
+
+    Scale: len(steps) is a small constant (3-6 in practice); each step
+    is one filtered scan + one equi-join + one partial-agg min, all
+    keyed by user — no window over all events, no per-user state, no
+    Python. At 10^12 events the per-step relations shrink monotonically
+    (only users who reached step i-1 join step i's events).
+    """
+    if not steps:
+        raise ValueError("funnel_stages: steps must be non-empty")
+    out = events.select(user_col).distinct()
+    cur = None
+    tcols = []
+    for i, s in enumerate(steps, 1):
+        ev = (events.where(F.col(type_col) == s)
+              .select(user_col, F.col(ts_col).alias("_t")))
+        if cur is not None:
+            ev = ev.join(cur, user_col).where(F.col("_t") > F.col("_prev"))
+        cur = ev.groupBy(user_col).agg(F.min("_t").alias("_prev"))
+        tc = f"_t{i}"
+        tcols.append(tc)
+        out = out.join(cur.select(user_col, F.col("_prev").alias(tc)),
+                       user_col, "left")
+    stage = sum(F.when(F.col(tc).isNotNull(), 1).otherwise(0)
+                for tc in tcols)
+    final_ts = F.coalesce(*[F.col(tc) for tc in reversed(tcols)])
+    return out.select(user_col, stage.cast("bigint").alias("stage"),
+                      F.unix_micros(final_ts).alias("completed_ts_us"))

@@ -251,6 +251,33 @@ FROM g GROUP BY 1, 2, 3, 4, 5
 SQL_RASTER_DELTA = _raster_delta_sql()
 
 
+def q_raster_pyramid(spark, sf_dir):
+    """Raster pyramid rollup (raster.raster_downsample): rasterize ONCE
+    at z=11 then derive z=9 by integer pixel floor-division + count sum.
+    The oracle rasterizes the points DIRECTLY at z=9 — proving the
+    downsample is exactly equivalent to re-rasterizing at the lower
+    zoom (the floor/wrap/clamp commutation the docstring claims)."""
+    from ..operators import raster as ra
+
+    pts = _points_df(spark, sf_dir)
+    r11 = ra.rasterize_points(pts, zoom=11, tile_px=16)
+    return ra.raster_downsample(r11, levels=2, tile_px=16)
+
+
+SQL_RASTER_PYRAMID = f"""
+WITH {POINTS_CTE},
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 8192.0) AS BIGINT) % 8192 + 8192) % 8192) AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 8192.0) AS BIGINT), 8191)) AS gy
+  FROM pts)
+SELECT CAST(9 AS INT) AS z, gx // 16 AS x, gy // 16 AS y,
+       gx % 16 AS px, gy % 16 AS py, CAST(count(*) AS BIGINT) AS n_points
+FROM g GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def q_hilbert_tile_id(spark, sf_dir):
     """G8: PMTiles Hilbert ids for the z12..15 tiles (vectorized Arrow UDF)."""
     pts = _points_df(spark, sf_dir)
@@ -2920,6 +2947,38 @@ FROM keyed k LEFT JOIN lab l ON k.cell = l.cell
 """
 
 
+def q_funnel_stages(spark, sf_dir):
+    """Ordered-funnel analysis (temporal.funnel_stages): per user, how far
+    through view -> signup -> purchase (strictly increasing timestamps,
+    other events allowed in between); earliest-completion recurrence.
+    Oracle re-derives the per-step min-ts chain with plain SQL joins."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ (UTC session)
+    return tp.funnel_stages(ev, ["view", "signup", "purchase"])
+
+
+SQL_FUNNEL_STAGES = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+       WHERE e.event_type = 'signup' GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+  epoch_us(coalesce(t3, t2, t1)) AS completed_ts_us
+FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+       LEFT JOIN s2 ON u.user_id = s2.user_id
+       LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 retrieval (operators/retrieval.py): integer-exact Okapi
     scoring (k1=1.2, b=0.75 as exact rationals, `div` arithmetic — no
@@ -3647,6 +3706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_tile_id": q_hilbert_tile_id,
     "rasterize_heatmap": q_rasterize_heatmap,
     "raster_delta": q_raster_delta,
+    "raster_pyramid": q_raster_pyramid,
     "spatial_join_pip": q_spatial_join,
     "tile_agg": q_tile_agg,
     "tile_rollup": q_tile_rollup,
@@ -3709,6 +3769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_composition": q_pack_composition,
     # round-5 temporal joins + bloom prefilter
     "asof_join": q_asof_join,
+    "funnel_stages": q_funnel_stages,
     "range_join": q_range_join,
     "decontaminate_bloom": q_decontaminate_bloom,
     "warc_roundtrip": q_warc_roundtrip,
@@ -3739,6 +3800,7 @@ ORACLES: dict[str, str] = {
     "hilbert_tile_id": SQL_HILBERT,
     "rasterize_heatmap": SQL_RASTERIZE,
     "raster_delta": SQL_RASTER_DELTA,
+    "raster_pyramid": SQL_RASTER_PYRAMID,
     "spatial_join_pip": SQL_SPATIAL_JOIN,
     "tile_agg": SQL_TILE_AGG,
     "tile_rollup": SQL_TILE_ROLLUP,
@@ -3794,6 +3856,7 @@ ORACLES: dict[str, str] = {
     "pack_chunks": SQL_PACK_CHUNKS,
     "pack_composition": SQL_PACK_COMPOSITION,
     "asof_join": SQL_ASOF_JOIN,
+    "funnel_stages": SQL_FUNNEL_STAGES,
     "range_join": SQL_RANGE_JOIN,
     "decontaminate_bloom": SQL_DECONTAMINATE_BLOOM,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,

@@ -234,3 +234,18 @@ def test_apply_raster_delta_lossless_and_guarded(spark):
     guarded = ra.apply_raster_delta(prev, empty, double_removed,
                                     zoom=11, tile_px=16)
     assert guarded.where(F.col("n_points") <= 0).count() == 0
+
+
+def test_raster_downsample_equals_direct(spark):
+    """Pyramid rollup == rasterizing the points directly at the lower
+    zoom (the floor/wrap/clamp commutation), two levels down."""
+    from plateau_gis_converter_spark.operators import raster as ra
+
+    pts = spark.range(0, 4000).select(
+        ((F.col("id") * 7919) % 360000000 - 180000000).alias("lng_udeg"),
+        ((F.col("id") * 104729) % 170000000 - 85000000).alias("lat_udeg"))
+    r11 = ra.rasterize_points(pts, zoom=11, tile_px=16)
+    got = ra.raster_downsample(r11, levels=2, tile_px=16)
+    want = ra.rasterize_points(pts, zoom=9, tile_px=16)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -156,3 +156,52 @@ def test_asof_matches_pandas_merge_asof(spark):
                        on=["k"], values=["v"])
     got = {r["lid"]: r["v_asof"] for r in out.collect()}
     assert got == exp
+
+
+def test_funnel_stages_semantics(spark):
+    from datetime import datetime as DT
+
+    from plateau_gis_converter_spark.operators import temporal as tp
+
+    def t(s):
+        return DT(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1 completes in order
+        (1, t(1), "view"), (1, t(2), "noise"), (1, t(3), "signup"),
+        (1, t(4), "purchase"),
+        # u2: purchase BEFORE signup -> stage 2 only... view@1 signup@5
+        # purchase@3 (before signup) then nothing -> stage 2
+        (2, t(1), "view"), (2, t(3), "purchase"), (2, t(5), "signup"),
+        # u3: signup first, view later, no purchase: view@4 -> signup
+        # must be AFTER view -> signup@2 doesn't count -> stage 1
+        (3, t(2), "signup"), (3, t(4), "view"),
+        # u4: only noise -> stage 0
+        (4, t(1), "noise"),
+        # u5: same-second view+signup (strictly-greater rule) -> stage 1
+        (5, t(1), "view"), (5, t(1), "signup"),
+        # u6: greedy-earliest still finds later chain: view@1 signup@2
+        # purchase@3 plus an earlier decoy purchase@0
+        (6, t(0), "purchase"), (6, t(1), "view"), (6, t(2), "signup"),
+        (6, t(3), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: r["stage"]
+           for r in tp.funnel_stages(
+               ev, ["view", "signup", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1, 6: 3}
+
+
+def test_funnel_completed_ts_is_last_step(spark):
+    from datetime import datetime as DT
+
+    from plateau_gis_converter_spark.operators import temporal as tp
+
+    ev = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0, 1), "view"),
+         (1, DT(2024, 1, 1, 0, 0, 9), "signup")],
+        ["user_id", "ts", "event_type"])
+    r = tp.funnel_stages(ev, ["view", "signup", "purchase"]).collect()[0]
+    assert r["stage"] == 2
+    assert r["completed_ts_us"] == int(
+        DT(2024, 1, 1, 0, 0, 9).timestamp() * 1_000_000)
