@@ -169,7 +169,8 @@ def main():
                   "heavy_hitters", "weighted_sample", "grid_cluster",
                   "bm25_topk", "phrase_search", "extract_links",
                   "hll_registers",
-                  "crawl_delta", "length_quantiles", "ingest_e2e",
+                  "crawl_delta", "length_quantiles", "length_histogram",
+                  "length_quantile_bounds", "bottom_k_sample", "ingest_e2e",
                   "cms_registers", "cms_estimate",
                   "group_cardinality", "dirty_tiles",
                   "stream_dirty_tiles"]:

@@ -132,3 +132,43 @@ def weighted_sample(df: DataFrame, weight_col: str, max_weight: int,
                            F.lit(int(max_weight))), F.lit(0))
     b = hash_bucket(F.col(key_col), salt)
     return df.where(b * int(max_weight) < w * BUCKETS)
+
+
+def bottom_k_sketch(df: DataFrame, key_col: str, k: int,
+                    group_cols: list[str] | None = None,
+                    salt: str = "bk0") -> DataFrame:
+    """Bottom-k (KMV) sample: per group, the ``k`` DISTINCT keys with the
+    smallest deterministic hash — the classic mergeable distinct-value
+    sketch (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07). Properties
+    a curation pipeline leans on:
+
+    * it is a uniform sample over DISTINCT keys (the hash is a random
+      permutation of the key space), so resemblance between two groups'
+      corpora is estimable by comparing sketches: J ≈ |bottom_k(A) ∩
+      bottom_k(B) ∩ bottom_k(A ∪ B)| / k;
+    * mergeable: union two sketches, keep the k smallest — so shards
+      can be sketched independently and combined (same register
+      discipline as the CMS/HLL modules);
+    * the k-th smallest hash is itself a distinct-count estimator
+      (N̂ ≈ (k-1) * SPACE / h_(k)).
+
+    Deterministic (md5), hence exactly reproducible in any engine — the
+    gate's oracle re-derives the same sketch with a window rank.
+
+    Output: group cols + (key, h, r) with r = 1..k the rank by (h, key).
+    Scale: one distinct (partial-agg) + one window keyed by group over
+    the DISTINCT keys; the window input is the distinct relation, never
+    the raw corpus, and per-group output is capped at k.
+    """
+    groups = list(group_cols or [])
+    from pyspark.sql import Window
+
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+            1, 15), 16, 10).cast("bigint"))
+    dist = (df.select(*groups, key_col).distinct()
+            .withColumn("h", h))
+    w = Window.partitionBy(*groups).orderBy(F.col("h").asc(),
+                                            F.col(key_col).asc())
+    return (dist.withColumn("r", F.row_number().over(w).cast("bigint"))
+            .where(F.col("r") <= k))

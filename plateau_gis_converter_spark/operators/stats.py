@@ -47,3 +47,65 @@ def value_quantiles(df: DataFrame, col: str,
     return (cum.join(F.broadcast(targets), F.col("cum") >= F.col("tgt"))
             .groupBy("q_ppm")
             .agg(F.min("v").alias("value")))
+
+
+def log_histogram(df: DataFrame, col: str, subbins: int = 8) -> DataFrame:
+    """Mergeable log-scaled histogram sketch over a POSITIVE integer
+    column — the bounded-size companion to ``value_quantiles`` for
+    columns whose distinct-value relation is NOT small (raw byte
+    lengths, latencies). The DDSketch/HdrHistogram idea with
+    deterministic integer bins: value v falls in exponent e =
+    floor(log2 v) and sub-bin s = (v - 2^e) * subbins // 2^e, i.e.
+    ``subbins`` equal-width bins per octave, so any quantile read from
+    the sketch has relative error <= 1/subbins. All-integer (the
+    exponent comes from the binary-digit count, the sub-bin from one
+    integer multiply+divide), hence bit-reproducible in any engine.
+
+    Output registers: (bin_id, lo, hi, cnt) with lo/hi the inclusive/
+    exclusive value bounds. Size is bounded by subbins * 64 rows no
+    matter the row count; merge = unionAll + sum(cnt) per bin (same
+    register discipline as cms/hll). Values must satisfy
+    1 <= v < 2^52/subbins (the power-of-two scaling stays exact in the
+    double ``pow``); non-positive values raise at read time via the
+    count mismatch, not silently.
+
+    One partial-agg groupBy on the data; everything else is O(bins).
+    """
+    v = F.col(col).cast("bigint")
+    e = (F.length(F.conv(v, 10, 2)) - F.lit(1)).cast("bigint")
+    powe = F.pow(F.lit(2.0), e.cast("double")).cast("bigint")
+    s = F.floor((v - powe) * F.lit(subbins) / powe).cast("bigint")
+    bin_id = e * F.lit(subbins) + s
+    lo = powe + F.floor(s * powe / F.lit(subbins)).cast("bigint")
+    hi = powe + F.floor((s + 1) * powe / F.lit(subbins)).cast("bigint")
+    return (df.where(v >= 1)
+            .select(bin_id.alias("bin_id"), lo.alias("lo"), hi.alias("hi"))
+            .groupBy("bin_id", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_quantiles(hist: DataFrame,
+                        qs_ppm: list[int]) -> DataFrame:
+    """Read type-1 quantile BOUNDS from a ``log_histogram`` sketch: for
+    each q, the (lo, hi) of the first bin whose cumulative count
+    reaches rank ceil(q * n / 10^6) — the true quantile lies in
+    [lo, hi), so the guaranteed relative error is (hi-lo)/lo <=
+    1/subbins. Same all-integer rank rule as ``value_quantiles``; the
+    window runs over the O(subbins*64)-row register relation."""
+    if not qs_ppm:
+        raise ValueError("qs_ppm must be non-empty")
+    if not all(0 < q <= 1_000_000 for q in qs_ppm):
+        raise ValueError(f"qs_ppm must be in (0, 1e6], got {qs_ppm}")
+    n = hist.agg(F.sum("cnt")).collect()[0][0] or 0
+    w = Window.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    spark = hist.sparkSession
+    targets = spark.createDataFrame(
+        [(int(q), (int(q) * int(n) + 999_999) // 1_000_000)
+         for q in sorted(set(qs_ppm))],
+        "q_ppm long, tgt long")
+    first = (cum.join(F.broadcast(targets), F.col("cum") >= F.col("tgt"))
+             .groupBy("q_ppm")
+             .agg(F.min("bin_id").alias("bin_id")))
+    return (first.join(hist.select("bin_id", "lo", "hi"), "bin_id")
+            .select("q_ppm", "lo", "hi"))

@@ -3234,6 +3234,90 @@ FROM old FULL OUTER JOIN new ON old.url = new.url
 """
 
 
+_LOG_HIST_CTE = """
+b AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars >= 1),
+p AS (SELECT v, CAST(power(2, CAST(length(bin(v)) - 1 AS BIGINT)) AS BIGINT)
+               AS powe,
+             CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM b),
+sb AS (SELECT v, e, powe,
+       CAST(floor((v - powe) * 8 / CAST(powe AS DOUBLE)) AS BIGINT) AS s
+       FROM p),
+hist AS (
+  SELECT e * 8 + s AS bin_id,
+         powe + CAST(floor(s * powe / 8.0) AS BIGINT) AS lo,
+         powe + CAST(floor((s + 1) * powe / 8.0) AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM sb GROUP BY 1, 2, 3)"""
+
+
+def q_length_histogram(spark, sf_dir):
+    """Mergeable log-scaled histogram sketch of doc length
+    (stats.log_histogram, DDSketch/HdrHistogram family): 8 sub-bins per
+    octave, all-integer bin ids and bounds — registers bit-for-bit vs
+    the oracle's independent binary-digit-count formulation."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    return st.log_histogram(docs, "n_chars", subbins=8)
+
+
+SQL_LENGTH_HISTOGRAM = f"""
+WITH {_LOG_HIST_CTE}
+SELECT bin_id, lo, hi, cnt FROM hist
+"""
+
+
+def q_length_quantile_bounds(spark, sf_dir):
+    """Quantile BOUNDS read from the log-histogram sketch
+    (stats.histogram_quantiles): p50/p90/p99 of doc length as [lo, hi)
+    bin bounds with guaranteed relative error <= 1/8; the same integer
+    rank rule as value_quantiles, run over the O(bins) register
+    relation."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = st.log_histogram(docs, "n_chars", subbins=8)
+    return st.histogram_quantiles(hist, [500_000, 900_000, 990_000])
+
+
+SQL_LENGTH_QUANTILE_BOUNDS = f"""
+WITH {_LOG_HIST_CTE},
+c AS (SELECT bin_id, sum(cnt) OVER (ORDER BY bin_id) AS cum FROM hist),
+n AS (SELECT sum(cnt) AS n FROM hist),
+t AS (SELECT q, (q * n.n + 999999) // 1000000 AS tgt
+      FROM (VALUES (500000), (900000), (990000)) AS qv(q), n),
+f AS (SELECT t.q AS q_ppm, min(c.bin_id) AS bin_id
+      FROM c JOIN t ON c.cum >= t.tgt GROUP BY 1)
+SELECT CAST(f.q_ppm AS BIGINT) AS q_ppm, h.lo, h.hi
+FROM f JOIN hist h USING (bin_id)
+"""
+
+
+def q_bottom_k_sample(spark, sf_dir):
+    """Bottom-k (KMV) distinct sample per language
+    (sampling.bottom_k_sketch): the 16 distinct doc_ids with the
+    smallest md5 hash per lang — mergeable distinct-value sketch;
+    oracle re-derives the hash + window rank independently."""
+    from ..operators import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    return sp.bottom_k_sketch(docs, "doc_id", k=16, group_cols=["lang"])
+
+
+SQL_BOTTOM_K_SAMPLE = """
+WITH d AS (SELECT DISTINCT lang, doc_id FROM documents),
+h AS (SELECT lang, doc_id,
+      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'bk0'),
+                               1, 15)) AS BIGINT) AS h
+      FROM d),
+r AS (SELECT lang, doc_id, h,
+      CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+           AS BIGINT) AS r
+      FROM h)
+SELECT lang, doc_id, h, r FROM r WHERE r <= 16
+"""
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact type-1 quantiles of doc length (operators/stats.py): one
     partial-agg pass builds per-value counts, the running-sum window
@@ -3784,6 +3868,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_registers": q_hll_registers,
     "crawl_delta": q_crawl_delta,
     "length_quantiles": q_length_quantiles,
+    "length_histogram": q_length_histogram,
+    "length_quantile_bounds": q_length_quantile_bounds,
+    "bottom_k_sample": q_bottom_k_sample,
     "ingest_e2e": q_ingest_e2e,
     "incremental_dedup": q_incremental_dedup,
     "cms_registers": q_cms_registers,
@@ -3870,6 +3957,9 @@ ORACLES: dict[str, str] = {
     "hll_registers": SQL_HLL_REGISTERS,
     "crawl_delta": SQL_CRAWL_DELTA,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "length_quantile_bounds": SQL_LENGTH_QUANTILE_BOUNDS,
+    "bottom_k_sample": SQL_BOTTOM_K_SAMPLE,
     "ingest_e2e": SQL_INGEST_E2E,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "cms_registers": SQL_CMS_REGISTERS,
