@@ -170,7 +170,8 @@ def main():
                   "bm25_topk", "phrase_search", "extract_links",
                   "hll_registers",
                   "crawl_delta", "length_quantiles", "length_histogram",
-                  "length_quantile_bounds", "bottom_k_sample", "ingest_e2e",
+                  "length_quantile_bounds", "bottom_k_sample",
+                  "compaction_plan", "ingest_e2e",
                   "cms_registers", "cms_estimate",
                   "group_cardinality", "dirty_tiles",
                   "stream_dirty_tiles"]:

@@ -3293,6 +3293,39 @@ FROM f JOIN hist h USING (bin_id)
 """
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (sources/layout.compaction_plan):
+    synthetic file listing (one 'file' per doc, bytes = n_chars),
+    path-order cumulative packing at target 64 KiB — Spark's own
+    FilePartition / OPTIMIZE bin rule; oracle re-derives the prefix-sum
+    bucketing with window SQL."""
+    from ..sources import layout as ly
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.format_string("part-%05d.parquet", F.col("doc_id")).alias("path"),
+        F.col("n_chars").alias("bytes"))
+    return ly.compaction_plan(files, target_bytes=65536)
+
+
+SQL_COMPACTION_PLAN = """
+WITH f AS (
+  SELECT printf('part-%05d.parquet', doc_id) AS path,
+         CAST(n_chars AS BIGINT) AS bytes
+  FROM documents),
+c AS (
+  SELECT path, bytes,
+         CAST(coalesce(sum(bytes) OVER (ORDER BY path
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // 65536 AS BIGINT) AS task_id
+  FROM f)
+SELECT path, bytes, task_id,
+       CAST(row_number() OVER (PARTITION BY task_id ORDER BY path) - 1
+            AS BIGINT) AS task_seq
+FROM c
+"""
+
+
 def q_bottom_k_sample(spark, sf_dir):
     """Bottom-k (KMV) distinct sample per language
     (sampling.bottom_k_sketch): the 16 distinct doc_ids with the
@@ -3871,6 +3904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_histogram": q_length_histogram,
     "length_quantile_bounds": q_length_quantile_bounds,
     "bottom_k_sample": q_bottom_k_sample,
+    "compaction_plan": q_compaction_plan,
     "ingest_e2e": q_ingest_e2e,
     "incremental_dedup": q_incremental_dedup,
     "cms_registers": q_cms_registers,
@@ -3960,6 +3994,7 @@ ORACLES: dict[str, str] = {
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "length_quantile_bounds": SQL_LENGTH_QUANTILE_BOUNDS,
     "bottom_k_sample": SQL_BOTTOM_K_SAMPLE,
+    "compaction_plan": SQL_COMPACTION_PLAN,
     "ingest_e2e": SQL_INGEST_E2E,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "cms_registers": SQL_CMS_REGISTERS,

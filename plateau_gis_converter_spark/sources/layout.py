@@ -94,3 +94,55 @@ def bbox_rowgroup_stats(path: str, lng_min: int, lng_max: int,
                     and slat.max >= lat_min and slat.min <= lat_max):
                 touched += 1
     return total, touched
+
+
+def compaction_plan(files: DataFrame, target_bytes: int,
+                    path_col: str = "path",
+                    bytes_col: str = "bytes") -> DataFrame:
+    """Small-file compaction planning — the other half of layout
+    maintenance (write_hilbert_layout creates the clustered files; a
+    streaming/incremental writer then accretes many SMALL files that
+    must be periodically coalesced or every scan pays per-file open
+    cost and the footer-stats pruning granularity degrades).
+
+    Assigns each file to a merge task by PATH-ORDER cumulative size:
+    ``task_id = floor(cum_bytes_before / target_bytes)`` — the same
+    packing rule Spark's own scan uses to build FilePartitions
+    (maxPartitionBytes) and Delta/Iceberg OPTIMIZE use for bin sizing.
+    Path order is deliberate: for a Hilbert-clustered table,
+    lexicographically adjacent files are curve-adjacent, so compacting
+    neighbors PRESERVES the clustering (a size-sorted first-fit packing
+    would interleave far-apart curve segments and destroy the locality
+    the layout exists for). Each task's total is < target_bytes +
+    max_file_bytes, the standard greedy bound.
+
+    Output: (path, bytes, task_id, task_seq) — task_seq is the 0-based
+    merge order within the task, so a rewriter can stream-concatenate
+    deterministically. Scale: ONE window over the file-metadata
+    relation (millions of rows for a 100 TB table, not billions) — the
+    data files themselves are never read by the planner.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(path_col).asc())
+    before = (F.coalesce(
+        F.sum(bytes_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)).cast("bigint"))
+    out = (files.select(path_col, F.col(bytes_col).cast("bigint")
+                        .alias(bytes_col))
+           .withColumn("task_id",
+                       F.floor(before / F.lit(target_bytes)).cast("bigint")))
+    ws = Window.partitionBy("task_id").orderBy(F.col(path_col).asc())
+    return out.withColumn(
+        "task_seq", (F.row_number().over(ws) - F.lit(1)).cast("bigint"))
+
+
+def compaction_summary(plan: DataFrame) -> DataFrame:
+    """Per merge task: file count and total bytes (one partial-agg
+    groupBy over the plan relation) — the rewrite scheduler's work
+    list."""
+    return (plan.groupBy("task_id")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("bytes").alias("total_bytes")))

@@ -87,3 +87,40 @@ def test_hilbert_key_matches_tile_pipeline(spark, points):
         .select("page_id", "tid")
     joined = keyed.join(want, "page_id")
     assert joined.where(F.col("hkey") != F.col("tid")).count() == 0
+
+
+def test_compaction_plan_bounds_and_order(spark):
+    """Greedy bound: every task total < target + max_file; path order
+    preserved within tasks; every file assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.sources import layout as ly
+
+    files = spark.range(0, 500).select(
+        F.format_string("f-%04d", F.col("id")).alias("path"),
+        ((F.col("id") * 977) % 9000 + 1000).alias("bytes"))
+    target = 50_000
+    plan = ly.compaction_plan(files, target_bytes=target).persist()
+    assert plan.count() == 500
+    assert plan.select("path").distinct().count() == 500
+    mx = files.agg(F.max("bytes")).collect()[0][0]
+    summary = ly.compaction_summary(plan).collect()
+    for r in summary:
+        assert r["total_bytes"] < target + mx
+    # tasks partition the path order: max path of task i < min path of i+1
+    rows = sorted(((r["task_id"], r["path"]) for r in plan.collect()))
+    paths = [p for _, p in rows]
+    assert paths == sorted(paths)
+    # total bytes conserved
+    assert sum(r["total_bytes"] for r in summary) == \
+        files.agg(F.sum("bytes")).collect()[0][0]
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest as _pt
+
+    from plateau_gis_converter_spark.sources import layout as ly
+
+    files = spark.createDataFrame([("a", 1)], ["path", "bytes"])
+    with _pt.raises(ValueError):
+        ly.compaction_plan(files, target_bytes=0)
