@@ -153,9 +153,10 @@ def main():
                   "minhash_signatures", "simhash", "embedding_topk",
                   "hilbert_tile_id", "rasterize_heatmap", "raster_delta",
                   "raster_pyramid", "tile_rollup", "spatial_join_pip",
-                  "text_features", "extract_text", "ann_ivf_topk", "vshift_geoid",
+                  "text_features", "extract_text", "boilerplate_strip",
+                  "ann_ivf_topk", "vshift_geoid",
                   "appearance_resolve", "knn_ring_expansion",
-                  "url_host_stats", "crawl_schedule",
+                  "url_host_stats", "crawl_schedule", "robots_decisions",
                   "repetition_quality", "chunk_dedup",
                   "pagerank", "pagerank_dangling", "image_features",
                   "stratified_sample", "decontaminate", "pack_chunks",

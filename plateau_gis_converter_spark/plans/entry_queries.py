@@ -1842,6 +1842,146 @@ def q_crawl_schedule(spark, sf_dir):
         fr, n_fetchers=8, delay_s=5, max_per_host=40, priority_col="pr")
 
 
+def q_robots_decisions(spark, sf_dir):
+    """robots.txt evaluation (operators/robots.py, RFC 9309 subset):
+    longest-prefix winner, allow beats disallow on equal length (the
+    '/doc/7' rule pair tests the tie), unmatched paths allowed. The
+    winner is one partial-agg max over an all-integer (length, allow)
+    struct — no window; oracle uses an independent window-rank
+    formulation."""
+    from ..operators import robots as rb
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = (F.when(did % 5 == 0,
+                   F.concat(F.lit("/doc/"), (did % 50).cast("string")))
+            .when(did % 5 == 1,
+                  F.concat(F.lit("/private/"), (did % 7).cast("string")))
+            .when(did % 5 == 2,
+                  F.concat(F.lit("/private/pub/"), (did % 7).cast("string")))
+            .when(did % 5 == 3, F.lit("/tmp"))
+            .otherwise(F.lit("/")))
+    pages = docs.select(F.col("source").alias("host"), path.alias("path")) \
+        .distinct()
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    rule_set = F.array(
+        F.struct(F.lit(False).alias("allow"), F.lit("/private").alias("prefix")),
+        F.struct(F.lit(True).alias("allow"), F.lit("/private/pub").alias("prefix")),
+        F.struct(F.lit(False).alias("allow"), F.lit("/tmp").alias("prefix")),
+        F.struct(F.lit(True).alias("allow"), F.lit("/doc/7").alias("prefix")),
+        F.struct(F.lit(False).alias("allow"), F.lit("/doc/7").alias("prefix")))
+    rules = (hosts.select("host", F.explode(rule_set).alias("r"))
+             .select("host", F.col("r.allow").alias("allow"),
+                     F.col("r.prefix").alias("prefix")))
+    return rb.robots_decisions(pages, rules)
+
+
+SQL_ROBOTS_DECISIONS = """
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+rules AS (
+  SELECT host, false AS allow, '/private' AS prefix FROM hosts
+  UNION ALL SELECT host, true, '/private/pub' FROM hosts
+  UNION ALL SELECT host, false, '/tmp' FROM hosts
+  UNION ALL SELECT host, true, '/doc/7' FROM hosts
+  UNION ALL SELECT host, false, '/doc/7' FROM hosts),
+pages AS (
+  SELECT DISTINCT source AS host,
+    CASE doc_id % 5
+      WHEN 0 THEN '/doc/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 1 THEN '/private/' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 2 THEN '/private/pub/' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 3 THEN '/tmp'
+      ELSE '/' END AS path
+  FROM documents),
+m AS (
+  SELECT p.host, p.path, r.allow, CAST(length(r.prefix) AS BIGINT) AS l
+  FROM pages p JOIN rules r
+    ON p.host = r.host AND starts_with(p.path, r.prefix)),
+w AS (
+  SELECT host, path, allow, l,
+         row_number() OVER (PARTITION BY host, path
+                            ORDER BY l DESC, allow DESC) AS rn
+  FROM m)
+SELECT p.host, p.path,
+       coalesce(w.allow, true) AS allowed,
+       CAST(coalesce(w.l, -1) AS BIGINT) AS rule_len
+FROM pages p LEFT JOIN (SELECT * FROM w WHERE rn = 1) w
+  ON p.host = w.host AND p.path = w.path
+"""
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """CCNet-style per-host boilerplate paragraph removal
+    (operators/boilerplate.py): pages are built with four injected
+    paragraph tiers per host — nav + copyright in 100% of the host's
+    docs, 'subscribe' in 75%, 'promo' in ~33% — around the unique doc
+    body. At ratio 50% / min_df 2 the 100%/75% tiers strip, the 33%
+    tier and the body survive, in original order. Compared by md5 of
+    the rebuilt text; the oracle re-derives df-counting, the integer
+    threshold, and ordered reassembly independently in DuckDB."""
+    from ..operators import boilerplate as bp
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.col("source")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("nav "), src, F.lit(" home about contact")),
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit("promo "), src)),
+        F.when(did % 4 != 0, F.concat(F.lit("subscribe "), src)),
+        F.concat(F.lit("copyright "), src,
+                 F.lit(" all rights reserved")))
+    pages = docs.select("doc_id", "source", page.alias("text"))
+    out = bp.host_boilerplate_strip(pages, ratio_ppm=500_000, min_df=2)
+    return out.select(
+        "doc_id", "source", F.md5("clean_text").alias("clean_md5"),
+        "n_kept", "n_removed")
+
+
+SQL_BOILERPLATE_STRIP = """
+WITH pages AS (
+  SELECT doc_id, source,
+    concat_ws(chr(10),
+      'nav ' || source || ' home about contact',
+      text,
+      CASE WHEN doc_id % 3 = 0 THEN 'promo ' || source END,
+      CASE WHEN doc_id % 4 <> 0 THEN 'subscribe ' || source END,
+      'copyright ' || source || ' all rights reserved') AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, chr(10))) AS para,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM pages),
+keyed AS (
+  SELECT doc_id, source, pos, para, md5(lower(trim(para))) AS pkey
+  FROM lines),
+nd AS (SELECT source, count(*) AS n_docs FROM pages GROUP BY source),
+pdf AS (
+  SELECT source, pkey, count(DISTINCT doc_id) AS df
+  FROM keyed GROUP BY source, pkey),
+boiler AS (
+  SELECT pdf.source, pdf.pkey
+  FROM pdf JOIN nd ON pdf.source = nd.source
+  WHERE pdf.df >= 2 AND pdf.df * 1000000 >= 500000 * nd.n_docs),
+kept AS (
+  SELECT k.* FROM keyed k
+  LEFT JOIN boiler b ON k.source = b.source AND k.pkey = b.pkey
+  WHERE b.pkey IS NULL),
+re AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT p.doc_id, p.source,
+       md5(coalesce(re.clean_text, '')) AS clean_md5,
+       CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(p.text, chr(10)))
+            - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
+FROM pages p LEFT JOIN re ON p.doc_id = re.doc_id
+"""
+
+
 SQL_CRAWL_SCHEDULE = """
 WITH fr AS (
   SELECT concat('https://', source, '/doc/', CAST(doc_id AS VARCHAR)) AS url,
@@ -3869,6 +4009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3 webtext operators
     "url_host_stats": q_url_host_stats,
     "crawl_schedule": q_crawl_schedule,
+    "robots_decisions": q_robots_decisions,
+    "boilerplate_strip": q_boilerplate_strip,
     "url_registered_domain": q_url_registered_domain,
     "extract_text": q_extract_text,
     "domain_cap": q_domain_cap,
@@ -3961,6 +4103,8 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF,
     "url_host_stats": SQL_URL_HOST_STATS,
     "crawl_schedule": SQL_CRAWL_SCHEDULE,
+    "robots_decisions": SQL_ROBOTS_DECISIONS,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "url_registered_domain": SQL_URL_REGISTERED_DOMAIN,
     "extract_text": SQL_EXTRACT_TEXT,
     "domain_cap": SQL_DOMAIN_CAP,

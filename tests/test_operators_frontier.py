@@ -59,3 +59,40 @@ def test_fetcher_load(spark):
     assert len(load) == 1
     r = load[0]
     assert r["n_urls"] == 4 and r["n_hosts"] == 2 and r["makespan_s"] == 20
+
+
+def test_robots_rfc_semantics(spark):
+    """RFC 9309: longest prefix wins; allow beats disallow on ties;
+    unmatched -> allowed; empty prefix matches everything."""
+    from plateau_gis_converter_spark.operators import robots as rb
+
+    pages = spark.createDataFrame(
+        [("h", "/private/x"), ("h", "/private/pub/x"), ("h", "/doc/7"),
+         ("h", "/open"), ("g", "/anything"), ("g", "/keep/this")],
+        ["host", "path"])
+    rules = spark.createDataFrame(
+        [("h", False, "/private"), ("h", True, "/private/pub"),
+         ("h", True, "/doc/7"), ("h", False, "/doc/7"),
+         ("g", False, ""), ("g", True, "/keep")],
+        ["host", "allow", "prefix"])
+    got = {(r["host"], r["path"]): (r["allowed"], r["rule_len"])
+           for r in rb.robots_decisions(pages, rules).collect()}
+    assert got[("h", "/private/x")] == (False, 8)
+    assert got[("h", "/private/pub/x")] == (True, 12)   # longer allow wins
+    assert got[("h", "/doc/7")] == (True, 6)            # tie -> allow
+    assert got[("h", "/open")] == (True, -1)            # no rule -> allowed
+    assert got[("g", "/anything")] == (False, 0)        # empty disallow-all
+    assert got[("g", "/keep/this")] == (True, 5)        # beats empty rule
+
+
+def test_robots_filter_keeps_columns(spark):
+    from plateau_gis_converter_spark.operators import robots as rb
+
+    pages = spark.createDataFrame(
+        [("h", "/a", 1), ("h", "/deny/x", 2)],
+        ["host", "path", "payload"])
+    rules = spark.createDataFrame(
+        [("h", False, "/deny")], ["host", "allow", "prefix"])
+    out = rb.robots_filter(pages, rules).collect()
+    assert [(r["host"], r["path"], r["payload"]) for r in out] == \
+        [("h", "/a", 1)]
