@@ -170,7 +170,8 @@ def main():
                   "heavy_hitters", "weighted_sample", "grid_cluster",
                   "bm25_topk", "phrase_search", "extract_links",
                   "hll_registers",
-                  "crawl_delta", "length_quantiles", "length_histogram",
+                  "crawl_delta", "scd2_history",
+                  "length_quantiles", "length_histogram",
                   "length_quantile_bounds", "bottom_k_sample",
                   "compaction_plan", "ingest_e2e",
                   "cms_registers", "cms_estimate",

@@ -46,6 +46,76 @@ def crawl_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
     return j.select("key", status.alias("status"), "old_fp", "new_fp")
 
 
+def scd2_history_merge(history: DataFrame, snapshot: DataFrame, ts: int,
+                       key_col: str = "url", fp_col: str = "fingerprint",
+                       from_col: str = "valid_from",
+                       to_col: str = "valid_to") -> DataFrame:
+    """Fold a crawl snapshot taken at time ``ts`` into an SCD-type-2
+    page history — the storage layout that lets "what did this url say
+    at time T?" be one interval predicate instead of a scan over every
+    snapshot ever taken.
+
+    ``history`` rows are (key, fp, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking the currently-open version; the
+    invariant (held by construction — this operator is the only writer)
+    is at most ONE open row per key.  ``snapshot`` is (key, fp) with
+    unique keys.  The merge:
+
+    * closed rows (``valid_to`` set) carry over untouched — they are
+      immutable facts, and at scale they are the bulk of the table, so
+      touching only the open slice is what keeps the merge O(current
+      corpus), not O(history);
+    * an open row whose key reappears with the SAME fingerprint stays
+      open (no churn for the ~unchanged majority of a recrawl);
+    * an open row whose key changed content or vanished closes with
+      ``valid_to = ts``;
+    * a new or changed key opens a fresh row ``[ts, NULL)``.
+
+    Shape: one filter split of the history, ONE full-outer equi-join of
+    the open slice vs the snapshot on the key, then a single-pass
+    explode of a per-key array carrying 0..2 output rows (close-old /
+    open-new) — no window, no second join, and the join is
+    exchange-free when both sides live in the bucketed layout
+    (``sources/bucketed.py``).  Pure Catalyst.
+
+    Reference parity: none — the reference converts one batch; SCD2
+    history is the engine's recurring-crawl storage addition (same
+    layer as ``crawl_delta``).
+    """
+    h = history.select(F.col(key_col).alias("key"),
+                       F.col(fp_col).alias("fp"),
+                       F.col(from_col).cast("bigint").alias("valid_from"),
+                       F.col(to_col).cast("bigint").alias("valid_to"))
+    closed = h.where(F.col("valid_to").isNotNull())
+    opened = h.where(F.col("valid_to").isNull()) \
+        .withColumn("__h", F.lit(1))
+    s = snapshot.select(F.col(key_col).alias("key"),
+                        F.col(fp_col).alias("snap_fp")) \
+        .withColumn("__s", F.lit(1))
+    j = opened.join(s, "key", "full_outer")
+    t = F.lit(int(ts)).cast("bigint")
+    null_ts = F.lit(None).cast("bigint")
+
+    def row(fp, vf, vt):
+        return F.struct(fp.alias("fp"), vf.cast("bigint").alias("valid_from"),
+                        vt.cast("bigint").alias("valid_to"))
+
+    same = (F.col("__h").isNotNull() & F.col("__s").isNotNull()
+            & (F.col("fp") == F.col("snap_fp")))
+    rows = F.array(
+        F.when(same, row(F.col("fp"), F.col("valid_from"), null_ts)),
+        F.when(F.col("__h").isNotNull() & ~same,
+               row(F.col("fp"), F.col("valid_from"), t)),
+        F.when(F.col("__s").isNotNull() & ~same,
+               row(F.col("snap_fp"), t, null_ts)))
+    merged = (j.select("key", F.explode(
+        F.filter(rows, lambda r: r.isNotNull())).alias("r"))
+        .select("key", "r.fp", "r.valid_from", "r.valid_to"))
+    return closed.unionByName(merged).select(
+        F.col("key").alias(key_col), F.col("fp").alias(fp_col),
+        F.col("valid_from").alias(from_col), F.col("valid_to").alias(to_col))
+
+
 def dirty_tiles(old: DataFrame, new: DataFrame, min_z: int, max_z: int,
                 key_col: str = "url", fp_col: str = "fingerprint",
                 lng_col: str = "lng_udeg",

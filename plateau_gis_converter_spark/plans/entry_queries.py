@@ -3349,6 +3349,74 @@ def q_crawl_delta(spark, sf_dir):
         F.coalesce("new_fp", F.lit("-")).alias("new_fp"))
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD-type-2 history merge (operators/delta.py): a prior history
+    (open rows for doc_id % 19 != 0, plus closed v0 rows for % 7 == 0)
+    folds in a snapshot at ts=200 where % 13 == 0 vanished and % 5 == 0
+    changed content.  Exercises all five routes — carried closed rows,
+    kept-open unchanged, close-on-change, close-on-remove, open-new —
+    through one full-outer join + single-pass row explode.  Open rows
+    surface as valid_to = -1 (the gate compare needs non-null bigints);
+    oracle is an independent four-branch UNION ALL."""
+    from ..operators import delta as dl
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit("/doc/"), did.cast("string"))
+    open_rows = (docs.where(did % 19 != 0)
+                 .select(url.alias("url"), F.md5("text").alias("fingerprint"),
+                         (did % 50).cast("bigint").alias("valid_from"),
+                         F.lit(None).cast("bigint").alias("valid_to")))
+    closed_rows = (docs.where((did % 7 == 0) & (did % 19 != 0))
+                   .select(url.alias("url"),
+                           F.md5(F.concat(F.col("text"), F.lit(" v0")))
+                           .alias("fingerprint"),
+                           F.lit(0).cast("bigint").alias("valid_from"),
+                           (did % 50).cast("bigint").alias("valid_to")))
+    history = open_rows.unionByName(closed_rows)
+    snapshot = (docs.where(did % 13 != 0)
+                .select(url.alias("url"),
+                        F.md5(F.when(did % 5 == 0,
+                                     F.concat(F.col("text"), F.lit(" v2")))
+                              .otherwise(F.col("text"))).alias("fingerprint")))
+    out = dl.scd2_history_merge(history, snapshot, ts=200)
+    return out.select(
+        "url", "fingerprint", "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).cast("bigint").alias("valid_to"))
+
+
+SQL_SCD2_HISTORY = """
+WITH hist_open AS (
+  SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(text) AS fp, CAST(doc_id % 50 AS BIGINT) AS valid_from
+  FROM documents WHERE doc_id % 19 <> 0),
+hist_closed AS (
+  SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(text || ' v0') AS fp, CAST(0 AS BIGINT) AS valid_from,
+         CAST(doc_id % 50 AS BIGINT) AS valid_to
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 19 <> 0),
+snap AS (
+  SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 13 <> 0),
+j AS (
+  SELECT coalesce(o.url, s.url) AS url, o.fp, o.valid_from, s.fp AS snap_fp,
+         o.url IS NOT NULL AS h, s.url IS NOT NULL AS sp
+  FROM hist_open o FULL OUTER JOIN snap s ON o.url = s.url)
+SELECT url, fp AS fingerprint, valid_from, valid_to FROM hist_closed
+UNION ALL
+SELECT url, fp, valid_from, CAST(-1 AS BIGINT)
+FROM j WHERE h AND sp AND fp = snap_fp
+UNION ALL
+SELECT url, fp, valid_from, CAST(200 AS BIGINT)
+FROM j WHERE h AND NOT (sp AND fp = snap_fp)
+UNION ALL
+SELECT url, snap_fp, CAST(200 AS BIGINT), CAST(-1 AS BIGINT)
+FROM j WHERE sp AND NOT (h AND fp = snap_fp)
+"""
+
+
 SQL_CRAWL_DELTA = """
 WITH old AS (
   SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
@@ -4042,6 +4110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_links": q_extract_links,
     "hll_registers": q_hll_registers,
     "crawl_delta": q_crawl_delta,
+    "scd2_history": q_scd2_history,
     "length_quantiles": q_length_quantiles,
     "length_histogram": q_length_histogram,
     "length_quantile_bounds": q_length_quantile_bounds,
@@ -4134,6 +4203,7 @@ ORACLES: dict[str, str] = {
     "extract_links": SQL_EXTRACT_LINKS,
     "hll_registers": SQL_HLL_REGISTERS,
     "crawl_delta": SQL_CRAWL_DELTA,
+    "scd2_history": SQL_SCD2_HISTORY,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "length_quantile_bounds": SQL_LENGTH_QUANTILE_BOUNDS,
