@@ -158,7 +158,8 @@ def main():
                   "appearance_resolve", "knn_ring_expansion",
                   "url_host_stats", "crawl_schedule", "robots_decisions",
                   "repetition_quality", "chunk_dedup",
-                  "pagerank", "pagerank_dangling", "image_features",
+                  "pagerank", "pagerank_dangling", "bfs_depth",
+                  "image_features",
                   "stratified_sample", "decontaminate", "pack_chunks",
                   "pack_composition", "url_registered_domain",
                   "dedup_keep_best", "domain_cap",

@@ -103,6 +103,45 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     return scores
 
 
+def bfs_distances(seeds: DataFrame, edges: DataFrame,
+                  max_depth: int) -> DataFrame:
+    """Shortest hop-distance from a seed set over a directed link graph —
+    the crawl-depth label (seed-and-expand crawls cap fetch depth; quality
+    pipelines use "distance from curated seeds" as a trust signal, a la
+    Common Crawl seed lists / TrustRank's seed-propagation step).
+
+    seeds: one ``id`` column. edges: (src, dst), distinct.
+    Returns (id, dist) for every node reachable within ``max_depth`` hops
+    (seeds at dist 0). Unreachable nodes are absent — the caller decides
+    the sentinel.
+
+    Shape: level-synchronous frontier expansion. Each level is ONE
+    equi-join of the current frontier against the edge list keyed by src
+    + a distinct, then ONE anti-join against the visited set — textbook
+    BFS with O(level) driver scalars (a single count per level for early
+    exit; the frontier itself never reaches the driver). The visited set
+    is checkpointed per level so lineage stays flat. Crawl-depth use is
+    max_depth <= ~10, so the round count is a small constant; each round
+    shuffles only the FRONTIER (new nodes), so total shuffled volume over
+    the whole run is O(V + E touched), not O(depth * V).
+    """
+    visited = (seeds.select("id").distinct()
+               .withColumn("dist", F.lit(0).cast("bigint"))
+               .localCheckpoint(eager=True))
+    frontier = visited.select("id")
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(edges, frontier["id"] == edges["src"])
+               .select(F.col("dst").alias("id")).distinct())
+        new = (nxt.join(visited.select("id"), "id", "left_anti")
+               .withColumn("dist", F.lit(d).cast("bigint"))
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("id")
+    return visited
+
+
 def synthetic_link_edges(docs: DataFrame, n: int) -> DataFrame:
     """Deterministic link graph over the documents table: doc i links to
     (7i+1) mod n always, (13i+5) mod n when i is even, (29i+11) mod n when

@@ -2412,6 +2412,46 @@ SELECT id AS doc_id, CAST(score AS BIGINT) AS score_e6 FROM s3
 """
 
 
+def q_bfs_depth(spark, sf_dir):
+    """Crawl-depth / seed-distance labeling (operators/graph.py): BFS
+    over the deterministic doc link graph from seeds doc_id % 97 == 0,
+    capped at 4 hops. Spark runs level-synchronous frontier expansion
+    (join + anti-join per level); the oracle is an independent DuckDB
+    recursive CTE taking min(dist) over all depth-bounded walks —
+    different algorithm, same shortest-distance answer."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    seeds = docs.where(F.col("doc_id") % 97 == 0) \
+        .select(F.col("doc_id").alias("id"))
+    edges = gr.synthetic_link_edges(docs, n)
+    return gr.bfs_distances(seeds, edges, max_depth=4) \
+        .select(F.col("id").alias("doc_id"), "dist")
+
+
+SQL_BFS_DEPTH = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+walk(id, dist) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON w.id = e.src
+  WHERE w.dist < 4)
+SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY id
+"""
+
+
 def q_pagerank_dangling(spark, sf_dir):
     """Integer-exact PageRank with dangling-mass REDISTRIBUTION
     (operators/graph.py, VERDICT r4 #5): every node whose doc_id ends in
@@ -4086,6 +4126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "pagerank": q_pagerank,
     "pagerank_dangling": q_pagerank_dangling,
+    "bfs_depth": q_bfs_depth,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4181,6 +4222,7 @@ ORACLES: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "pagerank": SQL_PAGERANK,
     "pagerank_dangling": SQL_PAGERANK_DANGLING,
+    "bfs_depth": SQL_BFS_DEPTH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
