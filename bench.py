@@ -112,7 +112,11 @@ def main():
         # of a single query while its isolated floor was 8x lower).
         jobs.append((name, fn, setup))
 
-    def execute(passes: int = 3):
+    def execute(passes: int = None):
+        if passes is None:
+            # official protocol: 3 interleaved passes; override only for
+            # local smoke runs (the driver never sets this)
+            passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
         for _ in range(passes):
             for name, fn, setup in jobs:
                 spark.catalog.clearCache()  # JIT-warm, cache-cold
@@ -175,7 +179,9 @@ def main():
                   "length_quantiles", "length_histogram",
                   "length_quantile_bounds", "bottom_k_sample",
                   "compaction_plan", "ingest_e2e",
-                  "cms_registers", "cms_estimate",
+                  "cms_registers", "cms_estimate", "cms_join_size",
+                  "hits_scores", "zonal_stats", "dedup_containment",
+                  "url_templates",
                   "group_cardinality", "dirty_tiles",
                   "stream_dirty_tiles"]:
         fn = eq.QUERIES[qname]
@@ -257,14 +263,15 @@ def main():
     run("incremental_dedup", run_incremental_dedup)
     run("incremental_clusters", run_incremental_clusters)
 
-    execute(passes=3)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    execute(passes=n_passes)
     total = round(sum(timings.values()), 3)
     spatial_secs = timings["spatial_join_1m"] + timings["tile_assign_1m"]
     throughput = round(2 * N_PAGES / spatial_secs, 1)
     print(json.dumps({
         "metric": "headline suite wall time (spatial join + tile assign on "
                   f"{N_PAGES} pages + operator queries at sf_dir); "
-                  "per-query floor of 3 INTERLEAVED passes",
+                  f"per-query floor of {n_passes} INTERLEAVED passes",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -75,6 +75,35 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt")))
 
 
+def cms_inner_product(a: DataFrame, b: DataFrame,
+                      depth: int = 4) -> DataFrame:
+    """Equi-join SIZE estimate from two streams' CMS registers (Cormode &
+    Muthukrishnan 2005 §4.2): est = min over the d rows of
+    sum_bucket a[r,b] * b[r,b].  Each row's sum >= the true inner product
+    <freq_a, freq_b> = |A join B on key| (hash collisions only ADD), so
+    the min never undercounts; overcount <= ||a||_1 ||b||_1 / w per row
+    with prob >= 1/2 independently per row.
+
+    This is what a query planner wants BEFORE running a join over two
+    10^12-row streams: both sketches are <= d*w rows (built incrementally,
+    merged across ingest days), and the estimate itself is one join of
+    two tiny relations — no scan of either stream.  Integer products of
+    integer sums, so the gate compares bit-for-bit.
+
+    A register row with NO overlapping filled buckets has sum 0 — and a
+    CMS row never undercounts, so the estimate is 0; the aggregate
+    therefore treats missing rows as 0 via the count < depth guard.
+    """
+    j = (a.select("row", "bucket", F.col("cnt").alias("ca"))
+         .join(b.select("row", "bucket", F.col("cnt").alias("cb")),
+               ["row", "bucket"]))
+    per_row = j.groupBy("row").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("s"))
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < depth, F.lit(0))
+        .otherwise(F.min("s")).cast("bigint").alias("est_join_size"))
+
+
 def cms_estimate(registers: DataFrame, keys: DataFrame, col: str,
                  depth: int = 4, width: int = 256) -> DataFrame:
     """(key, est) point estimates for every row of ``keys``: min over the

@@ -478,3 +478,61 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
                 .cast("double"))
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold_pct: int = 80,
+                      min_shingles: int = 3,
+                      text_col: str = "text",
+                      max_df: int | None = None) -> DataFrame:
+    """ASYMMETRIC containment near-duplicate pairs: ordered (doc_a, doc_b)
+    with C(A->B) = |A ∩ B| / |A| >= threshold_pct / 100 — "A's shingles
+    are (mostly) inside B".
+
+    This is the quote/wrapper detector symmetric Jaccard structurally
+    misses: a 100-shingle article fully embedded in a 5000-shingle page
+    has containment 1.0 but Jaccard ~0.02, so no Jaccard threshold can
+    find it without drowning in noise. Web curation uses containment for
+    wire-copy detection, quote-chain collapse, and boilerplate-wrapped
+    syndication (the same reason Lee et al. 2022 dedup at the substring
+    level; ``chunk_dedup`` is the fixed-window form, this is the
+    set-containment form).
+
+    Exact integer decision: keep iff 100 * n_inter >= threshold_pct * na
+    (no float compare), and ``cont_pct = (100 * n_inter) div na`` is
+    emitted as an integer — bit-stable for the gate. ``min_shingles``
+    drops docs shorter than the measure is meaningful for (a 1-shingle
+    doc is "contained" in anything sharing that shingle).
+
+    Scale shape: same as ``ngram_jaccard_pairs`` — one equi-join keyed by
+    shingle bounded by ``max_df`` (the boilerplate-shingle fan-out guard;
+    with the cap the result is exact containment over the capped sets),
+    one partial-agg count per ordered pair, one join to the |A| side.
+    Output is ordered pairs, so both (a,b) and (b,a) can appear (mutual
+    containment == near-identical docs).
+    """
+    sh = shingles(docs, n, text_col)
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.persist()
+    sizes = (sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+             .where(F.col("n_sh") >= min_shingles))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    return (inter.join(sa, "doc_a")
+            .where(F.lit(100) * F.col("n_inter")
+                   >= F.lit(threshold_pct) * F.col("na"))
+            .select("doc_a", "doc_b", "n_inter", "na",
+                    F.expr("(100 * n_inter) div na").cast("bigint")
+                    .alias("cont_pct")))

@@ -103,6 +103,74 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     return scores
 
 
+def hits_scores(nodes: DataFrame, edges: DataFrame, iters: int = 3,
+                scale: int = BASE_PPM,
+                checkpoint_every: int = 4) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999): mutually-recursive hub and
+    authority scores over a directed link graph — the classic complement
+    to PageRank for web corpora (a page LINKING many authorities is a hub;
+    a page linked BY many hubs is an authority; PageRank conflates the
+    two). Quality pipelines use the authority score as a second
+    link-based signal and the hub score to find index/spam link farms.
+
+    Same determinism contract as ``pagerank_int``: scores live in ppm
+    units, every update is integer add/multiply/floor-divide, so results
+    are bit-identical across engines and across Spark's partial-agg merge
+    orders. Classic HITS L2-normalizes each half-step; any per-step
+    normalization yields the same power-iteration fixpoint direction, so
+    this variant normalizes by the MAXIMUM (``x * scale div max(x)`` —
+    exact in int64), which keeps every score in [0, scale].
+
+    Per iteration:
+        auth_raw(v) = sum over edges (u,v) of hub(u)
+        auth(v)     = auth_raw(v) * scale div max(auth_raw)
+        hub_raw(u)  = sum over edges (u,v) of auth(v)
+        hub(u)      = hub_raw(u) * scale div max(hub_raw)
+
+    Overflow bound: auth_raw <= in_degree_max * scale, and the
+    normalization multiplies by scale before dividing, so int64 requires
+    in_degree_max * scale^2 < 2^63 — with scale = 10^6 that allows
+    in-degrees up to ~9.2 * 10^6, plenty for a registered-domain graph
+    (re-scale to 10^4 for raw-page graphs with super-hub sinks).
+
+    Scale shape: each half-step is one equi-join of the O(1)-per-node
+    score relation against the edge list + one partial-combine hash
+    aggregation; the max is ONE scalar per half-step computed lazily and
+    folded back via a broadcast 1-row cross join — no driver roundtrip,
+    same pattern as pagerank's dangling mass. Returns
+    (id, auth_e6, hub_e6) after ``iters`` iterations.
+    """
+    hub = nodes.select("id", F.lit(scale).cast("long").alias("hub"))
+    auth = nodes.select("id", F.lit(scale).cast("long").alias("auth"))
+    for i in range(iters):
+        araw = (edges.join(hub, edges["src"] == hub["id"])
+                .groupBy("dst").agg(F.sum("hub").alias("s")))
+        auth = (nodes.join(araw, nodes["id"] == araw["dst"], "left")
+                .select("id", F.coalesce(F.col("s"), F.lit(0))
+                        .cast("long").alias("raw")))
+        amx = auth.agg(F.greatest(F.max("raw"), F.lit(1))
+                       .cast("long").alias("__mx"))
+        auth = (auth.crossJoin(F.broadcast(amx))
+                .select("id", F.expr(f"raw * {scale} div __mx")
+                        .cast("long").alias("auth")))
+        hraw = (edges.join(auth, edges["dst"] == auth["id"])
+                .groupBy("src").agg(F.sum("auth").alias("s")))
+        hub = (nodes.join(hraw, nodes["id"] == hraw["src"], "left")
+               .select("id", F.coalesce(F.col("s"), F.lit(0))
+                       .cast("long").alias("raw")))
+        hmx = hub.agg(F.greatest(F.max("raw"), F.lit(1))
+                      .cast("long").alias("__mx"))
+        hub = (hub.crossJoin(F.broadcast(hmx))
+               .select("id", F.expr(f"raw * {scale} div __mx")
+                       .cast("long").alias("hub")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+    return (auth.join(hub, "id")
+            .select("id", F.col("auth").alias("auth_e6"),
+                    F.col("hub").alias("hub_e6")))
+
+
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
                   max_depth: int) -> DataFrame:
     """Shortest hop-distance from a seed set over a directed link graph —

@@ -137,6 +137,70 @@ def apply_raster_delta(prev_raster: DataFrame, added_pts: DataFrame,
             .where(F.col("n_points") > 0))
 
 
+def zonal_stats(raster: DataFrame, zones: DataFrame, zoom: int,
+                tile_px: int = 256) -> DataFrame:
+    """Zonal statistics — the map-algebra operation that joins the raster
+    face back to vector zones: per zone, aggregate the density-raster
+    cells whose pixel index falls inside the zone's pixel bbox
+    (inclusive corners: gx in [floor(mx_min*W), floor(mx_max*W)], gy in
+    [floor(my(lat_max)*W), floor(my(lat_min)*W)] — mercator y grows
+    SOUTH, so the zone's north edge is its smallest gy). Zones must not
+    cross the antimeridian (corner x is clamped, not wrapped).
+
+    zones: (zone_id, lng_min_udeg, lng_max_udeg, lat_min_udeg,
+    lat_max_udeg). Returns per zone with >=1 covered non-empty cell:
+    (zone_id, n_cells, n_points, max_density).
+
+    Scale shape: NOT a nested-loop range join — each zone explodes into
+    its covering TILE keys (sequence over the x/y tile ranges, map-side),
+    then an equi-join on (x, y) against the raster co-partitions zone
+    fragments with exactly the raster cells that can match, and the
+    pixel-range predicate filters within the tile. Zone relations are
+    small (admin boundaries, AOIs) so the exploded side broadcasts; the
+    raster side never re-shuffles. One partial-agg groupBy per zone ends
+    it. All-integer join keys and aggregates -> gate-exact.
+    """
+    world = float((1 << zoom) * tile_px)
+    wmax = int(world) - 1
+    p = F.lit(tile_px).cast("bigint")
+
+    def _gx(lng_udeg):
+        g = F.floor(geo.mercator_mx(geo.udeg_to_deg(lng_udeg))
+                    * F.lit(world)).cast("bigint")
+        return F.greatest(F.lit(0).cast("bigint"),
+                          F.least(g, F.lit(wmax).cast("bigint")))
+
+    def _gy(lat_udeg):
+        g = F.floor(geo.mercator_my(geo.udeg_to_deg(lat_udeg))
+                    * F.lit(world)).cast("bigint")
+        return F.greatest(F.lit(0).cast("bigint"),
+                          F.least(g, F.lit(wmax).cast("bigint")))
+
+    z = (zones.select(
+            "zone_id",
+            _gx(F.col("lng_min_udeg")).alias("gx0"),
+            _gx(F.col("lng_max_udeg")).alias("gx1"),
+            _gy(F.col("lat_max_udeg")).alias("gy0"),
+            _gy(F.col("lat_min_udeg")).alias("gy1"))
+         .select("zone_id", "gx0", "gx1", "gy0", "gy1",
+                 F.explode(F.sequence(F.expr("gx0 div " + str(tile_px)),
+                                      F.expr("gx1 div " + str(tile_px))))
+                 .alias("x"))
+         .select("zone_id", "gx0", "gx1", "gy0", "gy1", "x",
+                 F.explode(F.sequence(F.expr("gy0 div " + str(tile_px)),
+                                      F.expr("gy1 div " + str(tile_px))))
+                 .alias("y")))
+    gx = F.col("x") * p + F.col("px")
+    gy = F.col("y") * p + F.col("py")
+    return (raster.join(F.broadcast(z), ["x", "y"])
+            .where(gx.between(F.col("gx0"), F.col("gx1"))
+                   & gy.between(F.col("gy0"), F.col("gy1")))
+            .groupBy("zone_id")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("n_points").alias("n_points"),
+                 F.max("n_points").alias("max_density")))
+
+
 def raster_downsample(raster: DataFrame, levels: int,
                       tile_px: int = 256) -> DataFrame:
     """Roll a density raster up the pyramid by ``levels`` zooms: parent

@@ -140,3 +140,48 @@ def host_stats(pages: DataFrame, url_col: str = "url",
                  F.countDistinct(F.md5(F.col(text_col)))
                  .alias("n_distinct_texts"),
                  F.sum(F.length(text_col)).alias("total_chars")))
+
+
+def url_template(url: Column) -> Column:
+    """Structural URL path template: split the path into segments, replace
+    every all-digit segment with ``{n}`` and every long (>= 8 chars)
+    hex-ish segment (ids, content hashes, UUID halves) with ``{h}``,
+    rejoin. ``https://h/post/2024/9f8e7d6c5b4a3f21/view`` ->
+    ``/post/{n}/{h}/view``; an empty path maps to ``/``.
+
+    Crawl/curation use: infinite URL spaces (calendars, session ids,
+    pagination) collapse to a handful of templates — per-template counts
+    drive crawler traps detection, per-template caps, and sitemap
+    inference. Pure Catalyst (split + transform + array_join, zero
+    Python), and every regex is RE2-safe (full-match semantics, no
+    lookaround) so the DuckDB oracle replicates it verbatim.
+    """
+    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    tseg = F.transform(
+        segs,
+        lambda s: F.when(s.rlike(r"^[0-9]+$"), F.lit("{n}"))
+                   .when(s.rlike(r"^[0-9a-fA-F]{8,}$"), F.lit("{h}"))
+                   .otherwise(s))
+    return F.concat(F.lit("/"), F.array_join(tseg, "/"))
+
+
+def url_template_stats(pages: DataFrame,
+                       url_col: str = "url") -> DataFrame:
+    """Per (host, template) URL-space statistics: page count, distinct
+    raw URLs, and the template's segment depth. The classic trap signal
+    is ``n_urls >> n_distinct_templates-expected`` — e.g. a calendar
+    template with 10^6 distinct URLs on one host.
+
+    Scale: one hash partial-agg keyed by (host, template) — no join; the
+    template expression is map-side codegen on the scan.
+    """
+    u = F.col(url_col)
+    t = url_template(u)
+    depth = F.size(F.filter(F.split(t, "/"), lambda s: s != "")) \
+        .cast("bigint")
+    return (pages.select(url_host(u).alias("host"), t.alias("template"),
+                         depth.alias("depth"), u.alias("__u"))
+            .groupBy("host", "template", "depth")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("__u").alias("n_distinct_urls")))

@@ -3799,6 +3799,301 @@ GROUP BY p.key
 SQL_CMS_ESTIMATE = _cms_estimate_sql()
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Join-size estimation from two CMS sketches (cms.cms_inner_product,
+    Cormode & Muthukrishnan 2005 §4.2): the planner-side estimate of
+    |orders JOIN customer(custkey % 3 = 0)| computed purely from the two
+    d*w register relations — min over rows of the per-row register dot
+    product, never an undercount.  Integer products of integer sums; the
+    oracle recomputes both registers and the same min/sum arithmetic, so
+    the estimate matches bit-for-bit."""
+    from ..operators import cms
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = cms.cms_registers(orders.select(F.col("o_custkey").alias("k")),
+                          "k", depth=4, width=512)
+    b = cms.cms_registers(cust.where(F.col("c_custkey") % 3 == 0)
+                          .select(F.col("c_custkey").alias("k")),
+                          "k", depth=4, width=512)
+    return cms.cms_inner_product(a, b, depth=4)
+
+
+def _cms_join_size_sql(depth: int = 4, width: int = 512) -> str:
+    def cells(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {r} AS rw, CAST(concat('0x', substr(md5(CAST(k AS "
+            f"VARCHAR) || ':cms{r}'), 1, 15)) AS BIGINT) % {width} AS "
+            f"bucket FROM {src}"
+            for r in range(depth))
+    return f"""
+WITH ka AS (SELECT o_custkey AS k FROM orders),
+kb AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
+ca AS ({cells('ka')}),
+cb AS ({cells('kb')}),
+ra AS (SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+       FROM ca GROUP BY 1, 2),
+rb AS (SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+       FROM cb GROUP BY 1, 2),
+p AS (SELECT ra.rw, sum(ra.cnt * rb.cnt) AS s
+      FROM ra JOIN rb ON ra.rw = rb.rw AND ra.bucket = rb.bucket
+      GROUP BY 1)
+SELECT CAST(CASE WHEN (SELECT count(*) FROM p) < {depth} THEN 0
+            ELSE (SELECT min(s) FROM p) END AS BIGINT) AS est_join_size
+"""
+
+
+SQL_CMS_JOIN_SIZE = _cms_join_size_sql()
+
+
+# ---------------------------------------------------------------------------
+# fourth-wave: HITS, zonal stats, containment join, URL template mining
+# ---------------------------------------------------------------------------
+
+def q_hits_scores(spark, sf_dir):
+    """Integer-exact HITS hubs & authorities (graph.hits_scores): 2
+    iterations of the mutually-recursive update over the deterministic
+    doc link graph, each half-step max-normalized with pure integer
+    multiply/floor-divide (ppm units) — bit-identical across engines and
+    Spark's partial-agg merge orders. The oracle unrolls the same
+    half-steps with the max as a scalar subquery."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = gr.synthetic_link_edges(docs, n)
+    return (gr.hits_scores(nodes, edges, iters=2)
+            .select(F.col("id").alias("doc_id"), "auth_e6", "hub_e6"))
+
+
+_HITS_ITER = """
+ar{i} AS (
+  SELECT n.id, CAST(coalesce(s.s, 0) AS BIGINT) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(h{p}.hub) AS s
+    FROM e JOIN h{p} ON e.src = h{p}.id GROUP BY 1) s ON n.id = s.dst),
+a{i} AS (
+  SELECT id, raw * 1000000 // greatest((SELECT max(raw) FROM ar{i}), 1)
+         AS auth
+  FROM ar{i}),
+hr{i} AS (
+  SELECT n.id, CAST(coalesce(s.s, 0) AS BIGINT) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.src, sum(a{i}.auth) AS s
+    FROM e JOIN a{i} ON e.dst = a{i}.id GROUP BY 1) s ON n.id = s.src),
+h{i} AS (
+  SELECT id, raw * 1000000 // greatest((SELECT max(raw) FROM hr{i}), 1)
+         AS hub
+  FROM hr{i})"""
+
+SQL_HITS = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT doc_id AS id FROM documents),
+h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+""" + ",".join(_HITS_ITER.format(i=i, p=i - 1) for i in (1, 2)) + """
+SELECT a2.id AS doc_id, CAST(a2.auth AS BIGINT) AS auth_e6,
+       CAST(h2.hub AS BIGINT) AS hub_e6
+FROM a2 JOIN h2 ON a2.id = h2.id
+"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (raster.zonal_stats): the z=11 density raster
+    aggregated inside 25 vector zones (a 5x5 udeg-grid tessellation of
+    the fixture extent keyed by n_nationkey) — per zone the covered
+    non-empty cell count, point total, and peak density. Spark routes
+    zone fragments to raster cells via tile-key equi-join; the oracle is
+    an independent pixel-range BETWEEN join — same inclusive-corner
+    semantics, different join strategy."""
+    from ..operators import raster as ra
+
+    lng_step = fx.LNG_SPAN // 5
+    lat_step = fx.LAT_SPAN // 5
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("bigint")
+    zones = nation.select(
+        k.alias("zone_id"),
+        (F.lit(fx.LNG_MIN) + (k % 5) * lng_step).alias("lng_min_udeg"),
+        (F.lit(fx.LNG_MIN) + (k % 5) * lng_step + lng_step)
+        .alias("lng_max_udeg"),
+        (F.lit(fx.LAT_MIN) + F.expr("n_nationkey div 5") * lat_step)
+        .cast("bigint").alias("lat_min_udeg"),
+        (F.lit(fx.LAT_MIN) + F.expr("n_nationkey div 5") * lat_step
+         + lat_step).cast("bigint").alias("lat_max_udeg"))
+    pts = _points_df(spark, sf_dir)
+    r = ra.rasterize_points(pts, zoom=11, tile_px=16)
+    return ra.zonal_stats(r, zones, zoom=11, tile_px=16)
+
+
+def _zonal_stats_sql() -> str:
+    lng_step = fx.LNG_SPAN // 5
+    lat_step = fx.LAT_SPAN // 5
+
+    def gx(expr: str) -> str:
+        mx = MX_SQL.replace("lng_udeg", expr)
+        return (f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST(floor({mx} * "
+                f"32768.0) AS BIGINT), 32767))")
+
+    def gy(expr: str) -> str:
+        my = MY_SQL.replace("lat_udeg", expr)
+        return (f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST(floor({my} * "
+                f"32768.0) AS BIGINT), 32767))")
+
+    return f"""
+WITH {POINTS_CTE},
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 32768.0) AS BIGINT) % 32768 + 32768) % 32768)
+        AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 32768.0) AS BIGINT), 32767)) AS gy
+  FROM pts
+),
+r AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_points
+  FROM g GROUP BY 1, 2
+),
+zc AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+         CAST({fx.LNG_MIN} + (n_nationkey % 5) * {lng_step} AS BIGINT)
+             AS lng_min,
+         CAST({fx.LNG_MIN} + (n_nationkey % 5) * {lng_step} + {lng_step}
+              AS BIGINT) AS lng_max,
+         CAST({fx.LAT_MIN} + (n_nationkey // 5) * {lat_step} AS BIGINT)
+             AS lat_min,
+         CAST({fx.LAT_MIN} + (n_nationkey // 5) * {lat_step} + {lat_step}
+              AS BIGINT) AS lat_max
+  FROM nation
+),
+zp AS (
+  SELECT zone_id,
+         {gx("(lng_min * 1.0)")} AS gx0, {gx("(lng_max * 1.0)")} AS gx1,
+         {gy("(lat_max * 1.0)")} AS gy0, {gy("(lat_min * 1.0)")} AS gy1
+  FROM zc
+)
+SELECT zp.zone_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(r.n_points) AS BIGINT) AS n_points,
+       CAST(max(r.n_points) AS BIGINT) AS max_density
+FROM r JOIN zp
+  ON r.gx BETWEEN zp.gx0 AND zp.gx1 AND r.gy BETWEEN zp.gy0 AND zp.gy1
+GROUP BY 1
+"""
+
+
+SQL_ZONAL_STATS = _zonal_stats_sql()
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric set-containment near-dup join
+    (dedup.containment_pairs): ordered pairs where >= 60% of A's 3-gram
+    shingles appear in B — the quote/wire-copy detector symmetric
+    Jaccard cannot express (a short doc embedded in a long page has
+    containment ~1 but Jaccard ~0). Exact (no df cap at gate scale);
+    all-integer decision and output. Oracle: brute-force shingle
+    self-join."""
+    from ..operators import dedup as dd2
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd2.containment_pairs(docs, n=3, threshold_pct=60,
+                                 min_shingles=3)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {SHINGLES_CTE},
+sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+  FROM sh GROUP BY 1 HAVING count(*) >= 3),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.n_inter, s.n_sh AS na,
+       CAST((100 * i.n_inter) // s.n_sh AS BIGINT) AS cont_pct
+FROM inter i JOIN sz s ON i.doc_a = s.doc_id
+WHERE 100 * i.n_inter >= 60 * s.n_sh
+"""
+
+
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining (urls.url_template_stats): digit
+    segments -> "{n}", long hex segments (ids/hashes) -> "{h}",
+    aggregate per (host, template) — the crawler-trap / infinite-URL-
+    space detector. Fixture URLs mix date paths, 16-hex content ids,
+    mixed-case static segments (case must survive), and small tag
+    vocabularies. The oracle re-derives the path from doc_id and
+    templates it with DuckDB list functions — independent of the
+    engine's regex path extraction."""
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m5 = did % 5
+    path = (F.when(m5 == 0,
+                   F.concat(F.lit("/post/"), (did % 97).cast("string"),
+                            F.lit("/"),
+                            F.substring(F.md5(did.cast("string")), 1, 16),
+                            F.lit("/view")))
+            .when(m5 == 1,
+                  F.concat(F.lit("/cal/2024/"),
+                           (did % 12 + 1).cast("string"), F.lit("/"),
+                           (did % 28 + 1).cast("string")))
+            .when(m5 == 2, F.lit("/About/Team"))
+            .when(m5 == 3,
+                  F.concat(F.lit("/p/"), (did % 1000).cast("string")))
+            .otherwise(F.concat(F.lit("/tag/t"),
+                                (did % 7).cast("string"))))
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), path).alias("url"))
+    return urls.url_template_stats(pages)
+
+
+SQL_URL_TEMPLATES = """
+WITH raw AS (
+  SELECT source AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN '/post/' || CAST(doc_id % 97 AS VARCHAR) || '/'
+                       || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                       || '/view'
+           WHEN 1 THEN '/cal/2024/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                       || '/' || CAST(doc_id % 28 + 1 AS VARCHAR)
+           WHEN 2 THEN '/About/Team'
+           WHEN 3 THEN '/p/' || CAST(doc_id % 1000 AS VARCHAR)
+           ELSE '/tag/t' || CAST(doc_id % 7 AS VARCHAR)
+         END AS path
+  FROM documents),
+t AS (
+  SELECT host, path,
+         list_transform(
+           list_filter(string_split(path, '/'), x -> x <> ''),
+           x -> CASE
+                  WHEN regexp_full_match(x, '[0-9]+') THEN '{n}'
+                  WHEN regexp_full_match(x, '[0-9a-fA-F]{8,}') THEN '{h}'
+                  ELSE x END) AS segs
+  FROM raw)
+SELECT host, '/' || array_to_string(segs, '/') AS template,
+       CAST(len(segs) AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT 'https://' || host || path) AS BIGINT)
+           AS n_distinct_urls
+FROM t
+GROUP BY 1, 2, 3
+"""
+
+
 def q_group_cardinality(spark, sf_dir):
     """Per-group HLL registers (cardinality.hll_registers_grouped):
     distinct users per event type as one partial-agg groupBy — output
@@ -4161,6 +4456,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "cms_registers": q_cms_registers,
     "cms_estimate": q_cms_estimate,
+    "cms_join_size": q_cms_join_size,
+    "hits_scores": q_hits_scores,
+    "zonal_stats": q_zonal_stats,
+    "dedup_containment": q_dedup_containment,
+    "url_templates": q_url_templates,
     "group_cardinality": q_group_cardinality,
     "dirty_tiles": q_dirty_tiles,
     "incremental_clusters": q_incremental_clusters,
@@ -4255,6 +4555,11 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "cms_registers": SQL_CMS_REGISTERS,
     "cms_estimate": SQL_CMS_ESTIMATE,
+    "cms_join_size": SQL_CMS_JOIN_SIZE,
+    "hits_scores": SQL_HITS,
+    "zonal_stats": SQL_ZONAL_STATS,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "url_templates": SQL_URL_TEMPLATES,
     "group_cardinality": SQL_GROUP_CARDINALITY,
     "dirty_tiles": SQL_DIRTY_TILES,
     "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,

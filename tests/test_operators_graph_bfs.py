@@ -36,3 +36,56 @@ def test_bfs_seed_dist_zero_beats_edges_into_seed(spark):
     got = {r["id"]: r["dist"]
            for r in gr.bfs_distances(_seeds(spark, [0, 1]), e, 5).collect()}
     assert got == {0: 0, 1: 0}
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_hits_star_separates_hubs_from_authorities(spark):
+    """Pure star 1,2,3 -> 0: node 0 is THE authority (auth = scale,
+    hub = 0); 1..3 are pure equal hubs (hub = scale, auth = 0). This is
+    the structural case PageRank cannot express — the hubs all rank
+    identically low there, and nothing distinguishes 'points at the
+    authority' from 'is pointed at'."""
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0)])
+    got = {r["id"]: (r["auth_e6"], r["hub_e6"])
+           for r in gr.hits_scores(_nodes(spark, [0, 1, 2, 3]), e,
+                                   iters=3).collect()}
+    assert got[0] == (1_000_000, 0)
+    assert got[1] == got[2] == got[3] == (0, 1_000_000)
+
+
+def test_hits_indegree_orders_authority(spark):
+    """Two authorities, one with 3 hub in-links vs one with 1: the
+    3-link authority maxes (scale), the 1-link one stays strictly
+    below; the hub linking both authorities out-scores the single-link
+    hubs."""
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0), (3, 9)])
+    # hub 3 links both authorities, so hub(3) > hub(1) = hub(2) too
+    got = {r["id"]: (r["auth_e6"], r["hub_e6"])
+           for r in gr.hits_scores(_nodes(spark, [0, 1, 2, 3, 9]), e,
+                                   iters=2).collect()}
+    assert got[0][0] == 1_000_000
+    assert 0 < got[9][0] < got[0][0]
+    assert got[3][1] == 1_000_000          # best hub
+    assert got[1][1] == got[2][1] < got[3][1]
+    assert got[0][1] == got[9][1] == 0     # authorities are not hubs
+
+
+def test_hits_integer_exact_and_partition_invariant(spark):
+    """Same graph, 1 vs 13 shuffle partitions: bit-identical scores —
+    the integer-arithmetic determinism claim."""
+    pairs = [(i % 23, (i * 7 + 3) % 23) for i in range(120)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, sorted(set(pairs)))
+    n = _nodes(spark, list(range(23)))
+    a = sorted(map(tuple, gr.hits_scores(n, e, iters=3).collect()))
+    b = sorted(map(tuple, gr.hits_scores(n.repartition(13),
+                                         e.repartition(7),
+                                         iters=3).collect()))
+    assert a == b

@@ -75,6 +75,53 @@ def test_cms_rejects_bad_shape(spark, toks):
         cms.cms_registers(toks, "tok", width=1)
 
 
+def test_cms_inner_product_never_undercounts(spark, docs):
+    from plateau_gis_converter_spark.operators import cms
+
+    a = docs.select((F.col("doc_id") % 97).alias("k"))
+    b = docs.where(F.col("doc_id") % 3 == 0) \
+        .select((F.col("doc_id") % 61).alias("k"))
+    exact = a.join(b, "k").count()
+    est = cms.cms_inner_product(
+        cms.cms_registers(a, "k", depth=4, width=512),
+        cms.cms_registers(b, "k", depth=4, width=512),
+        depth=4).collect()[0]["est_join_size"]
+    assert est >= exact  # collisions only ADD; min never undercounts
+
+
+def test_cms_inner_product_exact_when_collision_free(spark):
+    from plateau_gis_converter_spark.operators import cms
+
+    # few distinct keys vs a wide sketch: w=4096 >> 8 keys makes a hash
+    # collision inside any register row overwhelmingly unlikely, so every
+    # row's dot product IS the true inner product and the min is exact.
+    a = spark.createDataFrame(
+        [(k,) for k in range(8) for _ in range(k + 1)], "k int")
+    b = spark.createDataFrame(
+        [(k,) for k in range(0, 8, 2) for _ in range(3)], "k int")
+    exact = a.join(b, "k").count()
+    est = cms.cms_inner_product(
+        cms.cms_registers(a, "k", depth=4, width=4096),
+        cms.cms_registers(b, "k", depth=4, width=4096),
+        depth=4).collect()[0]["est_join_size"]
+    assert est == exact
+
+
+def test_cms_inner_product_disjoint_is_zero(spark):
+    from plateau_gis_converter_spark.operators import cms
+
+    a = spark.createDataFrame([(k,) for k in range(4)], "k int")
+    b = spark.createDataFrame([(k,) for k in range(1000, 1004)], "k int")
+    est = cms.cms_inner_product(
+        cms.cms_registers(a, "k", depth=4, width=4096),
+        cms.cms_registers(b, "k", depth=4, width=4096),
+        depth=4).collect()[0]["est_join_size"]
+    # disjoint keys in a wide sketch: some register row has no shared
+    # filled bucket -> per-row sum 0 (or the row is absent entirely,
+    # handled by the count < depth guard) -> estimate 0
+    assert est == 0
+
+
 # ---------------------------------------------------------------------------
 # grouped HLL
 # ---------------------------------------------------------------------------

@@ -249,3 +249,38 @@ def test_raster_downsample_equals_direct(spark):
     want = ra.rasterize_points(pts, zoom=9, tile_px=16)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_zonal_stats_totals_and_disjoint_zones(spark):
+    """Zonal statistics (raster.zonal_stats): a zone covering the whole
+    point extent reproduces the raster's own totals; two disjoint zones
+    placed over disjoint point clusters report exactly their cluster's
+    points; an empty zone is absent from the output."""
+    from plateau_gis_converter_spark.operators import raster as ra
+
+    # cluster A: 30 points near (10E, 10N); cluster B: 50 near (50E, 20S)
+    a = spark.range(0, 30).select(
+        (10_000_000 + (F.col("id") * 917) % 100_000).alias("lng_udeg"),
+        (10_000_000 + (F.col("id") * 331) % 100_000).alias("lat_udeg"))
+    b = spark.range(0, 50).select(
+        (50_000_000 + (F.col("id") * 719) % 100_000).alias("lng_udeg"),
+        (-20_000_000 + (F.col("id") * 577) % 100_000).alias("lat_udeg"))
+    r = ra.rasterize_points(a.unionAll(b), zoom=11, tile_px=16)
+
+    zones = spark.createDataFrame(
+        [(0, 9_000_000, 12_000_000, 9_000_000, 12_000_000),    # cluster A
+         (1, 49_000_000, 52_000_000, -22_000_000, -19_000_000),  # cluster B
+         (2, -60_000_000, -30_000_000, 0, 30_000_000),         # empty
+         (3, -179_000_000, 179_000_000, -80_000_000, 80_000_000)],  # all
+        "zone_id long, lng_min_udeg long, lng_max_udeg long, "
+        "lat_min_udeg long, lat_max_udeg long")
+    got = {r2["zone_id"]: (r2["n_cells"], r2["n_points"], r2["max_density"])
+           for r2 in ra.zonal_stats(r, zones, zoom=11, tile_px=16).collect()}
+
+    n_cells = r.count()
+    mx = r.agg(F.max("n_points")).collect()[0][0]
+    assert got[3] == (n_cells, 80, mx)
+    assert got[0][1] == 30
+    assert got[1][1] == 50
+    assert 2 not in got
+    assert got[0][0] + got[1][0] <= n_cells

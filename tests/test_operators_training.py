@@ -926,3 +926,57 @@ def test_prefix_filter_equals_exact_jaccard(docs):
                for r in dedup.prefix_filter_jaccard_pairs(
                    docs, 3, threshold=tau).collect()}
         assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# asymmetric set-containment join
+# ---------------------------------------------------------------------------
+
+def test_containment_detects_embedded_quote_jaccard_misses(spark):
+    """A short doc fully embedded in a long page: containment(A->B) is
+    100% while symmetric Jaccard is far below any usable threshold —
+    the structural case the operator exists for. The reverse direction
+    (B->A) does NOT fire."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["cont_pct"]
+           for r in dedup.containment_pairs(df, n=3, threshold_pct=90)
+           .collect()}
+    assert got == {(1, 2): 100}
+    # and Jaccard over the same pair is tiny
+    j = dedup.ngram_jaccard_pairs(df, 3, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.1 for r in j)
+
+
+def test_containment_min_shingles_and_mutual(spark):
+    """Docs below min_shingles never appear as doc_a; two identical
+    docs contain each other (both ordered pairs emitted)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"),                    # 1 shingle -> filtered as A
+         (2, "p q r s t u v w"),
+         (3, "p q r s t u v w")],
+        ["doc_id", "text"])
+    rows = dedup.containment_pairs(df, n=3, threshold_pct=80,
+                                   min_shingles=3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert pairs == {(2, 3), (3, 2)}
+    assert all(r["cont_pct"] == 100 for r in rows)
+
+
+def test_containment_max_df_drops_boilerplate_overlap(spark):
+    """With max_df, shingles shared by every doc (boilerplate footer)
+    leave the sets; a pair whose overlap was ONLY boilerplate drops,
+    and containment is exact over the capped sets."""
+    footer = "all rights reserved contact us here"
+    df = spark.createDataFrame(
+        [(i, f"body {i} text number {i} " + footer) for i in range(6)],
+        ["doc_id", "text"])
+    full = dedup.containment_pairs(df, n=3, threshold_pct=40,
+                                   min_shingles=1)
+    capped = dedup.containment_pairs(df, n=3, threshold_pct=40,
+                                     min_shingles=1, max_df=3)
+    assert full.count() > 0          # footer shingles alone cross 40%
+    assert capped.count() == 0       # capped sets share nothing

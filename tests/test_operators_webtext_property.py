@@ -241,3 +241,42 @@ def test_canonical_url_schemeless_guard(spark):
                                              "example.com")
     # no input maps to the degenerate key
     assert "://" not in [c for c, _ in rows.values()]
+
+
+def test_url_template_mapping(spark):
+    """Template rules: all-digit segment -> {n}, >=8-char hex segment ->
+    {h}, short hex-looking and mixed-case segments pass through, empty
+    path -> '/', trailing slashes ignored."""
+    cases = [
+        ("https://h.com/post/2024/9f8e7d6c5b4a3f21/view",
+         "/post/{n}/{h}/view"),
+        ("https://h.com/About/Team", "/About/Team"),      # case preserved
+        ("https://h.com/p/12345/", "/p/{n}"),             # trailing slash
+        ("https://h.com/deadbeef99", "/{h}"),             # 10-char hex
+        ("https://h.com/dead", "/dead"),                  # short hex: kept
+        ("https://h.com/v2", "/v2"),                      # mixed: kept
+        ("https://h.com", "/"),                           # empty path
+        ("https://h.com/CAFEBABE", "/{h}"),               # uppercase hex
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {r["url"]: r["t"]
+           for r in df.select("url", urls.url_template(F.col("url"))
+                              .alias("t")).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_url_template_stats_groups_infinite_spaces(spark):
+    """A calendar trap (many URLs, one template) aggregates to a single
+    high-count row keyed by (host, template); the static page stays its
+    own row; hosts group via url_host (www/port stripped)."""
+    rows = ([(f"https://WWW.trap.com:443/cal/2024/{m}/{d}",)
+             for m in range(1, 13) for d in range(1, 29)]
+            + [("https://trap.com/about",)] * 3)
+    df = spark.createDataFrame(rows, ["url"])
+    got = {(r["host"], r["template"]): (r["n_urls"], r["n_distinct_urls"],
+                                        r["depth"])
+           for r in urls.url_template_stats(df).collect()}
+    assert got[("trap.com", "/cal/{n}/{n}/{n}")] == (12 * 28, 12 * 28, 4)
+    assert got[("trap.com", "/about")] == (3, 1, 1)
+    assert len(got) == 2

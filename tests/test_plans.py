@@ -200,3 +200,27 @@ def test_round5_query_scans_prune_columns_and_stay_jvm(spark):
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_fourth_wave_query_scans_prune_columns_and_stay_jvm(spark):
+    """Fourth-wave gates (HITS, zonal stats, containment, URL templates,
+    CMS join size): scans prune to exactly the needed columns and every
+    plan stays pure-JVM."""
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "hits_scores": {"doc_id"},
+        "zonal_stats": {"doc_id", "n_nationkey"},
+        "dedup_containment": {"doc_id", "text"},
+        "url_templates": {"doc_id", "source"},
+        "cms_join_size": {"o_custkey", "c_custkey"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
