@@ -181,7 +181,7 @@ def main():
                   "compaction_plan", "ingest_e2e",
                   "cms_registers", "cms_estimate", "cms_join_size",
                   "hits_scores", "zonal_stats", "dedup_containment",
-                  "url_templates",
+                  "url_templates", "stream_windowed_counts", "vacuum_plan",
                   "group_cardinality", "dirty_tiles",
                   "stream_dirty_tiles"]:
         fn = eq.QUERIES[qname]

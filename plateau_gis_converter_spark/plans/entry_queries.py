@@ -4094,6 +4094,93 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """The REAL Structured Streaming watermarked window aggregation
+    (streaming/pipeline.streaming_windowed_counts) driven as a gate: a
+    file stream over the events parquet, 1-hour tumbling windows with a
+    30-minute watermark, append mode, availableNow trigger, memory sink.
+    Third streaming-engine gate — this one exercises the BUILT-IN
+    stateful-aggregation path (state store keyed by (window, key),
+    watermark eviction, no-data flush batch), not applyInPandasWithState.
+    Emitted set = windows with end <= ms_floor(max ts) - 30 min
+    (inclusive, probed rule); the oracle replicates that emission rule
+    with epoch_ms arithmetic."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    out = sp.streaming_windowed_counts(stream)
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_windowed_gate_{_STREAM_GATE_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_windowed_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT window_start, window_end, event_type, n, "
+        f"sum_value_cents FROM {qname}")
+
+
+SQL_STREAM_WINDOWED = """
+WITH m AS (SELECT epoch_ms(max(ts)) AS mxms FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+  FROM events GROUP BY 1, 2)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+       event_type, n, sum_value_cents
+FROM w, m
+WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= m.mxms - 1800000
+"""
+
+
+def q_vacuum_plan(spark, sf_dir):
+    """Snapshot-retention vacuum planning (sources/layout.vacuum_plan):
+    synthetic snapshot log (8 snapshots) + manifest (each doc is a file
+    referenced by a consecutive snapshot range [doc_id % 8,
+    min(7, doc_id % 8 + doc_id % 3)]); retain the newest 3 snapshots and
+    mark files unreachable from all of them deletable. The oracle
+    re-derives the reference ranges with generate_series and the
+    retained set with a scalar rank."""
+    from ..sources import layout as ly
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lo = (did % 8).alias("lo")
+    hi = F.least(F.lit(7), did % 8 + did % 3).alias("hi")
+    manifests = (docs.select(
+        F.format_string("data/part-%05d.parquet", did).alias("path"),
+        F.explode(F.sequence(lo, hi)).alias("snapshot_id")))
+    snapshots = spark.range(0, 8).select(
+        F.col("id").alias("snapshot_id"),
+        F.expr("timestamp'2024-03-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, id)").alias("ts"))
+    return ly.vacuum_plan(manifests, snapshots, retain_last=3)
+
+
+SQL_VACUUM_PLAN = """
+WITH m AS (
+  SELECT printf('data/part-%05d.parquet', doc_id) AS path,
+         CAST(u.s AS BIGINT) AS snapshot_id
+  FROM documents,
+       UNNEST(range(doc_id % 8,
+                    least(7, doc_id % 8 + doc_id % 3) + 1)) AS u(s))
+SELECT path,
+       CAST(min(snapshot_id) AS BIGINT) AS first_snapshot,
+       CAST(max(snapshot_id) AS BIGINT) AS last_snapshot,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       max(snapshot_id) < 5 AS deletable
+FROM m GROUP BY 1
+"""
+
+
 def q_group_cardinality(spark, sf_dir):
     """Per-group HLL registers (cardinality.hll_registers_grouped):
     distinct users per event type as one partial-agg groupBy — output
@@ -4461,6 +4548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "dedup_containment": q_dedup_containment,
     "url_templates": q_url_templates,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "vacuum_plan": q_vacuum_plan,
     "group_cardinality": q_group_cardinality,
     "dirty_tiles": q_dirty_tiles,
     "incremental_clusters": q_incremental_clusters,
@@ -4560,6 +4649,8 @@ ORACLES: dict[str, str] = {
     "zonal_stats": SQL_ZONAL_STATS,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "url_templates": SQL_URL_TEMPLATES,
+    "stream_windowed_counts": SQL_STREAM_WINDOWED,
+    "vacuum_plan": SQL_VACUUM_PLAN,
     "group_cardinality": SQL_GROUP_CARDINALITY,
     "dirty_tiles": SQL_DIRTY_TILES,
     "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,

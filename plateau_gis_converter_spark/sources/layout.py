@@ -146,3 +146,43 @@ def compaction_summary(plan: DataFrame) -> DataFrame:
     return (plan.groupBy("task_id")
             .agg(F.count(F.lit(1)).alias("n_files"),
                  F.sum("bytes").alias("total_bytes")))
+
+
+def vacuum_plan(manifests: DataFrame, snapshots: DataFrame,
+                retain_last: int) -> DataFrame:
+    """Snapshot-retention vacuum planning — the third lakehouse
+    maintenance operation next to ``write_hilbert_layout`` (clustering)
+    and ``compaction_plan`` (small files): given the table's
+    snapshot->file reference metadata, decide which data files become
+    unreachable once only the newest ``retain_last`` snapshots are kept
+    (Iceberg ``expire_snapshots`` / Delta ``VACUUM`` semantics — see
+    ICEBERG.md for the parquet-substitution note).
+
+    manifests: (snapshot_id, path) — one row per file reference.
+    snapshots: (snapshot_id, ts) — the snapshot log.
+    Returns one row per distinct file: (path, first_snapshot,
+    last_snapshot, n_refs, deletable) where ``deletable`` is true iff NO
+    retained snapshot references the file. A file referenced by any
+    retained snapshot stays, however old its first reference — vacuum
+    must never break a live snapshot (time travel to retained history).
+
+    Scale shape: the retained set is ``retain_last`` rows (a window rank
+    over the snapshot LOG, which is tiny) broadcast into one hash
+    semi-probe; the per-file profile is ONE partial-agg groupBy over the
+    manifest relation (metadata, not data); no data file is opened.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("ts").desc(), F.col("snapshot_id").desc())
+    retained = (snapshots
+                .select("snapshot_id", F.row_number().over(w).alias("__r"))
+                .where(F.col("__r") <= retain_last)
+                .select("snapshot_id"))
+    flags = manifests.join(
+        F.broadcast(retained.withColumn("__live", F.lit(1))),
+        "snapshot_id", "left")
+    return (flags.groupBy("path")
+            .agg(F.min("snapshot_id").alias("first_snapshot"),
+                 F.max("snapshot_id").alias("last_snapshot"),
+                 F.count(F.lit(1)).alias("n_refs"),
+                 (F.count("__live") == 0).alias("deletable")))

@@ -45,6 +45,48 @@ def streaming_tile_counts(stream: DataFrame, zoom: int = 12,
             .agg(F.count(F.lit(1)).alias("n_pages")))
 
 
+def streaming_windowed_counts(events: DataFrame,
+                              window: str = "1 hour",
+                              watermark: str = "30 minutes",
+                              ts_col: str = "ts",
+                              key_col: str = "event_type",
+                              value_col: str = "value") -> DataFrame:
+    """Watermarked tumbling-window aggregation in APPEND mode — the
+    built-in stateful-aggregation engine path (state store keyed by
+    (window, key), watermark-driven eviction + no-data flush batch),
+    complementing the two applyInPandasWithState operators
+    (``streaming_dedup_first_seen``, ``streaming_dirty_tiles``) which
+    exercise the arbitrary-state path.
+
+    Append-mode emission rule (probed empirically on this Spark build
+    and relied on by the gate oracle): after the final batch the
+    watermark is ``ms_floor(max event time) - delay``, and a window is
+    FINALIZED and emitted iff ``window.end <= watermark`` (inclusive at
+    equality). Windows newer than that stay in the state store awaiting
+    late data — exactly the production contract: results for an hour
+    are published once the hour is ``delay`` past.
+
+    The per-window value sum is integer-quantized (cents) BEFORE the
+    aggregation so partial-agg merge order cannot perturb the result —
+    the same float-determinism rule every batch gate follows.
+
+    Scale: state is O(open windows x distinct keys), bounded by the
+    watermark horizon, not the stream; the aggregation is the standard
+    partial-agg shuffle keyed by (window, key).
+    """
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)) \
+        .cast("bigint")
+    return (ev.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents).alias("sum_value_cents"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    key_col, "n", "sum_value_cents"))
+
+
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                          ts_col: str = "ts") -> DataFrame:
     """Session windows per user with watermark-bounded state."""

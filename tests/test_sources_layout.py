@@ -124,3 +124,33 @@ def test_compaction_plan_rejects_bad_target(spark):
     files = spark.createDataFrame([("a", 1)], ["path", "bytes"])
     with _pt.raises(ValueError):
         ly.compaction_plan(files, target_bytes=0)
+
+
+def test_vacuum_plan_never_deletes_retained_reachable_files(spark):
+    """Vacuum semantics: a file is deletable iff NO retained snapshot
+    references it; a file first written long ago but still referenced
+    by a retained snapshot stays; ties in ts rank deterministically by
+    snapshot_id."""
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.sources import layout as ly
+
+    manifests = spark.createDataFrame(
+        [("old_only.parquet", 0), ("old_only.parquet", 1),
+         ("ancient_but_live.parquet", 0), ("ancient_but_live.parquet", 3),
+         ("fresh.parquet", 3),
+         ("mid.parquet", 1), ("mid.parquet", 2)],
+        "path string, snapshot_id long")
+    snapshots = spark.range(0, 4).select(
+        F.col("id").alias("snapshot_id"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,id)")
+        .alias("ts"))
+    got = {r["path"]: (r["first_snapshot"], r["last_snapshot"],
+                       r["n_refs"], r["deletable"])
+           for r in ly.vacuum_plan(manifests, snapshots,
+                                   retain_last=2).collect()}
+    # retained = snapshots 3, 2
+    assert got["old_only.parquet"] == (0, 1, 2, True)
+    assert got["ancient_but_live.parquet"] == (0, 3, 2, False)
+    assert got["fresh.parquet"] == (3, 3, 1, False)
+    assert got["mid.parquet"] == (1, 2, 2, False)

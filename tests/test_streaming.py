@@ -220,3 +220,46 @@ def test_streaming_dirty_tiles_suppresses_repeat_tiles(spark, tmp_path):
         assert xs[1] > xs[0]  # the new tile is strictly east
     finally:
         q.stop()
+
+
+def test_streaming_windowed_counts_emission_rule(spark, tmp_path):
+    """Append-mode finalization: with max ts = 02:00 and a 1h watermark,
+    the [00:00,01:00) window (end == watermark EXACTLY) emits — the
+    inclusive-equality rule the gate oracle encodes — while [01:00,02:00)
+    and [02:00,03:00) are withheld in state; counts and the quantized
+    value sum aggregate correctly across two files (two micro-batches
+    worth of input)."""
+    d = tmp_path / "events"
+    rows1 = [("2024-01-01 00:10:00", "a", 1.004),
+             ("2024-01-01 00:40:00", "a", 2.006),
+             ("2024-01-01 01:30:00", "b", 5.0)]
+    rows2 = [("2024-01-01 00:20:00", "b", 0.5),   # late into hour 0
+             ("2024-01-01 02:00:00", "a", 9.0)]   # advances the watermark
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, "tss string, event_type string, "
+                               "value double")
+         .select(F.to_timestamp("tss").alias("ts"), "event_type", "value")
+         .coalesce(1).write.mode("append").parquet(str(d)))
+
+    write(rows1, "f1")
+    write(rows2, "f2")
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, value double")
+              .parquet(str(d)))
+    out = sp.streaming_windowed_counts(stream, window="1 hour",
+                                       watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("winc")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n"], r["sum_value_cents"])
+           for r in spark.sql("SELECT * FROM winc").collect()}
+    # only hour 0 finalized (end 01:00 == watermark 02:00 - 1h)
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): (2, 301),   # floor(100.4+.5)+floor(200.6+.5)
+        ("2024-01-01 00:00:00", "b"): (1, 50),
+    }
