@@ -182,6 +182,8 @@ def main():
                   "cms_registers", "cms_estimate", "cms_join_size",
                   "hits_scores", "zonal_stats", "dedup_containment",
                   "url_templates", "stream_windowed_counts", "vacuum_plan",
+                  "cohort_retention", "hll_tile_rollup",
+                  "winnow_fingerprints",
                   "group_cardinality", "dirty_tiles",
                   "stream_dirty_tiles"]:
         fn = eq.QUERIES[qname]

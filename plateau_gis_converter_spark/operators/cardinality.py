@@ -107,3 +107,28 @@ def approx_distinct(df: DataFrame, col: str, p: int = 12,
     regs = [(r["bucket"], r["r"])
             for r in hll_registers(df, col, p, salt).collect()]
     return hll_estimate(regs, p)
+
+
+def hll_rollup_tiles(registers: DataFrame, levels: int = 1) -> DataFrame:
+    """Roll per-tile HLL registers up the quadtree pyramid: the parent
+    tile's register set is the elementwise MAX of its 4^levels
+    children's registers — because max is associative/idempotent, the
+    result is BIT-IDENTICAL to computing the sketch directly at the
+    lower zoom from raw data (the gate proves it, mirroring
+    ``raster_downsample``'s direct-vs-rollup equivalence).
+
+    This is the sketch counterpart of the tile-tree rollup (SURVEY §2.4
+    A4): "distinct domains/users per tile at EVERY zoom" materializes
+    the corpus sketch ONCE at max zoom, then derives each coarser level
+    with one partial-agg groupBy over register rows — never re-touching
+    the corpus. Input/output shape: (z, x, y, bucket, r).
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    d = 1 << levels
+    return (registers.groupBy(
+                (F.col("z") - F.lit(levels)).cast("int").alias("z"),
+                F.expr(f"x div {d}").cast("bigint").alias("x"),
+                F.expr(f"y div {d}").cast("bigint").alias("y"),
+                F.col("bucket"))
+            .agg(F.max("r").cast("bigint").alias("r")))

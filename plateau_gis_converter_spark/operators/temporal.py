@@ -201,3 +201,33 @@ def funnel_stages(events: DataFrame, steps: Sequence[str],
     final_ts = F.coalesce(*[F.col(tc) for tc in reversed(tcols)])
     return out.select(user_col, stage.cast("bigint").alias("stage"),
                       F.unix_micros(final_ts).alias("completed_ts_us"))
+
+
+def cohort_retention(events: DataFrame, ts_col: str = "ts",
+                     user_col: str = "user_id") -> DataFrame:
+    """Weekly cohort-retention matrix — the standard growth-analytics
+    rollup over an event stream: cohort(u) = the Monday-truncated week
+    of u's FIRST event; for every (cohort_week, week_offset) count the
+    distinct cohort members active that week. Row (c, 0) is the cohort
+    size; retention rate is n_users / cohort size, derived outside the
+    gate (integer counts only cross the engine boundary).
+
+    Scale shape: first-seen is one partial-agg min keyed by user;
+    activity is one distinct over (user, week) — the same user-keyed
+    shuffle, so under AQE the join back is co-partitioned; the matrix
+    is one final partial-agg groupBy. State never exceeds
+    O(users + user-weeks); no window over the raw stream.
+    """
+    u, ts = F.col(user_col), F.col(ts_col)
+    first = (events.where(u.isNotNull())
+             .groupBy(u.alias("__u"))
+             .agg(F.date_trunc("week", F.min(ts)).alias("cohort_week")))
+    active = (events.where(u.isNotNull())
+              .select(u.alias("__u"),
+                      F.date_trunc("week", ts).alias("__w"))
+              .distinct())
+    return (active.join(first, "__u")
+            .groupBy("cohort_week",
+                     F.expr("datediff(__w, cohort_week) div 7")
+                     .cast("bigint").alias("week_offset"))
+            .agg(F.countDistinct("__u").alias("n_users")))

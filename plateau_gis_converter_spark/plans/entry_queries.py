@@ -4181,6 +4181,117 @@ FROM m GROUP BY 1
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix (temporal.cohort_retention):
+    cohort = Monday-week of each user's first event; per (cohort_week,
+    week_offset) the distinct active cohort members. Oracle re-derives
+    first-seen + distinct user-weeks independently."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events")
+    return tp.cohort_retention(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+  FROM events WHERE user_id IS NOT NULL)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+           AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_hll_tile_rollup(spark, sf_dir):
+    """HLL sketch rollup up the tile pyramid (cardinality.
+    hll_rollup_tiles): per-z13-tile distinct-source registers rolled two
+    levels to z11 by elementwise max — the oracle computes the z11
+    registers DIRECTLY from the raw points, proving the rollup is
+    bit-identical to re-sketching at the lower zoom (max associativity
+    + tile-floor commutation). A production 'distinct domains per tile
+    at every zoom' sketches the corpus once at max zoom."""
+    from ..operators import cardinality as cd
+
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pts = docs.select("source", lng, lat)
+    z = F.lit(13)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    tiled = (pts.withColumn("z", z.cast("int"))
+             .withColumn("x", geo.tile_x(z, mx))
+             .withColumn("y", geo.tile_y(z, my)))
+    regs13 = cd.hll_registers_grouped(tiled, "source", ["z", "x", "y"],
+                                      p=8)
+    return cd.hll_rollup_tiles(regs13, levels=2)
+
+
+_TX11, _TY11 = _tile_xy_sql("11")
+SQL_HLL_TILE_ROLLUP = f"""
+WITH {POINTS_CTE},
+p2 AS (
+  SELECT d.source AS source, p.lng_udeg, p.lat_udeg
+  FROM documents d JOIN pts p ON d.doc_id = p.doc_id),
+t AS (
+  SELECT source, {_TX11} AS x, {_TY11} AS y
+  FROM p2),
+h AS (
+  SELECT x, y,
+         CAST(concat('0x', substr(md5(source || 'hll'), 1, 15)) AS BIGINT)
+             AS hv
+  FROM t),
+br AS (SELECT x, y, hv // {1 << 52} AS bucket, hv % {1 << 52} AS rest
+       FROM h)
+SELECT CAST(11 AS INT) AS z, x, y, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rest = 0 THEN 53
+                     ELSE 52 - (length(bin(rest)) - 1) END) AS BIGINT) AS r
+FROM br GROUP BY 2, 3, 4
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (text.winnow_fingerprints, Schleimer et
+    al. SIGMOD 2003 / MOSS): 3-gram hashes, window w=4, rightmost
+    minimal hash per window, distinct (pos, hash) — any >= 6-token
+    shared substring between docs shares a fingerprint. Map-only
+    Catalyst array pipeline; oracle re-derives with DuckDB list
+    functions (list_reverse + list_position for the rightmost
+    tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(docs, k=3, w=4)
+
+
+SQL_WINNOW = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+           i -> CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' '
+                || t[i+2]), 1, 15)) AS BIGINT)) AS hs
+  FROM toks),
+wnd AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, hs[u.i : u.i + 3] AS win
+  FROM h, UNNEST(range(1, greatest(len(hs) - 3, 0) + 1)) AS u(i)),
+sel AS (
+  SELECT doc_id,
+         i + 4 - list_position(list_reverse(win), list_min(win)) AS pos,
+         list_min(win) AS fp
+  FROM wnd)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+FROM sel
+"""
+
+
 def q_group_cardinality(spark, sf_dir):
     """Per-group HLL registers (cardinality.hll_registers_grouped):
     distinct users per event type as one partial-agg groupBy — output
@@ -4550,6 +4661,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_templates": q_url_templates,
     "stream_windowed_counts": q_stream_windowed_counts,
     "vacuum_plan": q_vacuum_plan,
+    "cohort_retention": q_cohort_retention,
+    "hll_tile_rollup": q_hll_tile_rollup,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "group_cardinality": q_group_cardinality,
     "dirty_tiles": q_dirty_tiles,
     "incremental_clusters": q_incremental_clusters,
@@ -4651,6 +4765,9 @@ ORACLES: dict[str, str] = {
     "url_templates": SQL_URL_TEMPLATES,
     "stream_windowed_counts": SQL_STREAM_WINDOWED,
     "vacuum_plan": SQL_VACUUM_PLAN,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "hll_tile_rollup": SQL_HLL_TILE_ROLLUP,
+    "winnow_fingerprints": SQL_WINNOW,
     "group_cardinality": SQL_GROUP_CARDINALITY,
     "dirty_tiles": SQL_DIRTY_TILES,
     "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,

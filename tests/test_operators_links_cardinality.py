@@ -101,3 +101,27 @@ def test_hll_p_validation(spark):
     df = spark.range(0, 10).selectExpr("cast(id as string) v")
     with pytest.raises(ValueError):
         cd.hll_registers(df, "v", p=3)
+
+
+def test_hll_rollup_equals_direct_sketch(spark):
+    """Pyramid rollup of per-tile HLL registers == sketching directly at
+    the parent tile (max associativity): group keys floor-divide, r is
+    the max over children."""
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.operators import cardinality as cd
+
+    pts = spark.range(0, 2000).select(
+        (F.col("id") % 37).cast("string").alias("u"),
+        F.lit(13).cast("int").alias("z"),
+        (F.col("id") % 16).cast("bigint").alias("x"),
+        ((F.col("id") * 7) % 16).cast("bigint").alias("y"))
+    fine = cd.hll_registers_grouped(pts, "u", ["z", "x", "y"], p=8)
+    got = cd.hll_rollup_tiles(fine, levels=2)
+    direct = cd.hll_registers_grouped(
+        pts.select("u", (F.col("z") - 2).alias("z"),
+                   F.expr("x div 4").alias("x"),
+                   F.expr("y div 4").alias("y")),
+        "u", ["z", "x", "y"], p=8)
+    assert got.exceptAll(direct).count() == 0
+    assert direct.exceptAll(got).count() == 0

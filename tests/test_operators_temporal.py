@@ -205,3 +205,30 @@ def test_funnel_completed_ts_is_last_step(spark):
     assert r["stage"] == 2
     assert r["completed_ts_us"] == int(
         DT(2024, 1, 1, 0, 0, 9).timestamp() * 1_000_000)
+
+
+def test_cohort_retention_matrix(spark):
+    """Hand-checkable cohort matrix: u1 first week W0 active W0+W2,
+    u2 first W0 active W0 only, u3 first W1 active W1+W2; NULL user
+    dropped; multiple events in one week count once."""
+    from pyspark.sql import functions as F
+
+    from plateau_gis_converter_spark.operators import temporal as tp
+
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-02 10:00:00", 1),  # W0 twice
+        ("2024-01-15 10:00:00", 1),                              # W2
+        ("2024-01-03 10:00:00", 2),                              # W0
+        ("2024-01-08 10:00:00", 3), ("2024-01-16 10:00:00", 3),  # W1, W2
+        ("2024-01-05 10:00:00", None),                           # dropped
+    ]
+    ev = (spark.createDataFrame(rows, "tss string, user_id long")
+          .select(F.to_timestamp("tss").alias("ts"), "user_id"))
+    got = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+           for r in tp.cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 2,   # u1, u2
+        ("2024-01-01 00:00:00", 2): 1,   # u1
+        ("2024-01-08 00:00:00", 0): 1,   # u3
+        ("2024-01-08 00:00:00", 1): 1,   # u3
+    }

@@ -980,3 +980,49 @@ def test_containment_max_df_drops_boilerplate_overlap(spark):
                                      min_shingles=1, max_df=3)
     assert full.count() > 0          # footer shingles alone cross 40%
     assert capped.count() == 0       # capped sets share nothing
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def _winnow_ref(tokens, k=3, w=4):
+    """Independent scalar reference: Schleimer et al. winnowing with the
+    rightmost-min tie-break."""
+    import hashlib
+
+    grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    out = set()
+    for i in range(len(hs) - w + 1):
+        win = hs[i:i + w]
+        mn = min(win)
+        j = max(p for p, v in enumerate(win) if v == mn)
+        out.add((i + j + 1, mn))  # 1-based gram position
+    return out
+
+
+def test_winnow_matches_scalar_reference(spark):
+    toks = ("the quick brown fox jumps over the quick brown fox again "
+            "and again and again at dawn").split()
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    got = {(r["pos"], r["fp"])
+           for r in text.winnow_fingerprints(df, k=3, w=4).collect()}
+    assert got == _winnow_ref(toks)
+    assert len(got) < len(toks) - 2   # strictly sparser than all k-grams
+
+
+def test_winnow_shared_substring_guarantee_and_short_docs(spark):
+    """Any shared >= k+w-1 = 6-token run yields a shared fingerprint;
+    docs shorter than 6 tokens yield nothing."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, "intro words then " + shared + " trailing bits"),
+         (2, shared + " totally different ending here"),
+         (3, "too short doc")],
+        ["doc_id", "text"])
+    fp = text.winnow_fingerprints(df, k=3, w=4)
+    a = {r["fp"] for r in fp.where(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in fp.where(F.col("doc_id") == 2).collect()}
+    assert a & b, "shared 6-token run must share a fingerprint"
+    assert fp.where(F.col("doc_id") == 3).count() == 0
