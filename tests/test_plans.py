@@ -216,6 +216,10 @@ def test_fourth_wave_query_scans_prune_columns_and_stay_jvm(spark):
         "dedup_containment": {"doc_id", "text"},
         "url_templates": {"doc_id", "source"},
         "cms_join_size": {"o_custkey", "c_custkey"},
+        "vacuum_plan": {"doc_id"},
+        "cohort_retention": {"ts", "user_id"},
+        "hll_tile_rollup": {"doc_id", "source"},
+        "winnow_fingerprints": {"doc_id", "text"},
     }
     for name, want in expected.items():
         plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
