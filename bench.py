@@ -183,7 +183,7 @@ def main():
                   "hits_scores", "zonal_stats", "dedup_containment",
                   "url_templates", "stream_windowed_counts", "vacuum_plan",
                   "cohort_retention", "hll_tile_rollup",
-                  "winnow_fingerprints",
+                  "winnow_fingerprints", "trustrank", "cocitation",
                   "group_cardinality", "dirty_tiles",
                   "stream_dirty_tiles"]:
         fn = eq.QUERIES[qname]

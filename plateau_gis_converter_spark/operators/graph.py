@@ -50,7 +50,8 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 3,
                  damping_pct: int = 85,
                  checkpoint_every: int = 8,
                  dangling: str = "drop",
-                 n_nodes: int | None = None) -> DataFrame:
+                 n_nodes: int | None = None,
+                 teleport: DataFrame | None = None) -> DataFrame:
     """Integer-exact PageRank.
 
     nodes: DataFrame with one ``id`` column (every rankable vertex).
@@ -66,6 +67,15 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     iteration, computed with an anti-join aggregate and folded back via a
     broadcast nested-loop join of the 1-row relation — the plan stays
     fully lazy/distributed, no per-iteration driver roundtrip.
+
+    teleport: optional seed relation (one ``id`` column) — TRUSTRANK
+    (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004): the teleport mass
+    (initial score AND the per-iteration base term) lands ONLY on the
+    seeds, so trust flows outward from a curated whitelist and pages
+    unreachable from seeds decay to 0 — the standard spam-demotion /
+    seed-propagation ranking. Implemented as one extra left join against
+    the (small, broadcastable) seed relation; everything else — integer
+    exactness, dangling handling, per-iteration shape — is unchanged.
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling must be 'drop' or 'redistribute', "
@@ -75,8 +85,17 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     deg = out_degrees(edges)
     scored_edges = edges.join(deg, "src")
     base = F.lit((100 - damping_pct) * BASE_PPM // 100)
-    scores = nodes.select("id", F.lit(BASE_PPM).cast("long")
-                          .alias("score_e6"))
+    if teleport is not None:
+        seeds = (teleport.select("id").distinct()
+                 .withColumn("__seed", F.lit(1)))
+        nodes = nodes.join(F.broadcast(seeds), "id", "left")
+        base = F.when(F.col("__seed").isNotNull(), base) \
+            .otherwise(F.lit(0))
+        init = F.when(F.col("__seed").isNotNull(), F.lit(BASE_PPM)) \
+            .otherwise(F.lit(0))
+    else:
+        init = F.lit(BASE_PPM)
+    scores = nodes.select("id", init.cast("long").alias("score_e6"))
     for i in range(iters):
         contrib = (scored_edges
                    .join(scores, scored_edges["src"] == scores["id"])
@@ -386,3 +405,38 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             f"{rounds} rounds (max_iters={max_iters}); labels would be "
             f"silently wrong — raise max_iters")
     return labels.select("id", F.col("label").alias("component_id"))
+
+
+def cocitation_pairs(edges: DataFrame, min_count: int = 2,
+                     max_fanout: int | None = None) -> DataFrame:
+    """Co-citation similarity (Small 1973, the classic "related pages"
+    signal): unordered page pairs with the count of DISTINCT sources
+    linking to BOTH — pages repeatedly cited together are topically
+    related even when neither links the other. Run it on REVERSED edges
+    for bibliographic coupling (pairs sharing out-links; Kessler 1963).
+
+    Shape: one self-equi-join of the distinct edge list keyed by src +
+    one partial-agg count per (a, b) — exactly the shingle-join shape of
+    ``ngram_jaccard_pairs``, and with the same hot-key hazard: a hub
+    source with out-degree f emits f(f-1)/2 pairs. ``max_fanout`` is the
+    standard guard (drop sources with out_degree > max_fanout BEFORE the
+    join — a page linking thousands of pages carries no topical signal,
+    the same reasoning as the shingle df cap); ``None`` keeps exactness.
+
+    Returns (page_a, page_b, n_common) with page_a < page_b and
+    n_common >= min_count.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_fanout is not None:
+        keep = (e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("f"))
+                .where(F.col("f") <= max_fanout)
+                .select("src"))
+        e = e.join(keep, "src", "left_semi")
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.src") == F.col("b.src"))
+                   & (F.col("a.dst") < F.col("b.dst")))
+            .groupBy(F.col("a.dst").alias("page_a"),
+                     F.col("b.dst").alias("page_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .where(F.col("n_common") >= min_count))

@@ -4292,6 +4292,92 @@ FROM sel
 """
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (graph.pagerank_int(teleport=seeds), Gyongyi et al.
+    VLDB 2004): teleport mass restricted to the curated seed set
+    (doc_id % 97 == 0) — trust flows outward from the whitelist, pages
+    unreachable from seeds decay to 0. Same integer-exact arithmetic as
+    pagerank; the oracle unrolls the iterations with the seed-gated
+    base term."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    seeds = docs.where(F.col("doc_id") % 97 == 0) \
+        .select(F.col("doc_id").alias("id"))
+    edges = gr.synthetic_link_edges(docs, n)
+    pr = gr.pagerank_int(nodes, edges, iters=3, damping_pct=85,
+                         teleport=seeds)
+    return pr.select(F.col("id").alias("doc_id"), "score_e6")
+
+
+_TR_ITER = """
+c{i} AS (
+  SELECT e.dst, sum(s{p}.score // d.out_degree) AS s
+  FROM e JOIN deg d ON e.src = d.src JOIN s{p} ON e.src = s{p}.id
+  GROUP BY 1),
+s{i} AS (
+  SELECT s{p}.id,
+         (CASE WHEN s{p}.id % 97 = 0 THEN 150000 ELSE 0 END)
+           + (85 * coalesce(c{i}.s, 0)) // 100 AS score
+  FROM s{p} LEFT JOIN c{i} ON s{p}.id = c{i}.dst)"""
+
+SQL_TRUSTRANK = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src, count(*) AS out_degree FROM e GROUP BY 1),
+s0 AS (SELECT doc_id AS id,
+              CAST(CASE WHEN doc_id % 97 = 0 THEN 1000000 ELSE 0 END
+                   AS BIGINT) AS score
+       FROM documents),
+""" + ",".join(_TR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3)) + """
+SELECT id AS doc_id, CAST(score AS BIGINT) AS score_e6 FROM s3
+"""
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation similarity (graph.cocitation_pairs): unordered page
+    pairs cited together by >= 2 distinct sources over the deterministic
+    link graph — the 'related pages' signal; oracle = brute-force
+    edge self-join."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    return gr.cocitation_pairs(edges, min_count=2)
+
+
+SQL_COCITATION = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+SELECT a.dst AS page_a, b.dst AS page_b,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def q_group_cardinality(spark, sf_dir):
     """Per-group HLL registers (cardinality.hll_registers_grouped):
     distinct users per event type as one partial-agg groupBy — output
@@ -4664,6 +4750,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "hll_tile_rollup": q_hll_tile_rollup,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "trustrank": q_trustrank,
+    "cocitation": q_cocitation,
     "group_cardinality": q_group_cardinality,
     "dirty_tiles": q_dirty_tiles,
     "incremental_clusters": q_incremental_clusters,
@@ -4768,6 +4856,8 @@ ORACLES: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "hll_tile_rollup": SQL_HLL_TILE_ROLLUP,
     "winnow_fingerprints": SQL_WINNOW,
+    "trustrank": SQL_TRUSTRANK,
+    "cocitation": SQL_COCITATION,
     "group_cardinality": SQL_GROUP_CARDINALITY,
     "dirty_tiles": SQL_DIRTY_TILES,
     "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,

@@ -89,3 +89,42 @@ def test_hits_integer_exact_and_partition_invariant(spark):
                                          e.repartition(7),
                                          iters=3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (seed-restricted teleport) and co-citation
+# ---------------------------------------------------------------------------
+
+def test_trustrank_unreachable_pages_decay_to_zero(spark):
+    """Seeds {0}; chain 0->1->2; node 9 links INTO the chain but is
+    unreachable from seeds — its trust must be exactly 0 while every
+    chain node holds positive trust; plain PageRank gives 9 its base
+    mass (the spam-demotion difference)."""
+    e = _edges(spark, [(0, 1), (1, 2), (9, 1)])
+    n = _nodes(spark, [0, 1, 2, 9])
+    seeds = _nodes(spark, [0])
+    tr = {r["id"]: r["score_e6"]
+          for r in gr.pagerank_int(n, e, iters=3, teleport=seeds)
+          .collect()}
+    pr = {r["id"]: r["score_e6"]
+          for r in gr.pagerank_int(n, e, iters=3).collect()}
+    assert tr[9] == 0
+    assert tr[0] > 0 and tr[1] > 0 and tr[2] > 0
+    assert pr[9] > 0   # vanilla PageRank cannot tell 9 apart
+
+
+def test_cocitation_counts_and_fanout_guard(spark):
+    """Sources 10,11 both cite (1,2): n_common=2; source 12 adds (1,3)
+    only once -> below min_count. A hub source citing everything is
+    dropped by max_fanout and stops inflating pair counts."""
+    base = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3)]
+    got = {(r["page_a"], r["page_b"]): r["n_common"]
+           for r in gr.cocitation_pairs(_edges(spark, base),
+                                        min_count=2).collect()}
+    assert got == {(1, 2): 2}
+    hub = [(99, d) for d in range(1, 6)]   # fanout 5
+    with_hub = gr.cocitation_pairs(_edges(spark, base + hub),
+                                   min_count=2, max_fanout=4)
+    got2 = {(r["page_a"], r["page_b"]): r["n_common"]
+            for r in with_hub.collect()}
+    assert got2 == {(1, 2): 2}   # hub dropped, counts unchanged
