@@ -2898,20 +2898,23 @@ FROM documents
 
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination (operators/bloom.py): benchmark
-    shingles (doc_id % 89 == 0) build a Bloom filter (k=4 JVM xxhash64
-    probes folded into InSet predicates — zero Python, zero shuffle); only
-    corpus shingles passing the filter reach the exact broadcast verify
-    join, so the result is IDENTICAL to the plain operator (no false
-    negatives by construction, false positives removed by the verify).
-    The oracle is the exact computation — the gate therefore proves the
-    prefilter is lossless, the same invariance pattern as
-    ``skew_salted_agg`` vs plain GROUP BY."""
+    shingles (doc_id % 89 == 0) build a Bloom filter whose set-bit
+    positions stay a DataFrame; the k=4 JVM xxhash64 bit tests are
+    broadcast LEFT SEMI hash joins (zero Python, zero shuffle on the
+    corpus side, zero driver collect — the inset probe's per-literal py4j
+    plan build cost 29 s at sf0.1); only corpus shingles passing the
+    filter reach the exact broadcast verify join, so the result is
+    IDENTICAL to the plain operator (no false negatives by construction,
+    false positives removed by the verify). The oracle is the exact
+    computation — the gate therefore proves the prefilter is lossless,
+    the same invariance pattern as ``skew_salted_agg`` vs plain
+    GROUP BY."""
     from ..operators import bloom as bl
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 89 == 0)
     out = bl.decontaminate_bloom(docs, bench, n=3, min_shared=2,
-                                 m_bits=1 << 18, k=4, probe="inset")
+                                 m_bits=1 << 18, k=4, probe="semijoin")
     return out.select("doc_id", "n_shared",
                       F.col("contaminated").cast("int").cast("bigint")
                       .alias("contaminated"))

@@ -35,8 +35,9 @@ def test_no_false_negatives(spark, member_df):
     assert hits == member_df.count()
 
 
-def test_probe_parity_inset_vs_bitmap(spark, member_df):
+def test_probe_parity_inset_vs_bitmap_vs_semijoin(spark, member_df):
     pos = bl.build_bloom_positions(member_df, "w", M, K)
+    pos_df = bl.build_bloom_positions_df(member_df, "w", M, K)
     others = spark.createDataFrame(
         [Row(w=f"member_{i}") for i in range(100, 400)] +
         [Row(w=f"other_{i}") for i in range(300)])
@@ -45,8 +46,25 @@ def test_probe_parity_inset_vs_bitmap(spark, member_df):
     bitmap = {r["w"] for r in bl.with_bloom_probe_bitmap(
         others, "w", bl.pack_bitset(pos, M), M, K)
         .where(F.col("bloom_hit")).collect()}
-    assert inset == bitmap
+    semijoin = {r["w"] for r in bl.bloom_prefilter_semijoin(
+        others, "w", pos_df, M, K).collect()}
+    assert inset == bitmap == semijoin
     assert {f"member_{i}" for i in range(100, 200)} <= inset
+
+
+def test_semijoin_probe_plan_is_broadcast_map_side(spark, member_df):
+    """The semi-join probe must compile to k broadcast LEFT SEMI hash
+    joins with NO shuffle on the probed side and no Python stage."""
+    pos_df = bl.build_bloom_positions_df(member_df, "w", M, K)
+    out = bl.bloom_prefilter_semijoin(member_df, "w", pos_df, M, K)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == K
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # the probed side must never shuffle (the only exchanges allowed are
+    # the broadcast builds' internal distinct over the positions column)
+    assert "hashpartitioning(w" not in plan
+    assert "pythonUDF" not in plan.lower()
 
 
 def test_empty_member_set_matches_nothing(spark, member_df):
@@ -60,7 +78,7 @@ def test_decontaminate_bloom_identical_to_exact(spark):
     exact = {(r["doc_id"], r["n_shared"], r["contaminated"])
              for r in dd.decontaminate(docs, bench, n=3,
                                        min_shared=2).collect()}
-    for probe in ("inset", "bitmap"):
+    for probe in ("inset", "bitmap", "semijoin"):
         got = {(r["doc_id"], r["n_shared"], r["contaminated"])
                for r in bl.decontaminate_bloom(
                    docs, bench, n=3, min_shared=2, m_bits=1 << 18, k=4,
