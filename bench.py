@@ -185,7 +185,9 @@ def main():
                   "cohort_retention", "hll_tile_rollup",
                   "winnow_fingerprints", "trustrank", "cocitation",
                   "group_cardinality", "dirty_tiles",
-                  "stream_dirty_tiles"]:
+                  "stream_dirty_tiles",
+                  "lm_rarity", "paragraph_dedup", "cdc_dedup",
+                  "exact_split", "recrawl_priority"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

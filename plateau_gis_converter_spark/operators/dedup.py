@@ -536,3 +536,134 @@ def containment_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "n_inter", "na",
                     F.expr("(100 * n_inter) div na").cast("bigint")
                     .alias("cont_pct")))
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n") -> DataFrame:
+    """Corpus-wide paragraph-level dedup with document reconstruction —
+    the C4 rule (Raffel et al., JMLR 2020 §2.2 keep one occurrence of
+    any repeated span, applied at paragraph granularity): every
+    paragraph that appears anywhere else in the corpus survives ONLY at
+    its first occurrence (min (doc_id, idx) over md5(paragraph));
+    every later occurrence is dropped and the document is re-assembled
+    from its surviving paragraphs in original order.
+
+    Output: (doc_id, text, n_paras, n_removed) — one row per input doc;
+    a doc whose every paragraph occurred earlier elsewhere comes back
+    with empty text (the downstream length/quality filter drops it, the
+    same flow as C4).  Empty paragraphs (consecutive separators) are
+    exempt from dedup — they carry layout, not content, and keying on
+    them would couple every multi-paragraph doc in the corpus.
+
+    Shape: posexplode (map-only) -> ONE partial-agg groupBy on
+    md5(paragraph) computing the min (doc_id, idx) occurrence -> equi-
+    join back on the same key (Catalyst reuses the hash partitioning)
+    -> one per-doc agg re-assembling via array_sort over (idx, para)
+    structs.  No window over the corpus, no all-pairs term; state per
+    distinct paragraph is O(1).  At 10^12 docs the md5 groupBy is the
+    same shuffle budget as exact_duplicates, just keyed finer.
+
+    Reference parity: none — engine curation addition (SURVEY §2.8b);
+    the keep-first-global rule matches dedup_keep_list's min-id
+    representative discipline.
+    """
+    paras = (docs
+             .select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(F.split(F.col(text_col), sep, -1))
+                     .alias("idx", "para")))
+    nonempty = paras.where(F.col("para") != "")
+    first = (nonempty
+             .groupBy(F.md5(F.col("para")).alias("h"))
+             .agg(F.min(F.struct("doc_id", "idx")).alias("keep")))
+    kept = (nonempty
+            .join(first, F.md5(F.col("para")) == F.col("h"))
+            .where((F.col("doc_id") == F.col("keep.doc_id"))
+                   & (F.col("idx") == F.col("keep.idx")))
+            .select("doc_id", "idx", "para")
+            .unionByName(paras.where(F.col("para") == "")))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("idx", "para")))
+                    .alias("ps")))
+    base = (paras.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_paras")))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.concat_ws(sep, F.transform(
+                        F.coalesce(F.col("ps"), F.array()),
+                        lambda p: p["para"])).alias(text_col),
+                    "n_paras",
+                    (F.col("n_paras")
+                     - F.coalesce(F.size("ps"), F.lit(0)).cast("bigint"))
+                    .alias("n_removed")))
+
+
+def cdc_chunks(docs: DataFrame, w: int = 3, divisor: int = 8,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash rule, Muthitacharoen
+    et al. SOSP'01, word-granular): a chunk boundary opens BEFORE word
+    position i whenever the w-gram anchored at i hashes to
+    ``0 mod divisor``.  Boundaries are decided by local content only, so
+    inserting or deleting words resynchronizes within ~w positions —
+    fixed-stride chunking (``chunk_dedup_ratio``) shifts every later
+    chunk and misses the duplication entirely (pytest demonstrates the
+    exact failure).  Expected chunk length = divisor words.
+
+    Output: (doc_id, chunk_idx, n_words, chunk) — chunks tile the
+    document's token sequence exactly (pytest-proven).  Docs shorter
+    than w words form one chunk; empty docs contribute nothing.
+
+    Shape: map-only — the token array, anchor hashes, boundary list and
+    chunk slices are all Catalyst array expressions over a materialized
+    ``_toks`` projection attribute; no shuffle until a consumer
+    aggregates.  Hashing is md5-derived (house rule: no engine-specific
+    hash in gated paths), the same 60-bit decode as sampling.hash_bucket.
+    """
+    toks = _tokens(text_col)
+    tdf = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    d = int(divisor)
+    n = "size(_toks)"
+    # anchor i (2..len-w+1, 1-based) opens a boundary before position i
+    bounds = (
+        f"concat(array(1), "
+        f" filter(CASE WHEN {n} >= {int(w) + 1} THEN sequence(2, {n} - {int(w) - 1}) ELSE array() END, "
+        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(_toks, i, {int(w)}))), 1, 15), 16, 10) AS BIGINT) % {d} = 0), "
+        f" array({n} + 1))")
+    chunks = (
+        f"CASE WHEN {n} = 0 THEN array() ELSE "
+        f"zip_with(slice(_b, 1, size(_b) - 1), slice(_b, 2, size(_b) - 1), "
+        f"         (s, e) -> struct(s AS s, e - s AS nw, "
+        f"                          concat_ws(' ', slice(_toks, s, e - s)) AS c)) END")
+    return (tdf.withColumn("_b", F.expr(bounds))
+            .select("doc_id", F.posexplode(F.expr(chunks))
+                    .alias("chunk_idx", "_ch"))
+            .select("doc_id", "chunk_idx",
+                    F.col("_ch.nw").cast("bigint").alias("n_words"),
+                    F.col("_ch.c").alias("chunk")))
+
+
+def cdc_dedup_ratio(docs: DataFrame, w: int = 3, divisor: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-text ratio under content-defined chunking —
+    ``chunk_dedup_ratio`` semantics (chunks whose text fills more than
+    one chunk-slot corpus-wide count as duplicated) but shift-robust.
+
+    Shape after the map-only chunker: one md5-keyed hash aggregation
+    (map-side combine, O(distinct chunks) state) + the count-back
+    equi-join on the same key (shuffle reuse) + one per-doc agg — the
+    exact plan of chunk_dedup_ratio, so the scale story carries over.
+    dup_ratio weights by chunk WORD counts (chunks vary in length).
+    """
+    ch = cdc_chunks(docs, w, divisor, text_col, id_col)
+    freq = (ch.groupBy(F.md5(F.col("chunk")).alias("h"))
+            .agg(F.count(F.lit(1)).alias("n_slots")))
+    return (ch.join(freq, F.md5(F.col("chunk")) == F.col("h"))
+            .groupBy(F.col("doc_id").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum(F.when(F.col("n_slots") > 1, F.col("n_words"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("dup_words"))
+            .withColumn("dup_ratio_e6",
+                        F.expr("dup_words * 1000000 div n_words")))

@@ -95,3 +95,51 @@ def fetcher_load(schedule: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_urls"),
                  F.countDistinct("host").alias("n_hosts"),
                  F.max("not_before_s").alias("makespan_s")))
+
+
+def recrawl_priority(history: DataFrame, now: int, key_col: str = "url",
+                     from_col: str = "valid_from",
+                     to_col: str = "valid_to") -> DataFrame:
+    """Change-frequency recrawl prioritization over the SCD2 page history
+    (Cho & Garcia-Molina, "Effective Page Refresh Policies for Web
+    Crawlers", TODS 2003): pages that changed often AND have not been
+    crawled recently come first in the next cycle's frontier.
+
+    Inputs are ``delta.scd2_history_merge`` rows; a page's version count
+    estimates its change rate over its observed lifetime:
+
+        changes        = n_versions - 1
+        span           = now - first_seen          (observation window)
+        staleness      = now - last_change         (open row's start)
+        priority_micro = changes * staleness * 10^6 div span
+
+    — the expected number of unseen changes since the last content
+    change under a Poisson change model, integer-exact (no float rate).
+    Single-version pages get priority 0 (nothing observed changing yet);
+    dead pages (no open row) are excluded — they left the frontier.
+
+    Shape: ONE partial-agg groupBy over the history keyed by url; at
+    10^12 urls this is the same shuffle budget as any per-url stat, and
+    it composes with ``politeness_schedule`` (feed the top-K by priority
+    as the cycle's frontier with ``priority = priority_micro``).
+
+    Overflow: changes * staleness * 10^6 must stay under 2^63 — with
+    second-resolution timestamps (staleness < 2^31) that allows ~4e3
+    versions per page; millisecond feeds should be floored to seconds
+    first (document scale discipline, not a silent cap).
+    """
+    t_now = F.lit(int(now)).cast("bigint")
+    per = (history.groupBy(F.col(key_col).alias("url"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+                F.min(F.col(from_col)).cast("bigint").alias("first_seen"),
+                F.max(F.col(from_col)).cast("bigint").alias("last_change"),
+                F.count(F.when(F.col(to_col).isNull(), 1))
+                .alias("_open")))
+    alive = per.where(F.col("_open") > 0)
+    span = t_now - F.col("first_seen")
+    return (alive.select(
+        "url", "n_versions", "last_change",
+        F.when(span > 0,
+               F.expr(f"(n_versions - 1) * ({int(now)} - last_change) "
+                      f"* 1000000 div ({int(now)} - first_seen)"))
+        .otherwise(F.lit(0)).cast("bigint").alias("priority_micro")))

@@ -172,3 +172,53 @@ def bottom_k_sketch(df: DataFrame, key_col: str, k: int,
                                             F.col(key_col).asc())
     return (dist.withColumn("r", F.row_number().over(w).cast("bigint"))
             .where(F.col("r") <= k))
+
+
+def stratified_exact_split(df: DataFrame, quotas_ppm: dict[str, int],
+                           stratum_col: str, key_col: str,
+                           salt: str = "xsplit0") -> DataFrame:
+    """EXACT-count stratified splits: within every stratum, the named
+    splits get exactly ``floor(ppm * n_stratum / 10^6)`` rows each (in
+    dict-key order), and whatever remains lands in ``train``.  Bernoulli
+    splitting (``deterministic_split``) only hits the quota in
+    expectation — a 1000-doc minority language can miss its 1% eval slice
+    by half; audits and benchmark builds need the exact count.
+
+    Determinism: rows rank inside their stratum by
+    (hash_bucket(key, salt), key) — a uniform shuffle order that is
+    reproducible across runs/engines and independent of physical row
+    order.  A key's split can change when the stratum's population
+    changes (exact counts force that); when immunity-to-growth matters
+    more than exactness, use the Bernoulli variant.
+
+    Shape: one window ranking per stratum (a single hash-partitioned
+    sort, the unavoidable cost of exact quotas) + a broadcast join of
+    per-stratum counts; no driver collect.  Skew note: a hot stratum
+    sorts on one partition spread — at 10^12 rows pre-aggregate quotas
+    apply per (stratum, salt-range) shard the same way cap_per_group's
+    salted variant bounds its window.
+    """
+    from pyspark.sql import Window
+
+    from ..parameters import validate_rates_ppm
+
+    validate_rates_ppm(dict(quotas_ppm))
+    if sum(quotas_ppm.values()) > 1_000_000:
+        raise ValueError("split quotas exceed 10^6 ppm in total")
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col))
+    counts = (df.groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+    ranked = (df.withColumn("_rk", F.row_number().over(w))
+              .join(F.broadcast(counts), stratum_col))
+    split = None
+    cum = "CAST(0 AS BIGINT)"
+    for name, ppm in quotas_ppm.items():
+        hi = f"{cum} + (_n * {int(ppm)}) div 1000000"
+        cond = (F.col("_rk") > F.expr(cum)) & (F.col("_rk") <= F.expr(hi))
+        split = (F.when(cond, name) if split is None
+                 else split.when(cond, name))
+        cum = hi
+    split = (split.otherwise("train") if split is not None
+             else F.lit("train"))
+    return ranked.withColumn("split", split).drop("_rk", "_n")

@@ -4646,6 +4646,285 @@ FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 wave 8: LM quality scoring, C4 paragraph dedup, CDC chunk dedup,
+# exact-count stratified splits, recrawl prioritization
+# ---------------------------------------------------------------------------
+
+def q_lm_rarity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py): a char-trigram
+    model trained on the doc_id % 7 == 0 'clean reference' slice scores
+    every document by integer-exact mean inverse probability (micro).
+    Model relation bounded by |alphabet|^3 and broadcast; corpus side
+    never shuffles on gram.  Oracle re-derives grams via per-position
+    substr over generate_series and mirrors the exact integer math."""
+    from ..operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = lm.char_ngram_model(docs.where(F.col("doc_id") % 7 == 0), n=3)
+    return lm.lm_rarity(docs, model, n=3)
+
+
+SQL_LM_RARITY = """
+WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+model AS (
+  SELECT substr(t, CAST(i AS INT), 3) AS gram,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lowered, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE doc_id % 7 = 0 AND length(t) >= 3
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS T FROM model),
+doc_grams AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+  FROM lowered, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE length(t) >= 3
+),
+scored AS (
+  SELECT doc_id, (T * 1000000) // (coalesce(cnt, 0) + 1) AS r
+  FROM doc_grams CROSS JOIN tot LEFT JOIN model USING (gram)
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(r) // count(*) AS BIGINT) AS rarity_micro
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.rarity_micro, 0) AS rarity_micro
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """C4-rule paragraph dedup with doc reconstruction (dedup.paragraph_
+    dedup): documents are re-structured into 6-word paragraphs (the
+    fixture text is single-line), then every paragraph that repeats
+    anywhere in the corpus survives only at its min-(doc_id, idx)
+    occurrence and docs are re-assembled in order.  One md5-keyed
+    partial agg + the count-back join; no corpus window.  Oracle:
+    independent window-rank formulation (row_number over occurrences)
+    + ordered string_agg re-assembly."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9_]+'), x -> x <> '')")
+    paras = F.expr(
+        "transform(sequence(0, CAST(ceil(size(_tk) / 6.0) AS INT) - 1), "
+        "          j -> concat_ws(' ', slice(_tk, j * 6 + 1, 6)))")
+    structured = (docs.select("doc_id", toks.alias("_tk"))
+                  .select("doc_id",
+                          F.concat_ws("\n", paras).alias("text")))
+    return dd.paragraph_dedup(structured)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, CAST(j AS INT) AS idx,
+         array_to_string(t[CAST(j * 6 + 1 AS INT):CAST(j * 6 + 6 AS INT)],
+                         ' ') AS para
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 6.0) AS BIGINT))) AS u(j)
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) AS occ
+  FROM paras WHERE para <> ''
+),
+kept AS (SELECT doc_id, idx, para FROM ranked WHERE occ = 1
+         UNION ALL SELECT doc_id, idx, para FROM paras WHERE para = ''),
+base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+         FROM paras GROUP BY 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT base.doc_id, coalesce(rebuilt.text, '') AS text, base.n_paras,
+       base.n_paras - coalesce(rebuilt.n_kept, 0) AS n_removed
+FROM base LEFT JOIN rebuilt ON base.doc_id = rebuilt.doc_id
+"""
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunk dedup (dedup.cdc_dedup_ratio): the corpus
+    plus a one-token-prefixed clone of every doc_id % 11 == 0 document —
+    the shift that makes fixed-stride chunking miss the duplication;
+    CDC boundaries resync so the clones show high dup ratios.  The
+    boundary rule (md5-derived 60-bit hash of each 3-gram anchor,
+    divisor 8) and the exact chunk tiling are re-derived independently
+    in the oracle via list expressions."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (docs.where(F.col("doc_id") % 11 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat(F.lit("xx "), F.col("text")).alias("text")))
+    return dd.cdc_dedup_ratio(docs.unionByName(clones), w=3, divisor=8)
+
+
+SQL_CDC_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'xx ' || text FROM documents WHERE doc_id % 11 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM corpus
+),
+bounds AS (
+  SELECT doc_id, t,
+         [CAST(1 AS BIGINT)]
+         || list_filter(range(2, greatest(len(t) - 1, 2)),
+              i -> CAST(concat('0x', substr(md5(array_to_string(
+                         t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')),
+                       1, 15)) AS BIGINT) % 8 = 0)
+         || [CAST(len(t) + 1 AS BIGINT)] AS b
+  FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(b[CAST(j AS INT)] AS BIGINT) AS s,
+         CAST(b[CAST(j + 1 AS INT)] - b[CAST(j AS INT)] AS BIGINT)
+           AS n_words,
+         array_to_string(t[CAST(b[CAST(j AS INT)] AS INT)
+                           :CAST(b[CAST(j + 1 AS INT)] - 1 AS INT)], ' ')
+           AS chunk
+  FROM bounds, UNNEST(range(1, len(b))) AS u(j)
+),
+freq AS (SELECT md5(chunk) AS h, count(*) AS n_slots
+         FROM chunks GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN n_slots > 1 THEN n_words ELSE 0 END) AS BIGINT)
+         AS dup_words,
+       CAST(sum(CASE WHEN n_slots > 1 THEN n_words ELSE 0 END) * 1000000
+            // sum(n_words) AS BIGINT) AS dup_ratio_e6
+FROM chunks JOIN freq ON md5(chunk) = h
+GROUP BY doc_id
+"""
+
+
+def q_exact_split(spark, sf_dir):
+    """Exact-count stratified splits (sampling.stratified_exact_split):
+    every language gets exactly floor(ppm * n_lang / 10^6) val/test rows
+    — Bernoulli splitting only hits quotas in expectation.  Rows rank by
+    (md5 hash bucket, key) inside the stratum; one window + a broadcast
+    count join.  Oracle: independent row_number / count window pair."""
+    from ..operators import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sp.stratified_exact_split(
+        docs, {"val": 100_000, "test": 50_000}, "lang", "doc_id")
+    return out.select("doc_id", "lang", "split")
+
+
+SQL_EXACT_SPLIT = """
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'xsplit0'),
+         1, 15)) AS BIGINT) % 1000000 AS bk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY bk, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM b
+)
+SELECT doc_id, lang,
+  CASE WHEN rk <= (n * 100000) // 1000000 THEN 'val'
+       WHEN rk <= (n * 100000) // 1000000 + (n * 50000) // 1000000
+         THEN 'test'
+       ELSE 'train' END AS split
+FROM r
+"""
+
+
+def q_recrawl_priority(spark, sf_dir):
+    """Change-frequency recrawl prioritization (frontier.recrawl_priority)
+    over a synthesized SCD2 history: every doc has a v0 at doc_id % 50;
+    % 3 == 0 docs changed at 100 + doc_id % 20; % 9 == 0 changed again at
+    150 + doc_id % 10; % 13 == 0 pages died at 190 (closed, excluded).
+    Decision time now = 200.  Integer-exact expected-unseen-changes
+    priority; oracle re-derives history AND priority from the same
+    rules."""
+    from ..operators import frontier as fr
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit("/doc/"), F.col("doc_id").cast("string"))
+    starts = F.expr(
+        "concat(array(CAST(doc_id % 50 AS BIGINT)), "
+        " CASE WHEN doc_id % 3 = 0 THEN array(CAST(100 + doc_id % 20 AS BIGINT)) "
+        "      ELSE array() END, "
+        " CASE WHEN doc_id % 9 = 0 THEN array(CAST(150 + doc_id % 10 AS BIGINT)) "
+        "      ELSE array() END)")
+    vers = (docs.select(url.alias("url"), F.col("doc_id"),
+                        starts.alias("_st"))
+            .select("url", "doc_id",
+                    F.posexplode(F.expr(
+                        "transform(_st, (s, i) -> struct("
+                        " s AS vf, "
+                        " CASE WHEN i < size(_st) - 1 THEN element_at(_st, i + 2) "
+                        "      WHEN doc_id % 13 = 0 THEN CAST(190 AS BIGINT) "
+                        "      ELSE CAST(NULL AS BIGINT) END AS vt))"))
+                    .alias("_i", "_v"))
+            .select("url",
+                    F.md5(F.concat(F.col("url"), F.lit(" v"),
+                                   F.col("_i").cast("string")))
+                    .alias("fingerprint"),
+                    F.col("_v.vf").alias("valid_from"),
+                    F.col("_v.vt").alias("valid_to")))
+    return fr.recrawl_priority(vers, now=200)
+
+
+SQL_RECRAWL_PRIORITY = """
+WITH starts AS (
+  SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id,
+         [CAST(doc_id % 50 AS BIGINT)]
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN [CAST(100 + doc_id % 20 AS BIGINT)] ELSE [] END)
+         || (CASE WHEN doc_id % 9 = 0
+                  THEN [CAST(150 + doc_id % 10 AS BIGINT)] ELSE [] END)
+           AS st
+  FROM documents
+),
+vers AS (
+  SELECT url, doc_id, st[CAST(i AS INT)] AS valid_from,
+         CASE WHEN i < len(st) THEN st[CAST(i + 1 AS INT)]
+              WHEN doc_id % 13 = 0 THEN CAST(190 AS BIGINT)
+              ELSE NULL END AS valid_to
+  FROM starts, UNNEST(range(1, len(st) + 1)) AS u(i)
+),
+per AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_versions,
+         CAST(min(valid_from) AS BIGINT) AS first_seen,
+         CAST(max(valid_from) AS BIGINT) AS last_change,
+         count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open
+  FROM vers GROUP BY 1
+)
+SELECT url, n_versions, last_change,
+       CASE WHEN 200 - first_seen > 0
+            THEN CAST((n_versions - 1) * (200 - last_change) * 1000000
+                      // (200 - first_seen) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS priority_micro
+FROM per WHERE n_open > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -4759,6 +5038,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dirty_tiles": q_dirty_tiles,
     "incremental_clusters": q_incremental_clusters,
     "stream_dirty_tiles": q_stream_dirty_tiles,
+    # round-5 wave 8
+    "lm_rarity": q_lm_rarity,
+    "paragraph_dedup": q_paragraph_dedup,
+    "cdc_dedup": q_cdc_dedup,
+    "exact_split": q_exact_split,
+    "recrawl_priority": q_recrawl_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -4865,4 +5150,10 @@ ORACLES: dict[str, str] = {
     "dirty_tiles": SQL_DIRTY_TILES,
     "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,
     "stream_dirty_tiles": SQL_STREAM_DIRTY_TILES,
+    # round-5 wave 8
+    "lm_rarity": SQL_LM_RARITY,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "cdc_dedup": SQL_CDC_DEDUP,
+    "exact_split": SQL_EXACT_SPLIT,
+    "recrawl_priority": SQL_RECRAWL_PRIORITY,
 }

@@ -228,3 +228,27 @@ def test_fourth_wave_query_scans_prune_columns_and_stay_jvm(spark):
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave8_query_scans_prune_columns_and_stay_jvm(spark):
+    """Wave-8 gates (LM rarity, paragraph dedup, CDC dedup, exact split,
+    recrawl priority): scans prune to exactly the needed columns and
+    every plan stays pure-JVM."""
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "lm_rarity": {"doc_id", "text"},
+        "paragraph_dedup": {"doc_id", "text"},
+        "cdc_dedup": {"doc_id", "text"},
+        "exact_split": {"doc_id", "lang"},
+        "recrawl_priority": {"doc_id", "source"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
