@@ -4,7 +4,7 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "sec", "queries": {...}, "sf": ...}
 
 The flagship measurement is the BASELINE.json north-star workload: synthetic
-pages (deterministic, generated in-plan via spark.range — no外部 data) →
+pages (deterministic, generated in-plan via spark.range — no external data) →
 geocode → z12 cell → broadcast spatial join vs the 23 ward polygons + exact
 PIP → per-ward agg; plus z7..15 tile assignment with Hilbert ids. Reported
 as wall seconds AND pages/sec throughput.
@@ -187,7 +187,9 @@ def main():
                   "group_cardinality", "dirty_tiles",
                   "stream_dirty_tiles",
                   "lm_rarity", "paragraph_dedup", "cdc_dedup",
-                  "exact_split", "recrawl_priority"]:
+                  "exact_split", "recrawl_priority",
+                  "kmv_set_ops", "decayed_counts", "rank_normalize",
+                  "collocations", "label_propagation"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

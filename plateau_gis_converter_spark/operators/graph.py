@@ -440,3 +440,52 @@ def cocitation_pairs(edges: DataFrame, min_count: int = 2,
                      F.col("b.dst").alias("page_b"))
             .agg(F.count(F.lit(1)).alias("n_common"))
             .where(F.col("n_common") >= min_count))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et
+    al., Phys. Rev. E 2007) with DETERMINISTIC tie-breaking: every node
+    starts as its own label; each round, a node adopts the label most
+    frequent among its neighbors, ties broken by the SMALLEST label,
+    nodes with no neighbors keep their label.  Fixed ``rounds`` —
+    communities stabilize in a handful of sweeps on web graphs; the
+    deterministic tie rule makes the result engine-reproducible (the
+    randomized-order variant is not even run-reproducible).
+
+    Distinguishes dense communities that connected_components cannot
+    (CC merges anything touching; LPA keeps weakly-bridged clusters
+    apart).  PageRank/HITS/TrustRank/CC/BFS/co-citation + LPA completes
+    the graph suite.
+
+    Shape per round: symmetrize (map-only union) -> join labels on the
+    neighbor side -> ONE (node, label) partial-agg count -> ONE per-node
+    max(struct(cnt, -label)) agg — the argmax-with-min-tie fold as a
+    single struct max, no window, no driver roundtrip.  O(rounds)
+    shuffles keyed on node id; labels/edges never collect.
+    """
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("a"),
+                            F.col(src_col).alias("b")))
+           .distinct())
+    nodes = und.select(F.col("a").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(int(rounds)):
+        nbr = (und.join(labels.withColumnRenamed("id", "b"), "b")
+               .select(F.col("a").alias("id"), "label"))
+        counted = (nbr.groupBy("id", "label")
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+        best = (counted.groupBy("id")
+                .agg(F.max(F.struct(F.col("cnt"),
+                                    (-F.col("label")).alias("neg")))
+                     .alias("m"))
+                .select("id", (-F.col("m.neg")).alias("label")))
+        # isolated nodes (none here — symmetrized edge graph) would keep
+        # their old label via a left join; the edge-derived node set
+        # always has >= 1 neighbor, so best covers every node
+        labels = best
+    return labels.select("id", F.col("label").cast("bigint")
+                         .alias("community"))

@@ -222,3 +222,56 @@ def stratified_exact_split(df: DataFrame, quotas_ppm: dict[str, int],
     split = (split.otherwise("train") if split is not None
              else F.lit("train"))
     return ranked.withColumn("split", split).drop("_rk", "_n")
+
+
+def kmv_set_ops(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Theta-sketch-style set-operation estimates between every pair of
+    groups from their bottom-k (KMV) sketches (``bottom_k_sketch``
+    output) — "how many distinct urls do these two crawls share?"
+    answered from two k-row sketches instead of a corpus-scale join
+    (Dasgupta et al., "Theta sketch framework", PODS'16; Beyer et al.
+    SIGMOD'07 for the KMV estimator).
+
+    Per unordered group pair (a < b):
+
+    * merged  = k smallest distinct hashes of the union of the two
+      sketches — exactly ``bottom_k(A ∪ B)`` by the sketch property;
+    * union_est: exact ``|merged|`` when the union sketch is not full
+      (the sketch IS the distinct set), else ``(k-1) * 2^40 div
+      (h_(k) div 2^20)`` — the KMV estimator on a 40-bit coarsening of
+      the 60-bit hash so the numerator stays in i64 for any k
+      (relative coarsening error ~2^-20, far below the sketch's own
+      ~1/sqrt(k));
+    * inter_est: ``m * union_est div k`` where m counts merged hashes
+      present in BOTH sketches (the theta-sketch intersection rule);
+      exact m when the union sketch is not full.
+
+    Everything is md5-derived integers, so the estimates are
+    bit-reproducible across engines (full-oracle gate).  Shape: one
+    per-group collect of the (≤ k)-element hash array + a tiny
+    group-pair self-join — the corpus itself is never touched again.
+    """
+    arrs = (sketch.groupBy(group_col)
+            .agg(F.sort_array(F.collect_list("h")).alias("hs")))
+    a = arrs.select(F.col(group_col).alias("g_a"),
+                    F.col("hs").alias("ha"))
+    b = arrs.select(F.col(group_col).alias("g_b"),
+                    F.col("hs").alias("hb"))
+    kk = int(k)
+    merged = F.expr(f"slice(array_sort(array_union(ha, hb)), 1, {kk})")
+    pairs = (a.join(b, F.col("g_a") < F.col("g_b"))
+             .withColumn("_m", merged)
+             .withColumn("_both", F.expr(
+                 "size(array_intersect(_m, array_intersect(ha, hb)))"))
+             .withColumn("_kth", F.expr("element_at(_m, size(_m))")))
+    full = F.expr(f"size(_m) >= {kk}")
+    union_est = F.when(
+        ~full, F.expr("size(_m)").cast("bigint")).otherwise(
+        F.expr(f"({kk} - 1) * {1 << 40} div greatest(_kth div {1 << 20}, 1)"))
+    return (pairs
+            .withColumn("union_est", union_est.cast("bigint"))
+            .withColumn("inter_est",
+                        F.when(~full, F.col("_both").cast("bigint"))
+                        .otherwise(F.expr(
+                            f"_both * union_est div {kk}").cast("bigint")))
+            .select("g_a", "g_b", "union_est", "inter_est"))

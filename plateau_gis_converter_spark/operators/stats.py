@@ -109,3 +109,81 @@ def histogram_quantiles(hist: DataFrame,
              .agg(F.min("bin_id").alias("bin_id")))
     return (first.join(hist.select("bin_id", "lo", "hi"), "bin_id")
             .select("q_ppm", "lo", "hi"))
+
+
+def decayed_counts(df: DataFrame, key_col: str, ts_col: str = "ts",
+                   bucket_us: int = 3_600_000_000,
+                   max_shift: int = 40) -> DataFrame:
+    """Exponentially-decayed activity counters per key — the classic
+    streaming freshness/trend statistic (half-life = one bucket): each
+    bucket's event count contributes ``cnt / 2^(age in buckets)``
+    relative to the key's LATEST bucket, so a key active right now
+    outranks one with the same volume spread across last week.  Crawl
+    scheduling, trending-host detection, per-domain rate control all
+    key on this.
+
+    Integer-exact: ``decayed_micro = sum(cnt * 10^6 div 2^shift)`` over
+    buckets with ``shift < max_shift`` (a 2^-40 tail is sub-micro
+    anyway), timestamps bucketed on exact epoch microseconds.  Output:
+    (key, n_events, last_bucket, decayed_micro).
+
+    Shape: one (key, bucket) partial agg, one per-key max, and the
+    co-keyed join between them — Catalyst reuses the hash partitioning
+    (both shuffles key on ``key_col`` first), and nothing is ever
+    collected.  Mergeable across shards by re-aggregating with the
+    shard-max rule (same discipline as the HLL/CMS register modules).
+    """
+    kb = (df.select(F.col(key_col).alias("key"),
+                    # CAST: parquet TIMESTAMP_NTZ -> session-UTC instant
+                    # (unix_micros rejects NTZ; the session tz is UTC)
+                    F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                           f"div {int(bucket_us)}")
+                    .alias("b"))
+          .groupBy("key", "b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    last = kb.groupBy("key").agg(F.max("b").alias("last_bucket"),
+                                 F.sum("cnt").cast("bigint")
+                                 .alias("n_events"))
+    return (kb.join(last, "key")
+            .withColumn("_shift", F.col("last_bucket") - F.col("b"))
+            .groupBy("key", "last_bucket", "n_events")
+            .agg(F.sum(F.when(
+                F.col("_shift") < max_shift,
+                F.expr(f"cnt * 1000000 div "
+                       f"(CAST(1 AS BIGINT) << CAST(_shift AS INT))"))
+                .otherwise(F.lit(0))).cast("bigint")
+                .alias("decayed_micro"))
+            .select(F.col("key").alias(key_col), "n_events",
+                    "last_bucket", "decayed_micro"))
+
+
+def group_rank_normalize(df: DataFrame, group_col: str, value_col: str,
+                         key_col: str, out_col: str = "pct_micro",
+                         descending: bool = False) -> DataFrame:
+    """Within-group rank normalization to [0, 10^6] — the per-domain
+    quality-score calibration trick: a raw quality score is incomparable
+    across hosts (boilerplate shifts the whole distribution), so rank it
+    WITHIN the group and keep the top X% of every host instead of the
+    global top X% (which one clean host would monopolize).
+
+    pct_micro = (rank - 1) * 10^6 div (n - 1) for n > 1 (0 when the
+    group is a singleton); rank orders by (value, key) — ties broken by
+    the unique key, so the output is deterministic and integer-exact.
+
+    Shape: one window ranking per group + a count window on the same
+    partitioning (a single hash-partitioned sort, no second shuffle).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    kord = F.col(key_col).asc()
+    wr = Window.partitionBy(group_col).orderBy(v, kord)
+    wn = Window.partitionBy(group_col)
+    rank = F.row_number().over(wr).cast("bigint")
+    n = F.count(F.lit(1)).over(wn).cast("bigint")
+    return (df.withColumn("_rk", rank).withColumn("_n", n)
+            .withColumn(out_col,
+                        F.when(F.col("_n") > 1, F.expr(
+                            "(_rk - 1) * 1000000 div (_n - 1)"))
+                        .otherwise(F.lit(0)).cast("bigint"))
+            .drop("_rk", "_n"))

@@ -214,3 +214,59 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     return (hdf.select("doc_id", F.explode(sel).alias("s"))
             .select("doc_id", F.col("s.pos").alias("pos"),
                     F.col("s.fp").alias("fp")))
+
+
+def bigram_collocations(docs: DataFrame, min_count: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Corpus collocation mining: adjacent word pairs whose observed
+    frequency beats independence — template/boilerplate phrase
+    discovery, tokenizer-merge candidates (the BPE pair rule IS
+    max-count bigram mining), and index phrase selection all start
+    here.
+
+    Scored by the integer-exact PMI surrogate (house rule — no
+    transcendental in gated paths; same discipline as retrieval.py's
+    idf):
+
+        lift_micro = n_ab * N * 10^6 div (n_a * n_b)
+
+    the likelihood ratio P(ab)/(P(a)P(b)) in micro units — exp(PMI), so
+    identical ranking.  ``N`` = total token count; independence is
+    lift ~10^6; strong collocations reach 10^8+.
+
+    Shape: everything is partial-agg shuffles on bounded-cardinality
+    keys (bigrams/unigrams), never a pair join: bigram counts (ONE agg
+    over adjacent pairs — adjacency caps the blowup at |doc| pairs per
+    doc, not |doc|^2), unigram counts (one agg), N (one scalar folded
+    back by a 1-row broadcast cross join, the hits_scores pattern), and
+    two broadcast-sized joins of the bigram relation against the
+    unigram relation.  ``min_count`` prunes the hapax tail BEFORE the
+    joins, bounding the scored relation.
+
+    Overflow: n_ab * N * 10^6 < 2^63 needs n_ab * N < 9.2e12 — at a
+    10^12-token corpus, pre-scale N to milli units (documented, not
+    silent).
+    """
+    toks = (docs.select(F.col(id_col), _tokens(F.col(text_col))
+                        .alias("_t")))
+    uni = (toks.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n_w")))
+    big = (toks.select(F.explode(F.expr(
+        "CASE WHEN size(_t) >= 2 THEN "
+        " zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), "
+        "          (a, b) -> struct(a AS w_a, b AS w_b)) "
+        "ELSE array() END")).alias("p"))
+        .select("p.w_a", "p.w_b")
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_count)))
+    total = uni.agg(F.sum("n_w").cast("bigint").alias("_N"))
+    na = uni.select(F.col("w").alias("w_a"), F.col("n_w").alias("n_a"))
+    nb = uni.select(F.col("w").alias("w_b"), F.col("n_w").alias("n_b"))
+    return (big.join(F.broadcast(na), "w_a")
+            .join(F.broadcast(nb), "w_b")
+            .crossJoin(F.broadcast(total))
+            .select("w_a", "w_b", "n_ab", "n_a", "n_b",
+                    F.expr("n_ab * _N * 1000000 div (n_a * n_b)")
+                    .cast("bigint").alias("lift_micro")))

@@ -4925,6 +4925,225 @@ FROM per WHERE n_open > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 wave 9: KMV set ops, decayed counters, rank normalization,
+# collocations, label propagation
+# ---------------------------------------------------------------------------
+
+def q_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch set-operation estimates (sampling.kmv_set_ops) between
+    language groups' url-key populations (doc_id % 229 — overlapping
+    across langs) from k=32 bottom-k sketches.  md5-derived hashes make
+    the estimates bit-reproducible; the oracle re-derives sketch, merge,
+    and both estimators with an independent window formulation (no list
+    algebra)."""
+    from ..operators import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("lang", (F.col("doc_id") % 229).cast("string")
+                        .alias("key"))
+    sk = sp.bottom_k_sketch(keyed, "key", 32, ["lang"])
+    return sp.kmv_set_ops(sk, "lang", 32)
+
+
+SQL_KMV_SET_OPS = """
+WITH d AS (
+  SELECT DISTINCT lang AS g, CAST(doc_id % 229 AS VARCHAR) AS key
+  FROM documents
+),
+h AS (
+  SELECT g, key,
+         CAST(concat('0x', substr(md5(key || 'bk0'), 1, 15)) AS BIGINT) AS h
+  FROM d
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h, key) AS r
+    FROM h) WHERE r <= 32
+),
+gs AS (SELECT DISTINCT g FROM sk),
+pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+u AS (
+  SELECT pr.ga, pr.gb, s.h,
+         max(CASE WHEN s.g = pr.ga THEN 1 ELSE 0 END) AS ina,
+         max(CASE WHEN s.g = pr.gb THEN 1 ELSE 0 END) AS inb
+  FROM pr JOIN sk s ON s.g IN (pr.ga, pr.gb)
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY ga, gb) AS ntot
+  FROM u
+),
+agg AS (
+  SELECT ga, gb, max(ntot) AS ntot,
+         CAST(max(h) FILTER (WHERE r <= 32) AS BIGINT) AS kth,
+         CAST(count(*) FILTER (WHERE r <= 32) AS BIGINT) AS sz,
+         CAST(sum(ina * inb) FILTER (WHERE r <= 32) AS BIGINT) AS m
+  FROM rk GROUP BY 1, 2
+)
+SELECT ga AS g_a, gb AS g_b,
+  CASE WHEN sz < 32 THEN sz
+       ELSE CAST(31 * 1099511627776 // greatest(kth // 1048576, 1)
+                 AS BIGINT) END AS union_est,
+  CASE WHEN sz < 32 THEN m
+       ELSE CAST(m * (31 * 1099511627776
+                      // greatest(kth // 1048576, 1)) // 32 AS BIGINT)
+       END AS inter_est
+FROM agg
+"""
+
+
+def q_decayed_counts(spark, sf_dir):
+    """Exponentially-decayed per-key activity counters (stats.decayed_
+    counts) over the events stream, hour buckets, half-life one bucket —
+    integer-exact (cnt * 10^6 div 2^shift), so the trend ranking is
+    bit-reproducible.  One co-keyed agg pair, shuffle reused."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    return st.decayed_counts(ev, "event_type")
+
+
+SQL_DECAYED_COUNTS = """
+WITH kb AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+last AS (
+  SELECT key, CAST(max(b) AS BIGINT) AS last_bucket,
+         CAST(sum(cnt) AS BIGINT) AS n_events
+  FROM kb GROUP BY 1
+)
+SELECT kb.key AS event_type, last.n_events, last.last_bucket,
+       CAST(sum(CASE WHEN last.last_bucket - kb.b < 40
+                     THEN kb.cnt * 1000000
+                          // (CAST(1 AS BIGINT)
+                              << CAST(last.last_bucket - kb.b AS INT))
+                     ELSE 0 END) AS BIGINT) AS decayed_micro
+FROM kb JOIN last ON kb.key = last.key
+GROUP BY 1, 2, 3
+"""
+
+
+def q_rank_normalize(spark, sf_dir):
+    """Within-group rank normalization (stats.group_rank_normalize):
+    per-language percentile (micro) of each doc's n_chars — the
+    per-domain quality calibration primitive.  Deterministic tie-break
+    by doc_id; oracle is an independent window pair."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    return st.group_rank_normalize(docs, "lang", "n_chars", "doc_id")
+
+
+SQL_RANK_NORMALIZE = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN n > 1
+            THEN CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS pct_micro
+FROM r
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """Bigram collocation mining (text.bigram_collocations): adjacent
+    word pairs scored by the integer-exact lift surrogate of PMI
+    (n_ab * N * 10^6 div (n_a * n_b)); min_count 10.  Partial-agg
+    counts only, never a pair join; oracle re-derives uni/bigram counts
+    from per-position list indexing."""
+    from ..operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_collocations(docs, min_count=10)
+
+
+SQL_COLLOCATIONS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT t[CAST(i AS INT)] AS w, CAST(count(*) AS BIGINT) AS n_w
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  GROUP BY 1
+),
+big AS (
+  SELECT t[CAST(i AS INT)] AS w_a, t[CAST(i + 1 AS INT)] AS w_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+  GROUP BY 1, 2
+  HAVING count(*) >= 10
+),
+tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS N FROM uni)
+SELECT b.w_a, b.w_b, b.n_ab, a.n_w AS n_a, c.n_w AS n_b,
+       CAST(b.n_ab * tot.N * 1000000 // (a.n_w * c.n_w) AS BIGINT)
+         AS lift_micro
+FROM big b
+JOIN uni a ON a.w = b.w_a
+JOIN uni c ON c.w = b.w_b
+CROSS JOIN tot
+"""
+
+
+def q_label_propagation(spark, sf_dir):
+    """Label-propagation communities (graph.label_propagation) over the
+    deterministic doc link graph — 3 synchronous rounds, most-frequent
+    neighbor label with min-label tie-break (deterministic, unlike the
+    classical randomized sweep).  Distinguishes weakly-bridged dense
+    clusters that connected_components merges.  Oracle: 3 unrolled
+    count/argmax rounds."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = gr.synthetic_link_edges(docs, docs.count())
+    return gr.label_propagation(edges, rounds=3).select(
+        F.col("id").alias("doc_id"), "community")
+
+
+_LPA_ITER = """
+c{i} AS (
+  SELECT u.a AS id, l.label, count(*) AS cnt
+  FROM und u JOIN l{p} l ON l.id = u.b GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cnt DESC, label ASC) AS rr
+    FROM c{i}) WHERE rr = 1
+)"""
+
+SQL_LABEL_PROPAGATION = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),
+""" + ",".join(_LPA_ITER.format(i=i, p=i - 1) for i in (1, 2, 3)) + """
+SELECT id AS doc_id, CAST(label AS BIGINT) AS community FROM l3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -5044,6 +5263,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_dedup": q_cdc_dedup,
     "exact_split": q_exact_split,
     "recrawl_priority": q_recrawl_priority,
+    # round-5 wave 9
+    "kmv_set_ops": q_kmv_set_ops,
+    "decayed_counts": q_decayed_counts,
+    "rank_normalize": q_rank_normalize,
+    "collocations": q_collocations,
+    "label_propagation": q_label_propagation,
 }
 
 ORACLES: dict[str, str] = {
@@ -5156,4 +5381,10 @@ ORACLES: dict[str, str] = {
     "cdc_dedup": SQL_CDC_DEDUP,
     "exact_split": SQL_EXACT_SPLIT,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
+    # round-5 wave 9
+    "kmv_set_ops": SQL_KMV_SET_OPS,
+    "decayed_counts": SQL_DECAYED_COUNTS,
+    "rank_normalize": SQL_RANK_NORMALIZE,
+    "collocations": SQL_COLLOCATIONS,
+    "label_propagation": SQL_LABEL_PROPAGATION,
 }
