@@ -189,7 +189,8 @@ def main():
                   "lm_rarity", "paragraph_dedup", "cdc_dedup",
                   "exact_split", "recrawl_priority",
                   "kmv_set_ops", "decayed_counts", "rank_normalize",
-                  "collocations", "label_propagation"]:
+                  "collocations", "label_propagation",
+                  "hotspot_regions", "cosine_pairs", "merge_plan"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

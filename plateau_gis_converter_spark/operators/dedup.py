@@ -667,3 +667,65 @@ def cdc_dedup_ratio(docs: DataFrame, w: int = 3, divisor: int = 8,
                  .alias("dup_words"))
             .withColumn("dup_ratio_e6",
                         F.expr("dup_words * 1000000 div n_words")))
+
+
+def cosine_pairs(docs: DataFrame, threshold_pct: int = 60,
+                 max_df: int | None = None, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """EXACT tf-weighted cosine all-pairs similarity over the inverted
+    index (Bayardo et al. WWW'07 family) — the weighted complement to
+    the set-based exact joins (``prefix_filter_jaccard_pairs`` for
+    Jaccard, ``containment_pairs`` for containment): pairs that share
+    skewed term FREQUENCIES match here even when their shingle sets
+    diverge.
+
+    Integer-exact decision (house rule): with dot = sum(tf_a * tf_b)
+    and ss = sum(tf^2) per doc,
+
+        cos >= t/100  <=>  dot^2 * 10^4 >= t^2 * ss_a * ss_b
+
+    — no sqrt, so the gate hashes bit-for-bit.  Output carries
+    cos2_micro = dot^2 * 10^6 div (ss_a * ss_b) (squared cosine, micro).
+
+    Shape: postings (one partial agg) -> term-keyed self-equi-join with
+    doc_a < doc_b -> one (a, b) agg for dot -> two joins against the
+    per-doc ss relation.  ``max_df`` drops terms whose posting list
+    exceeds it BEFORE the self-join — the same hot-key fan-out guard as
+    ``ngram_jaccard_pairs``; semantics become cosine-over-kept-terms
+    (documented, exact over the capped index).
+
+    Overflow: dot^2 and t^2*ss_a*ss_b must stay in i64 — dot, ss <
+    3e9^(1/2)... practically tf*|doc| products; at trillion-token scale
+    pre-normalize tf to capped buckets first (documented discipline,
+    same as bm25's exact-mode bound).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(text_col).alias("_t"))
+    postings = (toks.select("doc_id", F.explode("_t").alias("term"))
+                .groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    if max_df is not None:
+        keep = (postings.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= int(max_df))
+                .select("term"))
+        postings = postings.join(keep, "term", "left_semi")
+    ss = (postings.groupBy("doc_id")
+          .agg(F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("ss")))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    dots = (a.join(b, (F.col("a.term") == F.col("b.term"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint")
+                 .alias("dot")))
+    t = int(threshold_pct)
+    sa = ss.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    sb = ss.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    return (dots.join(sa, "doc_a").join(sb, "doc_b")
+            .where(F.col("dot") * F.col("dot") * 10_000
+                   >= F.lit(t * t) * F.col("ss_a") * F.col("ss_b"))
+            .select("doc_a", "doc_b", "dot", "ss_a", "ss_b",
+                    F.expr("dot * dot * 1000000 div (ss_a * ss_b)")
+                    .cast("bigint").alias("cos2_micro")))

@@ -227,3 +227,52 @@ def raster_downsample(raster: DataFrame, levels: int,
                 F.col("n_points"))
             .groupBy("z", "x", "y", "px", "py")
             .agg(F.sum("n_points").alias("n_points")))
+
+
+def hotspot_regions(raster: DataFrame, min_count: int,
+                    tile_px: int = 256) -> DataFrame:
+    """Density hotspot labeling over the sparse raster — the map-algebra
+    "region group" operation (contiguous cells above a threshold share a
+    region id): threshold the raster at ``min_count`` points, then label
+    4-adjacent qualifying pixels with connected components.  The vector
+    face of "where are the dense areas?" that a heatmap only shows —
+    downstream consumers (per-region stats, region-aware sampling caps)
+    need the LABELS.
+
+    Global pixel key = (x * tile_px + px) * 2^32 + (y * tile_px + py) —
+    collision-free for any zoom <= 24.  Adjacency is TWO map-side
+    self-equi-joins (right neighbor, down neighbor — each a join on the
+    shifted pixel key, no inequality/range join), then the alternating
+    large-star/small-star CC over the edge set; isolated hot pixels
+    (no hot neighbor) keep their own key as region id via the final
+    left join.  Region id = min pixel key in the region (deterministic).
+
+    Output: (gx, gy, n_points, region_id).  Scale: the thresholded
+    relation is far smaller than the raster (hotspots are rare by
+    definition); both neighbor joins key on exact integers, and CC is
+    the O(log^2) alternating implementation.
+    """
+    from . import graph as gr
+
+    p = int(tile_px)
+    hot = (raster.where(F.col("n_points") >= int(min_count))
+           .select((F.col("x") * p + F.col("px")).alias("gx"),
+                   (F.col("y") * p + F.col("py")).alias("gy"),
+                   F.col("n_points").cast("bigint").alias("n_points")))
+    key = (F.col("gx") * F.lit(1 << 32) + F.col("gy"))
+    cells = hot.select("gx", "gy", "n_points", key.alias("k"))
+    right = (cells.alias("a").join(
+        cells.alias("b"),
+        (F.col("b.gx") == F.col("a.gx") + 1)
+        & (F.col("b.gy") == F.col("a.gy")))
+        .select(F.col("a.k").alias("doc_a"), F.col("b.k").alias("doc_b")))
+    down = (cells.alias("a").join(
+        cells.alias("b"),
+        (F.col("b.gx") == F.col("a.gx"))
+        & (F.col("b.gy") == F.col("a.gy") + 1))
+        .select(F.col("a.k").alias("doc_a"), F.col("b.k").alias("doc_b")))
+    labels = gr.connected_components(right.unionByName(down))
+    return (cells.join(labels.withColumnRenamed("id", "k"), "k", "left")
+            .select("gx", "gy", "n_points",
+                    F.coalesce(F.col("component_id"), F.col("k"))
+                    .cast("bigint").alias("region_id")))

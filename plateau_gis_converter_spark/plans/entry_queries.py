@@ -5144,6 +5144,149 @@ SELECT id AS doc_id, CAST(label AS BIGINT) AS community FROM l3
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 wave 10: raster hotspot regions, exact cosine all-pairs, merge plan
+# ---------------------------------------------------------------------------
+
+def q_hotspot_regions(spark, sf_dir):
+    """Map-algebra region labeling (raster.hotspot_regions): threshold
+    the z=11 point-density raster at >= 2 points/pixel and label
+    4-adjacent hot pixels with connected components (region id = min
+    global-pixel key).  Two map-side neighbor equi-joins + alternating
+    CC; oracle re-derives the raster (the rasterize CTE) and labels via
+    an independent recursive-closure CTE."""
+    from ..operators import raster as ra
+
+    pts = _points_df(spark, sf_dir)
+    r = ra.rasterize_points(pts, zoom=11, tile_px=16)
+    return ra.hotspot_regions(r, min_count=2, tile_px=16)
+
+
+SQL_HOTSPOT_REGIONS = f"""
+WITH RECURSIVE {POINTS_CTE},
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 32768.0) AS BIGINT) % 32768 + 32768) % 32768)
+        AS ggx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 32768.0) AS BIGINT), 32767)) AS ggy
+  FROM pts
+),
+cells AS (
+  SELECT ggx AS gx, ggy AS gy, CAST(count(*) AS BIGINT) AS n_points,
+         ggx * 4294967296 + ggy AS k
+  FROM g GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT a.k AS ka, b.k AS kb FROM cells a
+  JOIN cells b ON b.gx = a.gx + 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.k, b.k FROM cells a
+  JOIN cells b ON b.gx = a.gx AND b.gy = a.gy + 1
+),
+und AS (SELECT ka AS a, kb AS b FROM edges
+        UNION SELECT kb, ka FROM edges),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+lab AS (SELECT src AS k, min(dst) AS region FROM reach GROUP BY 1)
+SELECT cells.gx, cells.gy, cells.n_points,
+       CAST(coalesce(lab.region, cells.k) AS BIGINT) AS region_id
+FROM cells LEFT JOIN lab ON cells.k = lab.k
+"""
+
+
+def q_cosine_pairs(spark, sf_dir):
+    """Exact tf-weighted cosine all-pairs (dedup.cosine_pairs) over the
+    doc_id % 5 == 0 slice at cos >= 0.8 — integer-exact decision
+    (dot^2 * 10^4 >= t^2 * ss_a * ss_b, no sqrt).  Inverted-index
+    self-join, term-keyed; oracle mirrors postings/dot/ss from
+    per-position list indexing."""
+    from ..operators import dedup as dd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0).select("doc_id", "text"))
+    return dd.cosine_pairs(docs, threshold_pct=80)
+
+
+SQL_COSINE_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+postings AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS term,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+ss AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ss
+       FROM postings GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM postings a JOIN postings b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.dot, sa.ss AS ss_a, sb.ss AS ss_b,
+       CAST(d.dot * d.dot * 1000000 // (sa.ss * sb.ss) AS BIGINT)
+         AS cos2_micro
+FROM dots d
+JOIN ss sa ON sa.doc_id = d.doc_a
+JOIN ss sb ON sb.doc_id = d.doc_b
+WHERE d.dot * d.dot * 10000 >= 6400 * sa.ss * sb.ss
+"""
+
+
+def q_merge_plan(spark, sf_dir):
+    """Copy-on-write MERGE planning (sources/layout.merge_plan): 64
+    synthetic data files covering contiguous key ranges; the update
+    keyset ((doc_id * 37) % 64000) marks which files a MERGE INTO must
+    rewrite (distinct in-range keys per file) and which carry over.
+    Broadcast metadata range probe + one partial agg; oracle is an
+    independent BETWEEN join."""
+    from ..sources import layout as ly
+
+    docs = _t(spark, sf_dir, "documents")
+    files = spark.range(64).select(
+        F.col("id").cast("bigint").alias("file_id"),
+        (F.col("id") * 1000).cast("bigint").alias("min_key"),
+        (F.col("id") * 1000 + 999).cast("bigint").alias("max_key"),
+        (F.lit(1) * 4096 + F.col("id")).cast("bigint").alias("bytes"))
+    updates = docs.select(((F.col("doc_id") * 37) % 64000).alias("key"))
+    out = ly.merge_plan(files, updates)
+    return out.select("file_id", "min_key", "max_key", "bytes", "n_hits",
+                      F.col("rewrite").cast("int").cast("bigint")
+                      .alias("rewrite"))
+
+
+SQL_MERGE_PLAN = """
+WITH files AS (
+  SELECT CAST(i AS BIGINT) AS file_id,
+         CAST(i * 1000 AS BIGINT) AS min_key,
+         CAST(i * 1000 + 999 AS BIGINT) AS max_key,
+         CAST(4096 + i AS BIGINT) AS bytes
+  FROM UNNEST(range(0, 64)) AS u(i)
+),
+ks AS (SELECT DISTINCT (doc_id * 37) % 64000 AS k FROM documents),
+hits AS (
+  SELECT f.file_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM files f JOIN ks ON ks.k BETWEEN f.min_key AND f.max_key
+  GROUP BY 1
+)
+SELECT files.file_id, files.min_key, files.max_key, files.bytes,
+       coalesce(hits.n_hits, 0) AS n_hits,
+       CAST(coalesce(hits.n_hits, 0) > 0 AS BIGINT) AS rewrite
+FROM files LEFT JOIN hits ON files.file_id = hits.file_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -5269,6 +5412,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_normalize": q_rank_normalize,
     "collocations": q_collocations,
     "label_propagation": q_label_propagation,
+    # round-5 wave 10
+    "hotspot_regions": q_hotspot_regions,
+    "cosine_pairs": q_cosine_pairs,
+    "merge_plan": q_merge_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -5387,4 +5534,8 @@ ORACLES: dict[str, str] = {
     "rank_normalize": SQL_RANK_NORMALIZE,
     "collocations": SQL_COLLOCATIONS,
     "label_propagation": SQL_LABEL_PROPAGATION,
+    # round-5 wave 10
+    "hotspot_regions": SQL_HOTSPOT_REGIONS,
+    "cosine_pairs": SQL_COSINE_PAIRS,
+    "merge_plan": SQL_MERGE_PLAN,
 }

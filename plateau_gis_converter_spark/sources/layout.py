@@ -186,3 +186,36 @@ def vacuum_plan(manifests: DataFrame, snapshots: DataFrame,
                  F.max("snapshot_id").alias("last_snapshot"),
                  F.count(F.lit(1)).alias("n_refs"),
                  (F.count("__live") == 0).alias("deletable")))
+
+
+def merge_plan(file_stats: DataFrame, update_keys: DataFrame,
+               key_col: str = "key") -> DataFrame:
+    """Copy-on-write MERGE planning (the Iceberg/Delta ``MERGE INTO``
+    write path): given per-file key-range statistics and the incoming
+    update keyset, decide which data files must be rewritten — a file is
+    touched iff an update key lands inside its [min_key, max_key] range.
+    Everything else is carried over untouched; on a Hilbert-clustered
+    layout (``write_hilbert_layout``) spatially-local updates touch few
+    files, which is the point of clustering.  Completes the lakehouse
+    maintenance family: clustering, compaction, vacuum, merge.
+
+    Output: one row per file — (file_id, min_key, max_key, bytes,
+    n_hits, rewrite) with n_hits = DISTINCT update keys in range and
+    rewrite = n_hits > 0.
+
+    Shape: the file-stats relation is metadata (one row per data file —
+    bounded, always broadcastable), so the range probe is a broadcast
+    join against the update keys with NO shuffle of the keyset, then
+    one partial agg keyed by file.  Never a sort-merge range join.
+    """
+    ks = update_keys.select(F.col(key_col).alias("_k")).distinct()
+    hits = (ks.join(F.broadcast(file_stats),
+                    (F.col("_k") >= F.col("min_key"))
+                    & (F.col("_k") <= F.col("max_key")))
+            .groupBy("file_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    return (file_stats.join(hits, "file_id", "left")
+            .select("file_id", "min_key", "max_key", "bytes",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_hits"))
+            .withColumn("rewrite", F.col("n_hits") > 0))

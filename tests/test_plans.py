@@ -275,3 +275,24 @@ def test_wave9_query_scans_prune_columns_and_stay_jvm(spark):
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave10_query_scans_prune_columns_and_stay_jvm(spark):
+    """Wave-10 gates (hotspot regions, cosine pairs, merge plan):
+    pruned scans, zero Python."""
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "hotspot_regions": {"doc_id"},
+        "cosine_pairs": {"doc_id", "text"},
+        "merge_plan": {"doc_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
