@@ -143,26 +143,34 @@ def test_grouped_hll_matches_per_group_sketches(spark):
 def test_grouped_hll_estimate_close_and_mergeable(spark):
     from plateau_gis_converter_spark.operators import cardinality as cd
 
+    # persist is scoped to this test: a leaked cache entry on the raw
+    # events relation rewrites LATER tests' plans through the cache (the
+    # scan-pruning audits in test_plans.py then see the full-column
+    # cached scan) — hence the try/finally unpersist below
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").persist()
-    grouped = cd.hll_registers_grouped(ev, "user_id", ["event_type"], p=8)
-    exact = {r["event_type"]: r["d"] for r in
-             ev.groupBy("event_type")
-             .agg(F.countDistinct("user_id").alias("d")).collect()}
-    regs: dict[str, list[tuple[int, int]]] = {}
-    for row in grouped.collect():
-        regs.setdefault(row["event_type"], []).append((row["bucket"], row["r"]))
-    for et, d in exact.items():
-        est = cd.hll_estimate(regs[et], p=8)
-        assert abs(est - d) <= max(3.0, 0.15 * d), (et, est, d)
-    # merge across two halves = elementwise max
-    a = cd.hll_registers_grouped(ev.where(F.col("event_id") % 2 == 0),
-                                 "user_id", ["event_type"], p=8)
-    b = cd.hll_registers_grouped(ev.where(F.col("event_id") % 2 == 1),
-                                 "user_id", ["event_type"], p=8)
-    merged = (a.unionAll(b).groupBy("event_type", "bucket")
-              .agg(F.max("r").alias("r")))
-    assert merged.exceptAll(grouped).count() == 0
-    assert grouped.exceptAll(merged).count() == 0
+    try:
+        grouped = cd.hll_registers_grouped(ev, "user_id", ["event_type"], p=8)
+        exact = {r["event_type"]: r["d"] for r in
+                 ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("d")).collect()}
+        regs: dict[str, list[tuple[int, int]]] = {}
+        for row in grouped.collect():
+            regs.setdefault(row["event_type"], []).append(
+                (row["bucket"], row["r"]))
+        for et, d in exact.items():
+            est = cd.hll_estimate(regs[et], p=8)
+            assert abs(est - d) <= max(3.0, 0.15 * d), (et, est, d)
+        # merge across two halves = elementwise max
+        a = cd.hll_registers_grouped(ev.where(F.col("event_id") % 2 == 0),
+                                     "user_id", ["event_type"], p=8)
+        b = cd.hll_registers_grouped(ev.where(F.col("event_id") % 2 == 1),
+                                     "user_id", ["event_type"], p=8)
+        merged = (a.unionAll(b).groupBy("event_type", "bucket")
+                  .agg(F.max("r").alias("r")))
+        assert merged.exceptAll(grouped).count() == 0
+        assert grouped.exceptAll(merged).count() == 0
+    finally:
+        ev.unpersist()
 
 
 def test_grouped_hll_validates(spark):

@@ -114,6 +114,7 @@ def test_gate_queries_python_free_unless_whitelisted(spark):
 def test_gate_scans_prune_columns(spark):
     """Column pruning reaches the parquet scan: pricing_summary must read
     only the lineitem columns it uses (ReadSchema check)."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     from plateau_gis_converter_spark.plans import entry_queries as eq
 
     plan = (eq.QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
@@ -134,6 +135,7 @@ def test_round3_query_scans_prune_columns(spark):
     """Column pruning reaches the documents scan for the round-3 webtext
     queries: each reads exactly the columns it needs (pagerank only
     doc_id — the text column never leaves the parquet footer)."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     import re
 
     from plateau_gis_converter_spark.plans import entry_queries as eq
@@ -157,6 +159,7 @@ def test_round4_query_scans_prune_columns(spark):
     from doc_id in their FINAL plan — url_registered_domain synthesizes
     urls from doc_id alone; dedup_keep_list's label side is a
     localCheckpoint whose text-reading jobs already ran."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     import re
 
     from plateau_gis_converter_spark.plans import entry_queries as eq
@@ -179,6 +182,7 @@ def test_round5_query_scans_prune_columns_and_stay_jvm(spark):
     """Round-5 gates: scans prune to exactly the needed columns and the
     pure-Catalyst ones (extract_text, domain_cap, dedup_keep_best,
     pagerank_dangling) contain NO Python eval stage."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     import re
 
     from plateau_gis_converter_spark.plans import entry_queries as eq
@@ -206,6 +210,7 @@ def test_fourth_wave_query_scans_prune_columns_and_stay_jvm(spark):
     """Fourth-wave gates (HITS, zonal stats, containment, URL templates,
     CMS join size): scans prune to exactly the needed columns and every
     plan stays pure-JVM."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     import re
 
     from plateau_gis_converter_spark.plans import entry_queries as eq
@@ -234,6 +239,7 @@ def test_wave8_query_scans_prune_columns_and_stay_jvm(spark):
     """Wave-8 gates (LM rarity, paragraph dedup, CDC dedup, exact split,
     recrawl priority): scans prune to exactly the needed columns and
     every plan stays pure-JVM."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     import re
 
     from plateau_gis_converter_spark.plans import entry_queries as eq
@@ -257,6 +263,7 @@ def test_wave8_query_scans_prune_columns_and_stay_jvm(spark):
 def test_wave9_query_scans_prune_columns_and_stay_jvm(spark):
     """Wave-9 gates (KMV set ops, decayed counters, rank normalize,
     collocations, label propagation): pruned scans, zero Python."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     import re
 
     from plateau_gis_converter_spark.plans import entry_queries as eq
@@ -280,6 +287,7 @@ def test_wave9_query_scans_prune_columns_and_stay_jvm(spark):
 def test_wave10_query_scans_prune_columns_and_stay_jvm(spark):
     """Wave-10 gates (hotspot regions, cosine pairs, merge plan):
     pruned scans, zero Python."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
     import re
 
     from plateau_gis_converter_spark.plans import entry_queries as eq
