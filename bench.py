@@ -190,7 +190,14 @@ def main():
                   "exact_split", "recrawl_priority",
                   "kmv_set_ops", "decayed_counts", "rank_normalize",
                   "collocations", "label_propagation",
-                  "hotspot_regions", "cosine_pairs", "merge_plan"]:
+                  "hotspot_regions", "cosine_pairs", "merge_plan",
+                  "pii_redact", "focal_stats", "triangle_listing",
+                  "session_transitions", "tfidf_terms",
+                  "stream_sessions", "stay_points", "distance_band",
+                  "anomalous_days", "k_core", "idw_surface",
+                  "tile_top_sources", "interarrival_quantiles",
+                  "ward_geometry", "stream_tile_counts",
+                  "bounce_rates"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

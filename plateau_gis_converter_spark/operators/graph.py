@@ -489,3 +489,105 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
         labels = best
     return labels.select("id", F.col("label").cast("bigint")
                          .alias("community"))
+
+
+def triangle_listing(edges: DataFrame) -> DataFrame:
+    """Exact triangle listing over the (directed) link graph, treated as
+    a simple undirected graph — the primitive behind clustering
+    coefficients and link-farm/spam-cluster detection (tightly
+    inter-linked page groups are a classic web-spam signal).
+
+    Scale strategy is the degree-ordered orientation (Suri &
+    Vassilvitskii, WWW 2011): orient every undirected edge from its
+    lower to its higher endpoint under the total order (degree, id).
+    Every wedge is then built only at its LOWEST-degree apex, so the
+    per-node wedge fan-out is bounded by O(sqrt(m)) on any graph — a
+    celebrity hub with 10^6 in-links generates no wedges unless it is
+    the low end of both edges. Each triangle is emitted exactly once
+    (its apex under the order is unique). Three equi-joins, no
+    inequality join, all partial-agg/hash-join shuffles.
+
+    Output: one row per triangle, node ids ascending (ta < tb < tc).
+    """
+    a, b = F.col("src"), F.col("dst")
+    und = (edges.where(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("id"))
+           .unionAll(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+
+    # orient under (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
+    da, db = F.col("da.deg"), F.col("db.deg")
+    ia, ib = F.col("a"), F.col("b")
+    lower_a = (da < db) | ((da == db) & (ia < ib))
+    o = (und.join(deg.alias("da"), und["a"] == F.col("da.id"))
+         .join(deg.alias("db"), und["b"] == F.col("db.id"))
+         .select(F.when(lower_a, ia).otherwise(ib).alias("u"),
+                 F.when(lower_a, ib).otherwise(ia).alias("v"),
+                 F.when(lower_a, db).otherwise(da).alias("dv")))
+
+    # wedges at the apex u, ordered (dv, v) so each unordered pair of
+    # out-neighbors appears once; the closing edge (v1 -> v2) is oriented
+    # the same way, so one equi-join finishes the triangle.
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    lt = ((F.col("e1.dv") < F.col("e2.dv"))
+          | ((F.col("e1.dv") == F.col("e2.dv"))
+             & (F.col("e1.v") < F.col("e2.v"))))
+    wed = (e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & lt)
+           .select(F.col("e1.u").alias("w0"), F.col("e1.v").alias("w1"),
+                   F.col("e2.v").alias("w2")))
+    closing = o.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tri = wed.join(closing, ["w1", "w2"])
+    ids = F.array_sort(F.array("w0", "w1", "w2"))
+    return tri.select(ids[0].cast("bigint").alias("ta"),
+                      ids[1].cast("bigint").alias("tb"),
+                      ids[2].cast("bigint").alias("tc"))
+
+
+def k_core(edges: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes with
+    degree < k until a fixpoint — the densely-interlinked subgraph
+    extractor (link-farm cores, community nuclei; Seidman 1983). The
+    k-core is unique, so the peeling ORDER never matters and the result
+    is engine-reproducible.
+
+    Each round is one partial-agg degree count + two semi-joins against
+    the surviving-node relation; the driver sees only one COUNT per
+    round (the alive-set fixpoint check), and ``localCheckpoint`` caps
+    lineage the same way the alternating-CC rounds do. Rounds needed is
+    the peeling depth (typically << diameter); raises on exhaustion
+    rather than returning a silently-unconverged core (the CC
+    discipline, ADVICE r3 #2).
+
+    Output: (id, deg) — nodes of the k-core with their degree INSIDE
+    the core subgraph (>= k by definition).
+    """
+    a, b = F.col("src"), F.col("dst")
+    und = (edges.where(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct())
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(und.select(F.col("b").alias("u"),
+                                F.col("a").alias("v")))
+           .localCheckpoint(eager=True))
+    prev_alive = -1
+    for _ in range(int(max_iters)):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= int(k)).select("u")
+        n_alive = alive.count()
+        if n_alive == prev_alive:
+            return (deg.where(F.col("deg") >= int(k))
+                    .select(F.col("u").cast("bigint").alias("id"),
+                            F.col("deg").cast("bigint").alias("deg")))
+        if n_alive == 0:
+            return sym.sparkSession.createDataFrame(
+                [], "id bigint, deg bigint")
+        prev_alive = n_alive
+        sym = (sym.join(alive, "u", "left_semi")
+               .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+               .select("u", "v")
+               .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"k_core did not converge within max_iters={max_iters}; "
+        "raise max_iters (peeling depth exceeds the bound)")

@@ -276,3 +276,99 @@ def hotspot_regions(raster: DataFrame, min_count: int,
             .select("gx", "gy", "n_points",
                     F.coalesce(F.col("component_id"), F.col("k"))
                     .cast("bigint").alias("region_id")))
+
+
+def focal_stats(raster: DataFrame, zoom: int, tile_px: int = 256,
+                radius: int = 1) -> DataFrame:
+    """Focal (moving-window) sum over the sparse raster — the map-algebra
+    convolution/box-filter every raster engine ships next to zonal stats
+    and region grouping: each output pixel holds the sum of input counts
+    in its (2r+1)^2 neighborhood (the smoothing pass a heatmap tile
+    renderer applies before color-mapping).
+
+    Dense rasters convolve row-by-row; the sparse-relational form is the
+    SCATTER dual: every non-empty input pixel contributes its count to
+    each of its (2r+1)^2 neighbors (two map-side ``explode(sequence)``s,
+    no join), then ONE partial-agg groupBy sums per target pixel. The
+    output domain is exactly the pixels within ``radius`` of a non-empty
+    pixel — everything else is zero and stays unmaterialized, so cost is
+    O(nnz * (2r+1)^2) regardless of raster extent. Edge handling matches
+    ``rasterize_points``: x wraps around the antimeridian, y clamps —
+    contributions past the poles are dropped.
+
+    Output: (z, x, y, px, py, focal_sum).
+    """
+    world = (1 << int(zoom)) * int(tile_px)
+    p = F.lit(int(tile_px)).cast("bigint")
+    gx = F.col("x") * p + F.col("px")
+    gy = F.col("y") * p + F.col("py")
+    off = f"explode(sequence({-int(radius)}, {int(radius)}))"
+    contrib = (raster
+               .select(gx.alias("gx"), gy.alias("gy"), "n_points")
+               .select("*", F.expr(off).alias("dx"))
+               .select("*", F.expr(off).alias("dy")))
+    tx = ((F.col("gx") + F.col("dx")) % world + world) % world
+    ty = F.col("gy") + F.col("dy")
+    summed = (contrib
+              .where((ty >= 0) & (ty < world))
+              .select(tx.alias("tx"), ty.alias("ty"), "n_points")
+              .groupBy("tx", "ty")
+              .agg(F.sum("n_points").cast("bigint").alias("focal_sum")))
+    return summed.select(
+        F.lit(int(zoom)).cast("int").alias("z"),
+        (F.col("tx") / p).cast("bigint").alias("x"),
+        (F.col("ty") / p).cast("bigint").alias("y"),
+        (F.col("tx") % p).alias("px"), (F.col("ty") % p).alias("py"),
+        "focal_sum")
+
+
+def idw_surface(samples: DataFrame, cell_udeg: int,
+                value_col: str = "value",
+                lng_col: str = "lng_udeg", lat_col: str = "lat_udeg",
+                w_scale: int = 10**9, d_scale: int = 10**6) -> DataFrame:
+    """Inverse-distance-weighted interpolation onto a µdeg grid — the
+    classic scattered-points -> continuous-surface raster operation
+    (Shepard 1968), here with a 3x3-cell support window and EXACT
+    integer arithmetic so the surface is engine-reproducible.
+
+    Each sample scatters to its 3x3 neighbor cells (two map-side
+    explodes, the focal_stats shape); weight against a target cell's
+    CENTER is w = w_scale div (1 + (dx^2 + dy^2) div d_scale) — the
+    1/(1+d^2) inverse-quadratic kernel with integer division at both
+    steps. One partial-agg groupBy accumulates (sum v*w, sum w, n) and
+    the surface value is the integer quotient. Output domain = cells
+    within one cell of a sample (sparse, like the focal operator).
+
+    Magnitude guard: |dx|,|dy| <= 1.5*cell_udeg, so with the defaults
+    and cell_udeg <= ~10^6 every product stays far inside i64.
+
+    Output: (cx, cy, n_samples, idw_value).
+    """
+    c = int(cell_udeg)
+    cx = F.floor(F.col(lng_col) / F.lit(c)).cast("bigint")
+    cy = F.floor(F.col(lat_col) / F.lit(c)).cast("bigint")
+    off = "explode(sequence(-1, 1))"
+    sc = (samples.select(F.col(lng_col).alias("lng"),
+                         F.col(lat_col).alias("lat"),
+                         F.col(value_col).cast("bigint").alias("v"),
+                         cx.alias("cx0"), cy.alias("cy0"))
+          .select("*", F.expr(off).alias("dxc"))
+          .select("*", F.expr(off).alias("dyc"))
+          .select("lng", "lat", "v",
+                  (F.col("cx0") + F.col("dxc")).alias("cx"),
+                  (F.col("cy0") + F.col("dyc")).alias("cy")))
+    # integer DIV twice: d2s = (dx^2 + dy^2) div d_scale, w = w_scale
+    # div (1 + d2s) — Column algebra has no integer-division operator,
+    # so the two DIVs go through expr() on materialized columns
+    sc = (sc.withColumn("dx", F.col("lng") - (F.col("cx") * c + c // 2))
+          .withColumn("dy", F.col("lat") - (F.col("cy") * c + c // 2))
+          .withColumn("w", F.expr(
+              f"CAST({int(w_scale)} AS BIGINT) "
+              f"DIV (1 + (dx * dx + dy * dy) DIV {int(d_scale)})")))
+    agg = (sc.groupBy("cx", "cy")
+           .agg(F.sum(F.col("v") * F.col("w")).alias("num"),
+                F.sum("w").alias("den"),
+                F.count(F.lit(1)).cast("bigint").alias("n_samples")))
+    return agg.select("cx", "cy", "n_samples",
+                      F.expr("CAST(num DIV den AS BIGINT)")
+                      .alias("idw_value"))

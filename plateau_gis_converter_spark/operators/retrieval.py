@@ -223,3 +223,39 @@ def corpus_phrases(docs: DataFrame, every: int = 97, start: int = 3,
             .select(F.col(id_col).alias("query_id"),
                     F.array_join(F.slice("_t", start + 1, length), " ")
                     .alias("phrase")))
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = 5, n_docs: int | None = None,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document — keyword extraction / salient-
+    term tagging over the corpus (the per-doc dual of bm25_topk's
+    per-query ranking; same postings relation, one extra window).
+
+    idf is quantized once per TERM (idf_e6 = floor(10^6 * ln((N+1)/(df+1))
+    + 0.5)) so the per-posting score tf * idf_e6 is pure integer
+    arithmetic — associative, partition-order free, and the double ln is
+    evaluated in one identical op order in both engines. Ranking is
+    deterministic: (score desc, term asc) within each doc.
+
+    Scale: postings + df are partial-agg shuffles on the term key; the
+    top-k window partitions by doc_id — the natural key, never skewed
+    beyond one doc's vocabulary. No Python anywhere.
+    """
+    if n_docs is None:
+        n_docs = docs.count()
+    post = postings(docs, text_col, id_col).select("doc_id", "term", "tf")
+    df_rel = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf_e6 = F.floor(F.log((F.lit(float(n_docs) + 1.0))
+                           / (F.col("df").cast("double") + F.lit(1.0)))
+                     * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    scored = (post.join(df_rel, "term")
+              .select("doc_id", "term", "tf", "df",
+                      (F.col("tf") * idf_e6).alias("score_e6")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+                    "df", "score_e6", F.col("rank").cast("int").alias("rank")))

@@ -187,3 +187,85 @@ def group_rank_normalize(df: DataFrame, group_col: str, value_col: str,
                             "(_rk - 1) * 1000000 div (_n - 1)"))
                         .otherwise(F.lit(0)).cast("bigint"))
             .drop("_rk", "_n"))
+
+
+def anomalous_bins(events: DataFrame, key_col: str = "event_type",
+                   ts_col: str = "ts", z_sq_threshold: int = 9,
+                   bin_expr: str = "date_trunc('DAY', ts)") -> DataFrame:
+    """Per-key anomalous time bins — bins whose count deviates from the
+    key's mean by more than sqrt(z_sq_threshold) population standard
+    deviations, decided in EXACT integer arithmetic (the traffic-spike /
+    crawler-burst detector a host-level ingest monitor runs).
+
+    The z-score test (x - mu)^2 > T * sigma^2 multiplies out to
+        (D*x - S)^2 * ? > T * D * (D*Q - S^2)   with
+    D = #bins, S = sum(x), Q = sum(x^2) per key — no division, no
+    floats, so partial-agg merge order cannot flip a boundary case.
+
+    Masking bound (pick the threshold with it): with POPULATION stats a
+    single outlier inflates sigma itself, capping its own z^2 at D - 1 —
+    z^2 > 9 is unreachable under ~11 bins no matter how big the spike.
+    A leave-one-out variant ((S - x)/(D - 1) moments) removes the cap at
+    one extra subtraction per row; population stats keep the classic
+    definition the oracle mirrors.
+    Magnitudes: |D*x - S| <= D*max(x), D*Q <= D^2*max(x)^2 — safe in
+    i64 for daily bins over years at millions of events/day.
+
+    Two partial-agg shuffles on the same key (bin counts, then key
+    moments) + one broadcast-sized join back (keys relation is tiny).
+
+    Output: (key, bin_ts, n, is_anomaly).
+    """
+    binned = (events.select(F.col(key_col).alias("key"),
+                            F.expr(bin_expr).alias("bin_ts"))
+              .groupBy("key", "bin_ts")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    moments = binned.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"))
+    dev = F.col("d") * F.col("n") - F.col("s")
+    var_scaled = F.col("d") * F.col("q") - F.col("s") * F.col("s")
+    return (binned.join(moments, "key")
+            .select(F.col("key").alias(key_col), "bin_ts", "n",
+                    (dev * dev > F.lit(int(z_sq_threshold)) * var_scaled)
+                    .alias("is_anomaly")))
+
+
+def group_value_quantiles(df: DataFrame, group_col: str, col: str,
+                          qs_ppm: list[int]) -> DataFrame:
+    """Per-GROUP exact type-1 quantiles with no global sort and no
+    driver roundtrip — the grouped generalization of ``value_quantiles``
+    (which collects the total count to build its target relation; this
+    version keeps the per-group total as a window over the same key, so
+    it scales to any number of groups).
+
+    One partial-agg shuffle ((group, value) counts), two windows over
+    the SAME group key (running count + group total — one Exchange),
+    a broadcast of the tiny q-list, then the per-(group, q) min over
+    qualifying values. All-integer target ranks: tgt = ceil(q * n / 1e6)
+    exactly as (q*n + 999999) div 1e6.
+
+    Output: (group, q_ppm, value).
+    """
+    if not qs_ppm:
+        raise ValueError("qs_ppm must be non-empty")
+    if not all(0 < q <= 1_000_000 for q in qs_ppm):
+        raise ValueError(f"qs_ppm must be in (0, 1e6], got {qs_ppm}")
+    counts = (df.groupBy(F.col(group_col).alias("g"),
+                         F.col(col).alias("v"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    wcum = (Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("g")
+    cum = (counts.withColumn("cum", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(wall)))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in sorted(set(qs_ppm))],
+                                "q_ppm long")
+    tgt = F.expr("(q_ppm * n + 999999) DIV 1000000")
+    return (cum.crossJoin(F.broadcast(qdf))
+            .where(F.col("cum") >= tgt)
+            .groupBy("g", "q_ppm")
+            .agg(F.min("v").alias("value"))
+            .select(F.col("g").alias(group_col), "q_ppm", "value"))

@@ -231,3 +231,89 @@ def cohort_retention(events: DataFrame, ts_col: str = "ts",
                      F.expr("datediff(__w, cohort_week) div 7")
                      .cast("bigint").alias("week_offset"))
             .agg(F.countDistinct("__u").alias("n_users")))
+
+
+def session_transitions(events: DataFrame, gap_us: int = 1800_000_000,
+                        ts_col: str = "ts", user_col: str = "user_id",
+                        state_col: str = "event_type",
+                        tiebreak_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    inside a session — the navigation-pattern summary (which state
+    follows which) clickstream warehouses derive from sessionized logs.
+
+    Sessions are gap-based (same rule as the sessionize gate: a new
+    session starts after ``gap_us`` microseconds of inactivity), ordered
+    deterministically by (ts, tiebreak). Two windows over the SAME
+    (user) partitioning — Catalyst plans one Exchange and sorts once —
+    then a single partial-agg groupBy on the (prev, next) pair. The
+    per-source totals reuse a window over the tiny aggregated relation,
+    so no second pass over the events. prob_ppm is integer-exact
+    (10^6 * n // total).
+
+    Output: (prev_state, next_state, n, prob_ppm).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # parquet NTZ -> LTZ (UTC session) so unix_micros resolves; a column
+    # already in LTZ passes through the cast unchanged
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = t_us - F.lag(t_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sess = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("k"), F.col(state_col).alias("state"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_id"))
+    w2 = Window.partitionBy("u", "sess_id").orderBy("t", "k")
+    trans = (sess.select(F.lag("state").over(w2).alias("prev_state"),
+                         F.col("state").alias("next_state"))
+             .where(F.col("prev_state").isNotNull())
+             .groupBy("prev_state", "next_state")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    wt = Window.partitionBy("prev_state")
+    return (trans.withColumn("tot", F.sum("n").over(wt))
+            .select("prev_state", "next_state", "n",
+                    F.expr("CAST((1000000 * n) DIV tot AS BIGINT)")
+                    .alias("prob_ppm")))
+
+
+def stay_points(track: DataFrame, min_events: int = 2,
+                min_duration_us: int = 600_000_000,
+                user_col: str = "user_id", ts_col: str = "ts",
+                tiebreak_col: str = "event_id",
+                cell_cols: tuple[str, str] = ("cx", "cy")) -> DataFrame:
+    """Stay-point detection over a located event stream — maximal runs of
+    consecutive same-cell events per user, kept when they span at least
+    ``min_events`` events and ``min_duration_us`` microseconds. The
+    trajectory primitive (Zheng et al., GeoLife) recast relationally:
+    where did this user DWELL, as opposed to pass through?
+
+    Same two-window shape as session_transitions (one Exchange on the
+    user key, one sort): lag over (ts, tiebreak) flags cell changes, the
+    running sum names the run, one partial-agg groupBy aggregates each
+    run. Cells come in as integer columns (callers bucket however they
+    like — µdeg grid, mercator tile); this operator never touches
+    geometry, so it composes with any index.
+
+    Output: (user_id, cx, cy, t_start, t_end, n_events, duration_us).
+    """
+    cxc, cyc = cell_cols
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    moved = F.when(
+        F.lag(cxc).over(w).isNull()
+        | (F.lag(cxc).over(w) != F.col(cxc))
+        | (F.lag(cyc).over(w) != F.col(cyc)), 1).otherwise(0)
+    runs = track.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("k"),
+        F.col(cxc).alias("cx"), F.col(cyc).alias("cy"),
+        F.sum(moved).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"))
+    t_us = F.unix_micros(F.col("t").cast("timestamp"))
+    agg = (runs.groupBy("user_id", "run_id", "cx", "cy")
+           .agg(F.min("t").alias("t_start"), F.max("t").alias("t_end"),
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                (F.max(t_us) - F.min(t_us)).alias("duration_us")))
+    return (agg.where((F.col("n_events") >= int(min_events))
+                      & (F.col("duration_us") >= int(min_duration_us)))
+            .select("user_id", "cx", "cy", "t_start", "t_end",
+                    "n_events", "duration_us"))

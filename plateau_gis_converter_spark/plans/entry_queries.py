@@ -5287,6 +5287,751 @@ FROM files LEFT JOIN hits ON files.file_id = hits.file_id
 """
 
 
+def q_ward_geometry(spark, sf_dir):
+    """Exact polygon geometry (operators/geometry.ring_area2_centroid):
+    shoelace 2*area and integer-DIV centroid for the 23 ward quads from
+    the vertex RELATION (any ring length; wrap via (i+1) mod n equi-join
+    on one polygon-key Exchange). All-integer — cross products of µdeg
+    coords are exact i64. The oracle is the independent CLOSED-FORM quad
+    shoelace over the same VALUES table (different formulation, same
+    math)."""
+    from ..operators import geometry as gm
+
+    rows = []
+    for rec in fx.tessellation_records():
+        ring = rec["rings_udeg"][0]
+        for i, (x, y) in enumerate(ring):
+            rows.append((rec["ward_code"], i, x, y))
+    verts = spark.createDataFrame(rows, "poly_id string, i int, "
+                                        "x long, y long")
+    return gm.ring_area2_centroid(verts).withColumnRenamed(
+        "poly_id", "ward_code")
+
+
+SQL_WARD_GEOMETRY = f"""
+WITH b(ward_code, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES
+    {fx.boundaries_sql_values()}),
+b8 AS (
+  -- shift to the quad-local origin: raw-µdeg centroid numerators pass
+  -- i64 (the same translation the Spark operator applies)
+  SELECT ward_code,
+         least(x1, x2, x3, x4)::BIGINT AS x0,
+         least(y1, y2, y3, y4)::BIGINT AS y0,
+         CAST(x1 AS BIGINT) - least(x1, x2, x3, x4) AS x1,
+         CAST(y1 AS BIGINT) - least(y1, y2, y3, y4) AS y1,
+         CAST(x2 AS BIGINT) - least(x1, x2, x3, x4) AS x2,
+         CAST(y2 AS BIGINT) - least(y1, y2, y3, y4) AS y2,
+         CAST(x3 AS BIGINT) - least(x1, x2, x3, x4) AS x3,
+         CAST(y3 AS BIGINT) - least(y1, y2, y3, y4) AS y3,
+         CAST(x4 AS BIGINT) - least(x1, x2, x3, x4) AS x4,
+         CAST(y4 AS BIGINT) - least(y1, y2, y3, y4) AS y4
+  FROM b),
+c AS (
+  SELECT ward_code, x0, y0,
+         (x1*y2 - x2*y1) AS c1, (x2*y3 - x3*y2) AS c2,
+         (x3*y4 - x4*y3) AS c3, (x4*y1 - x1*y4) AS c4,
+         x1, y1, x2, y2, x3, y3, x4, y4
+  FROM b8)
+SELECT ward_code, CAST(4 AS BIGINT) AS n_vertices,
+       CAST(c1 + c2 + c3 + c4 AS BIGINT) AS area2_udeg2,
+       CAST(x0 + ((x1+x2)*c1 + (x2+x3)*c2 + (x3+x4)*c3 + (x4+x1)*c4)
+            // (3 * (c1 + c2 + c3 + c4)) AS BIGINT) AS cx_udeg,
+       CAST(y0 + ((y1+y2)*c1 + (y2+y3)*c2 + (y3+y4)*c3 + (y4+y1)*c4)
+            // (3 * (c1 + c2 + c3 + c4)) AS BIGINT) AS cy_udeg
+FROM c
+"""
+
+
+def q_stream_tile_counts(spark, sf_dir):
+    """The north-star STREAMING form end-to-end (streaming/pipeline.
+    streaming_geocode -> tile assign -> windowed counts): documents
+    streamed as pages with geocodable text, regex-geocoded IN-STREAM,
+    tiled at z12, counted per (1-minute window, tile) with a 2-minute
+    watermark — COMPLETE output mode so availableNow yields every
+    window deterministically (no emission-rule dependence; the
+    append-rule engines are gated by stream_windowed_counts /
+    stream_sessions). Fifth streaming-engine gate. Oracle recomputes
+    tiles from the point derivation directly (the geocode round-trip is
+    its own gate)."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pages = stream.select(
+        F.format_string("地点 lat_udeg=%d lng_udeg=%d 東京", lat, lng)
+        .alias("text"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, 0, CAST(doc_id % 180 AS INT), 0)")
+        .alias("warc_ts"))
+    out = sp.streaming_tile_counts(pages, zoom=12, window="1 minute",
+                                   watermark="2 minutes")
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_tiles_gate_{_STREAM_GATE_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tiles_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT window.start AS window_start, window.end AS window_end, "
+        f"x, y, CAST(n_pages AS BIGINT) AS n_pages FROM {qname}")
+
+
+_STX12, _STY12 = _tile_xy_sql("12")
+SQL_STREAM_TILE_COUNTS = f"""
+WITH {POINTS_CTE},
+t AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00'
+             + to_minutes(doc_id % 180) AS w0,
+         {_STX12} AS x, {_STY12} AS y
+  FROM pts JOIN documents USING (doc_id))
+SELECT w0 AS window_start, w0 + INTERVAL 1 MINUTE AS window_end,
+       x, y, CAST(count(*) AS BIGINT) AS n_pages
+FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_bounce_rates(spark, sf_dir):
+    """Session bounce rates by entry event type — the classic web-
+    analytics composition over the same islands sessions the sessionize
+    gate uses: per session its FIRST event type and event count, then
+    per entry type the single-event-session share in integer ppm.
+    Pure composition (two windows on one user-key Exchange + two tiny
+    aggs); the oracle re-derives sessions independently."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = t_us - F.lag(t_us).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_id"))
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    per_sess = (sess
+                .withColumn("rn", F.row_number().over(w2))
+                .withColumn("n_ev", F.count(F.lit(1)).over(
+                    Window.partitionBy("user_id", "sess_id")))
+                .where(F.col("rn") == 1)
+                .select(F.col("event_type").alias("entry_type"),
+                        F.col("n_ev")))
+    return (per_sess.groupBy("entry_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_bounce"))
+            .withColumn("bounce_ppm",
+                        F.expr("CAST((1000000 * n_bounce) DIV n_sessions"
+                               " AS BIGINT)")))
+
+
+SQL_BOUNCE_RATES = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM f),
+r AS (
+  SELECT user_id, sess_id, event_type,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts, event_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id, sess_id) AS BIGINT)
+             AS n_ev
+  FROM s),
+per_sess AS (
+  SELECT event_type AS entry_type, n_ev FROM r WHERE rn = 1),
+agg AS (
+  SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce
+  FROM per_sess GROUP BY 1)
+SELECT entry_type, n_sessions, n_bounce,
+       CAST((1000000 * n_bounce) // n_sessions AS BIGINT) AS bounce_ppm
+FROM agg
+"""
+
+
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (graph.k_core, k=3): iterative peel of
+    nodes with degree < 3 over the deterministic link graph to the
+    unique fixpoint (5 rounds on this fixture; Spark runs to
+    convergence and raises on exhaustion). Oracle unrolls 12 peel
+    rounds — past the fixpoint every extra round is the identity, so
+    over-unrolling is safe."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    return gr.k_core(edges, k=3)
+
+
+# MATERIALIZED: each round references the previous one three times —
+# DuckDB inlines plain CTEs, which would expand the 12-round chain 3^12x
+# (observed as a too-many-open-files explosion on the base scan)
+_KCORE_ROUND = """
+a{i} AS MATERIALIZED (SELECT u FROM e{p} GROUP BY u HAVING count(*) >= 3),
+e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e
+         JOIN a{i} x ON e.u = x.u JOIN a{i} y ON e.v = y.u)"""
+
+SQL_K_CORE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0d AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e0d WHERE src <> dst),
+e0 AS (SELECT a AS u, b AS v FROM u0 UNION ALL SELECT b, a FROM u0),
+""" + ",".join(_KCORE_ROUND.format(i=i, p=i - 1)
+               for i in range(1, 13)) + """
+SELECT CAST(u AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS deg
+FROM e12 GROUP BY u
+"""
+
+
+def q_idw_surface(spark, sf_dir):
+    """Inverse-distance-weighted surface (raster.idw_surface): n_chars
+    interpolated onto a 40k-µdeg grid with the integer 1/(1+d^2) kernel
+    over a 3x3-cell support — two map-side explodes + ONE partial-agg
+    groupBy, every weight and quotient exact integer DIVs. Oracle
+    re-derives the scatter with UNNEST offsets."""
+    from ..operators import raster as ra
+
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    samples = docs.select("n_chars", lng, lat)
+    return ra.idw_surface(samples, cell_udeg=40000, value_col="n_chars")
+
+
+SQL_IDW_SURFACE = f"""
+WITH {POINTS_CTE},
+s AS (
+  SELECT d.n_chars AS v, p.lng_udeg AS lng, p.lat_udeg AS lat,
+         CAST(floor(p.lng_udeg / 40000.0) AS BIGINT) AS cx0,
+         CAST(floor(p.lat_udeg / 40000.0) AS BIGINT) AS cy0
+  FROM documents d JOIN pts p ON d.doc_id = p.doc_id),
+sc AS (
+  SELECT v, lng, lat, cx0 + dx.i AS cx, cy0 + dy.i AS cy
+  FROM s, UNNEST(range(-1, 2)) AS dx(i), UNNEST(range(-1, 2)) AS dy(i)),
+wtd AS (
+  SELECT cx, cy, v,
+         1000000000 // (1 + ((lng - (cx * 40000 + 20000))
+                             * (lng - (cx * 40000 + 20000))
+                           + (lat - (cy * 40000 + 20000))
+                             * (lat - (cy * 40000 + 20000))) // 1000000)
+             AS w
+  FROM sc)
+SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(CAST(sum(v * w) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT)
+           AS idw_value
+FROM wtd GROUP BY 1, 2
+"""
+
+
+def q_tile_top_sources(spark, sf_dir):
+    """Per-tile top sources — the geo x web composition gate: documents
+    tiled at z10, counted per (tile, source), then the deterministic
+    per-tile top-3 via the SALTED two-phase cap (sampling.cap_per_group
+    with skew_salts=4 — the union of per-cell top-N contains the global
+    top-N, so the salted plan is result-invariant; the oracle is the
+    plain window). Order: (n desc, source asc)."""
+    from ..operators import sampling as sm
+
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pts = docs.select("source", lng, lat)
+    z = F.lit(10)
+    mx = geo.mercator_mx(geo.udeg_to_deg(F.col("lng_udeg")))
+    my = geo.mercator_my(geo.udeg_to_deg(F.col("lat_udeg")))
+    tiled = (pts.withColumn("x", geo.tile_x(z, mx))
+             .withColumn("y", geo.tile_y(z, my)))
+    counts = (tiled.groupBy("x", "y", "source")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+              .withColumn("tile_key", F.col("x") * F.lit(1 << 32)
+                          + F.col("y")))
+    capped = sm.cap_per_group(counts, "tile_key", 3,
+                              order_by=[F.col("n").desc()],
+                              key_col="source", skew_salts=4)
+    return capped.select("x", "y", "source", "n")
+
+
+_TTX10, _TTY10 = _tile_xy_sql("10")
+SQL_TILE_TOP_SOURCES = f"""
+WITH {POINTS_CTE},
+t AS (
+  SELECT d.source AS source, {_TTX10} AS x, {_TTY10} AS y
+  FROM documents d JOIN pts p ON d.doc_id = p.doc_id),
+c AS (
+  SELECT x, y, source, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY 1, 2, 3),
+r AS (
+  SELECT x, y, source, n,
+         row_number() OVER (PARTITION BY x, y
+                            ORDER BY n DESC, source) AS rk
+  FROM c)
+SELECT x, y, source, n FROM r WHERE rk <= 3
+"""
+
+
+def q_interarrival_quantiles(spark, sf_dir):
+    """Per-event-type exact inter-arrival quantiles (stats.
+    group_value_quantiles): lag gaps in µs over (ts, event_id) order,
+    then the grouped no-global-sort exact type-1 quantile (p50/p90) —
+    fully distributed (group totals via a window, not a driver
+    collect). Oracle re-derives gaps and the ceil-rank rule."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (ev.select("event_type", "ts", "event_id")
+            .withColumn("gap_us", t_us - F.lag(t_us).over(w))
+            .where(F.col("gap_us").isNotNull()))
+    return st.group_value_quantiles(gaps, "event_type", "gap_us",
+                                    [500_000, 900_000])
+
+
+SQL_INTERARRIVAL_QUANTILES = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+c AS (
+  SELECT event_type, gap_us AS v, CAST(count(*) AS BIGINT) AS c
+  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM c),
+q AS (SELECT CAST(u.q AS BIGINT) AS q_ppm
+      FROM UNNEST([500000, 900000]) AS u(q))
+SELECT event_type, q_ppm, CAST(min(v) AS BIGINT) AS value
+FROM cum, q
+WHERE cum >= (q_ppm * n + 999999) // 1000000
+GROUP BY 1, 2
+"""
+
+
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (temporal.stay_points): each event gets the
+    deterministic point derived from event_id, bucketed on a coarse
+    120k-µdeg grid; maximal same-cell consecutive runs per user with
+    >= 2 events and >= 10 min dwell survive. Null user_ids filtered both
+    sides (null-key canonicalization differs cross-engine). Oracle
+    re-derives the runs with the same lag/cumsum windows."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    lng, lat = geo.point_udeg_cols(F.col("event_id"))
+    track = (ev.select("user_id", "ts", "event_id", lng, lat)
+             .withColumn("cx", F.floor(F.col("lng_udeg") / 120000)
+                         .cast("bigint"))
+             .withColumn("cy", F.floor(F.col("lat_udeg") / 120000)
+                         .cast("bigint")))
+    return tp.stay_points(track, min_events=2,
+                          min_duration_us=600_000_000)
+
+
+_EV_LNG_SQL, _EV_LAT_SQL = fx.point_udeg_sql("event_id")
+SQL_STAY_POINTS = f"""
+WITH trk AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor({_EV_LNG_SQL} / 120000.0) AS BIGINT) AS cx,
+         CAST(floor({_EV_LAT_SQL} / 120000.0) AS BIGINT) AS cy
+  FROM events WHERE user_id IS NOT NULL),
+flg AS (
+  SELECT user_id, ts, event_id, cx, cy,
+         CASE WHEN lag(cx) OVER w IS NULL
+                OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+              THEN 1 ELSE 0 END AS moved
+  FROM trk
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, ts, cx, cy,
+         SUM(moved) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flg),
+agg AS (
+  SELECT user_id, run_id, cx, cy,
+         min(ts) AS t_start, max(ts) AS t_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+  FROM runs GROUP BY 1, 2, 3, 4)
+SELECT user_id, cx, cy, t_start, t_end, n_events,
+       CAST(duration_us AS BIGINT) AS duration_us
+FROM agg WHERE n_events >= 2 AND duration_us >= 600000000
+"""
+
+
+def q_distance_band(spark, sf_dir):
+    """Geodesic distance-band self-join (operators/geodesy.py): all
+    document-point pairs within 250 m by haversine. Spark buckets on a
+    radius-covering µdeg grid and equi-joins 3x3 neighbor cells (never
+    all pairs); the oracle is the BRUTE-FORCE all-pairs join — passing
+    proves the cell candidate set is lossless. Distances quantized to
+    integer mm with one shared op order."""
+    from ..operators import geodesy as gd
+
+    pts = _points_df(spark, sf_dir)
+    return gd.distance_band_pairs(pts, radius_m=250.0)
+
+
+def _sql_distance_band() -> str:
+    from ..operators import geodesy as gd
+
+    hav = gd.haversine_mm_sql("a.lng_udeg", "a.lat_udeg",
+                              "b.lng_udeg", "b.lat_udeg")
+    return f"""
+WITH {POINTS_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, {hav} AS dist_mm
+FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+WHERE {hav} <= 250000
+"""
+
+
+def q_anomalous_days(spark, sf_dir):
+    """Per-event-type anomalous days (stats.anomalous_bins): daily counts
+    flagged when (x - mu)^2 > 4 sigma^2, decided in exact integer
+    arithmetic ((D*x - S)^2 > 4*(D*Q - S^2)) so no float variance enters
+    the compare. z^2 = 4 here because population stats bound a single
+    spike's z^2 by D-1 (masking) and the fixture spans 30 days — both
+    branches of the flag are exercised (4/150 rows flag at sf0.01).
+    Oracle re-derives counts and moments independently."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    return st.anomalous_bins(ev, z_sq_threshold=4)
+
+
+SQL_ANOMALOUS_DAYS = """
+WITH b AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS bin_ts,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS d, CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS q
+  FROM b GROUP BY 1)
+SELECT b.key AS event_type, b.bin_ts, b.n,
+       (m.d * b.n - m.s) * (m.d * b.n - m.s) > 4 * (m.d * m.q - m.s * m.s)
+           AS is_anomaly
+FROM b JOIN m USING (key)
+"""
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Streaming SESSION windows (streaming/pipeline.streaming_sessionize)
+    driven as a gate: file stream over the events parquet, per-user
+    session_window(30 min) with a 1-hour watermark, append mode,
+    availableNow, memory sink — the built-in MERGING-window state path
+    (fourth streaming-engine gate; tumbling/first-seen/dirty-tiles cover
+    the others). Emitted set = sessions whose end (last event + gap) is
+    <= ms_floor(max ts) - 1h (inclusive — probed); the oracle re-derives
+    sessions with the batch islands rule (break iff gap > 30 min, the
+    probed merge semantics) and applies the same emission cut. Null
+    user_ids are filtered on both sides (cross-engine null-key
+    canonicalization differs)."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .where(F.col("user_id").isNotNull()))
+    out = sp.streaming_sessionize(stream, gap="30 minutes",
+                                  watermark="1 hour")
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_sessions_gate_{_STREAM_GATE_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sessions_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT session_start, session_end, user_id, n_events, "
+        f"sum_value_cents FROM {qname}")
+
+
+SQL_STREAM_SESSIONS = """
+WITH m AS (SELECT epoch_ms(max(ts)) AS mxms FROM events),
+s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s2 AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s),
+g AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+  FROM s2 GROUP BY user_id, sess_id)
+SELECT session_start, session_end, user_id, n_events, sum_value_cents
+FROM g, m
+WHERE epoch_ms(session_end) <= m.mxms - 3600000
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (operators/pii.py): emails, IPv4s and hyphenated
+    phone numbers replaced with typed tokens, counts per kind, redacted
+    text md5'd for byte-identity. PII is injected deterministically from
+    doc_id (identical concat in both engines — the fixture corpus itself
+    is PII-free). The oracle mirrors the staged email->ipv4->phone
+    pipeline with RE2 regexes semantically identical to the Java ones
+    (no lookaround/backrefs; see the module header)."""
+    from ..operators import pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = [F.col("text"), F.lit(" contact user"), d.cast("string"),
+         F.lit("@ex"), (d % 7).cast("string"), F.lit(".org or 10."),
+         (d % 256).cast("string"), F.lit("."),
+         ((d * 3) % 256).cast("string"), F.lit("."),
+         ((d * 7) % 256).cast("string"), F.lit(" tel 03-"),
+         (F.lit(1000) + d % 9000).cast("string"), F.lit("-"),
+         (F.lit(1000) + (d * 13) % 9000).cast("string")]
+    aug = docs.select("doc_id", F.concat(*s).alias("text"))
+    return pii.pii_document_summary(aug)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{2,4}-\d{3,4}-\d{4}\b"
+
+SQL_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+              || '.org or 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' tel 03-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              || '-' || CAST(1000 + (doc_id * 13) % 9000 AS VARCHAR) AS t0
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+         regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS BIGINT)
+             AS n_ipv4,
+         regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phone,
+         regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(t3) AS redacted_md5,
+       CAST(length(t3) AS BIGINT) AS n_chars_red
+FROM s3
+"""
+
+
+def q_focal_stats(spark, sf_dir):
+    """Focal box-filter sum (raster.focal_stats): rasterize the synthetic
+    points at z=8 (16 px/tile, 4096-pixel world — coarse enough that
+    neighborhoods genuinely overlap at sf0.01), then the 3x3 moving-
+    window sum in sparse scatter form: two map-side explodes + ONE
+    partial-agg groupBy. x wraps, y clamps (drop past the poles) —
+    exactly rasterize's edge rule. Oracle = neighbor-offset cross join
+    over the same raster CTE."""
+    from ..operators import raster as ra
+
+    pts = _points_df(spark, sf_dir)
+    r = ra.rasterize_points(pts, zoom=8, tile_px=16)
+    return ra.focal_stats(r, zoom=8, tile_px=16, radius=1)
+
+
+SQL_FOCAL_STATS = f"""
+WITH {POINTS_CTE},
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 4096.0) AS BIGINT) % 4096 + 4096) % 4096)
+        AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 4096.0) AS BIGINT), 4095)) AS gy
+  FROM pts),
+r AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+c AS (
+  SELECT ((gx + dx.i) % 4096 + 4096) % 4096 AS tx, gy + dy.i AS ty, n
+  FROM r, UNNEST(range(-1, 2)) AS dx(i), UNNEST(range(-1, 2)) AS dy(i)
+  WHERE gy + dy.i >= 0 AND gy + dy.i < 4096)
+SELECT CAST(8 AS INT) AS z, tx // 16 AS x, ty // 16 AS y,
+       tx % 16 AS px, ty % 16 AS py, CAST(sum(n) AS BIGINT) AS focal_sum
+FROM c GROUP BY 2, 3, 4, 5
+"""
+
+
+def q_triangle_listing(spark, sf_dir):
+    """Triangle listing (graph.triangle_listing): degree-ordered
+    orientation (Suri & Vassilvitskii WWW'11) over the deterministic
+    link graph plus a guaranteed triangle family (i, i+1, i+2 for
+    17 | i) so the gate always has rows. Spark builds wedges only at the
+    lowest-degree apex (hub-safe, O(sqrt(m)) fan-out); the oracle is the
+    independent id-ordered 3-way self-join over the canonical
+    undirected edge list."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    tri_extra = None
+    for a_off, b_off in ((0, 1), (0, 2), (1, 2)):
+        part = (docs.where(i % 17 == 0)
+                .select(((i + a_off) % n).alias("src"),
+                        ((i + b_off) % n).alias("dst")))
+        tri_extra = part if tri_extra is None else tri_extra.unionAll(part)
+    edges = gr.synthetic_link_edges(docs, n).unionAll(tri_extra)
+    return gr.triangle_listing(edges)
+
+
+SQL_TRIANGLES = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+  UNION
+  SELECT doc_id % nn.n, (doc_id + 1) % nn.n FROM documents, nn
+  WHERE doc_id % 17 = 0
+  UNION
+  SELECT doc_id % nn.n, (doc_id + 2) % nn.n FROM documents, nn
+  WHERE doc_id % 17 = 0
+  UNION
+  SELECT (doc_id + 1) % nn.n, (doc_id + 2) % nn.n FROM documents, nn
+  WHERE doc_id % 17 = 0
+),
+u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst)
+SELECT CAST(e1.a AS BIGINT) AS ta, CAST(e1.b AS BIGINT) AS tb,
+       CAST(e2.b AS BIGINT) AS tc
+FROM u e1
+JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def q_session_transitions(spark, sf_dir):
+    """Markov transition counts between consecutive in-session events
+    (temporal.session_transitions): gap-based sessions (30 min), ordered
+    (ts, event_id), one (prev, next) groupBy + per-source ppm share via
+    integer DIV. Oracle re-derives the session ids and lags with the
+    same windows."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events")
+    return tp.session_transitions(ev)
+
+
+SQL_SESSION_TRANSITIONS = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM f),
+t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id, sess_id
+                               ORDER BY ts, event_id) AS prev_state,
+         event_type AS next_state
+  FROM s),
+c AS (
+  SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+SELECT prev_state, next_state, n,
+       CAST((1000000 * n) // SUM(n) OVER (PARTITION BY prev_state)
+            AS BIGINT) AS prob_ppm
+FROM c
+"""
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (retrieval.tfidf_topk_terms):
+    keyword extraction over the bigram postings; idf quantized per term
+    (floor(1e6*ln((N+1)/(df+1)) + 0.5)) so scores and ranking are
+    integer-exact; deterministic (score desc, term) tie-break. Oracle
+    re-derives postings/df/idf/window independently."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    return rt.tfidf_topk_terms(docs, k=3)
+
+
+SQL_TFIDF_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)),
+                                        '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS term
+  FROM toks, UNNEST(range(greatest(len(t) - 1, 0))) AS u(i)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM occ GROUP BY 1, 2),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         tf.tf * CAST(floor(ln((nn.n + 1.0) / (dfq.df + 1.0)) * 1000000.0
+                            + 0.5) AS BIGINT) AS score_e6
+  FROM tf JOIN dfq USING (term) CROSS JOIN nn)
+SELECT doc_id, term, tf, df, score_e6, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_e6 DESC, term) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -5416,6 +6161,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hotspot_regions": q_hotspot_regions,
     "cosine_pairs": q_cosine_pairs,
     "merge_plan": q_merge_plan,
+    # round-5 wave 11
+    "stream_sessions": q_stream_sessions,
+    "stay_points": q_stay_points,
+    "distance_band": q_distance_band,
+    "anomalous_days": q_anomalous_days,
+    # round-5 wave 13
+    "k_core": q_k_core,
+    # round-5 wave 14
+    "ward_geometry": q_ward_geometry,
+    "stream_tile_counts": q_stream_tile_counts,
+    "bounce_rates": q_bounce_rates,
+    "idw_surface": q_idw_surface,
+    "tile_top_sources": q_tile_top_sources,
+    "interarrival_quantiles": q_interarrival_quantiles,
+    "pii_redact": q_pii_redact,
+    "focal_stats": q_focal_stats,
+    "triangle_listing": q_triangle_listing,
+    "session_transitions": q_session_transitions,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -5538,4 +6302,23 @@ ORACLES: dict[str, str] = {
     "hotspot_regions": SQL_HOTSPOT_REGIONS,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "merge_plan": SQL_MERGE_PLAN,
+    # round-5 wave 11
+    "stream_sessions": SQL_STREAM_SESSIONS,
+    "stay_points": SQL_STAY_POINTS,
+    "distance_band": _sql_distance_band(),
+    "anomalous_days": SQL_ANOMALOUS_DAYS,
+    # round-5 wave 13
+    "k_core": SQL_K_CORE,
+    # round-5 wave 14
+    "ward_geometry": SQL_WARD_GEOMETRY,
+    "stream_tile_counts": SQL_STREAM_TILE_COUNTS,
+    "bounce_rates": SQL_BOUNCE_RATES,
+    "idw_surface": SQL_IDW_SURFACE,
+    "tile_top_sources": SQL_TILE_TOP_SOURCES,
+    "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
+    "pii_redact": SQL_PII_REDACT,
+    "focal_stats": SQL_FOCAL_STATS,
+    "triangle_listing": SQL_TRIANGLES,
+    "session_transitions": SQL_SESSION_TRANSITIONS,
+    "tfidf_terms": SQL_TFIDF_TERMS,
 }

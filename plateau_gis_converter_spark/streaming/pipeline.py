@@ -88,13 +88,39 @@ def streaming_windowed_counts(events: DataFrame,
 
 
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
-                         ts_col: str = "ts") -> DataFrame:
-    """Session windows per user with watermark-bounded state."""
+                         ts_col: str = "ts",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user with watermark-bounded state — the
+    built-in MERGING-window engine path (session_window state merges
+    adjacent entries as events arrive), complementing the tumbling-
+    window gate (``streaming_windowed_counts``) and the two
+    applyInPandasWithState operators.
+
+    session_window semantics (probed on this build, relied on by the
+    gate oracle): each event opens [ts, ts+gap); sessions MERGE while
+    the next event starts at or before the current end (two events
+    exactly ``gap`` apart share a session), so the break rule is
+    strictly ``diff > gap`` — the SAME islands rule the batch
+    sessionize gate uses, and session_end = last event + gap. In
+    append mode a session emits once the watermark passes its end
+    (``end <= ms_floor(max ts) - delay``, inclusive at equality — the
+    same finalize rule as the tumbling gate, both probed).
+
+    The value sum is integer-quantized (cents) before aggregation —
+    merge-order free. State is O(open sessions), bounded by the
+    watermark horizon.
+    """
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return (events.withWatermark(ts_col, "1 hour")
-            .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("sum_value")))
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+        .cast("bigint")
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(cents).alias("sum_value_cents"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "n_events", "sum_value_cents"))
 
 
 def streaming_dedup_first_seen(pages: DataFrame,

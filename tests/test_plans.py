@@ -304,3 +304,99 @@ def test_wave10_query_scans_prune_columns_and_stay_jvm(spark):
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave11_query_scans_prune_columns_and_stay_jvm(spark):
+    """Wave-11 gates (PII redaction, focal stats, triangle listing,
+    session transitions, TF-IDF terms): pruned scans, zero Python."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "pii_redact": {"doc_id", "text"},
+        "focal_stats": {"doc_id"},
+        "triangle_listing": {"doc_id"},
+        "session_transitions": {"event_id", "ts", "user_id", "event_type"},
+        "tfidf_terms": {"doc_id", "text"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave12_query_scans_prune_columns_and_stay_jvm(spark):
+    """Wave-12 gates (stay points, geodesic distance band, anomalous
+    days): pruned scans, zero Python. (stream_sessions reads a memory
+    sink after the streaming run — no parquet scan to audit; the
+    registry-wide python-free audit still covers it.)"""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "stay_points": {"user_id", "ts", "event_id"},
+        "distance_band": {"doc_id"},
+        "anomalous_days": {"event_type", "ts"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave13_query_scans_prune_columns_and_stay_jvm(spark):
+    """Wave-13 gates (k-core, IDW surface, tile top sources, grouped
+    inter-arrival quantiles): pruned scans, zero Python."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        # k_core's returned plan starts from the final localCheckpoint
+        # RDD — the pruned documents scans run inside the iterative
+        # peeling, before the checkpoint, so the final plan has none
+        "k_core": set(),
+        "idw_surface": {"doc_id", "n_chars"},
+        "tile_top_sources": {"doc_id", "source"},
+        "interarrival_quantiles": {"event_type", "ts", "event_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave14_query_scans_prune_columns_and_stay_jvm(spark):
+    """Wave-14 gates: bounce_rates prunes the events scan; ward_geometry
+    reads no parquet at all (fixture relation). stream_tile_counts reads
+    a memory sink post-run — covered by the registry-wide python audit."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "bounce_rates": {"user_id", "ts", "event_id", "event_type"},
+        "ward_geometry": set(),
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"

@@ -263,3 +263,43 @@ def test_streaming_windowed_counts_emission_rule(spark, tmp_path):
         ("2024-01-01 00:00:00", "a"): (2, 301),   # floor(100.4+.5)+floor(200.6+.5)
         ("2024-01-01 00:00:00", "b"): (1, 50),
     }
+
+
+def test_streaming_sessionize_append_emission_boundaries(spark, tmp_path):
+    """Append-mode session emission (probed rules the gate oracle relies
+    on): (a) two events exactly gap apart MERGE into one session whose
+    end is last-event + gap; (b) a session whose end equals the final
+    watermark (ms_floor(max ts) - delay) IS emitted (inclusive); (c) a
+    session ending past the watermark stays in state (not emitted)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events_sess"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = {
+        # user 1: 0 & 30 min apart exactly -> ONE session [0, 60);
+        #   end 60 == wm (max 120 - 60) -> emitted (inclusive)
+        # user 2: event at 90 -> session [90, 120) ends past wm -> held
+        # user 3: max-ts anchor at 120 -> session [120, 150) held
+        "ts": [base + np.timedelta64(m, "m") for m in [0, 30, 90, 120]],
+        "user_id": [1, 1, 2, 3],
+        "value": [1.5, 2.25, 1.0, 1.0],
+    }
+    pq.write_table(pa.table(rows), str(d / "p.parquet"))
+    static = spark.read.parquet(str(d))
+    stream = spark.readStream.schema(static.schema).parquet(str(d))
+    agg = sp.streaming_sessionize(stream, gap="30 minutes",
+                                  watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("sess_append")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sess_append").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["sum_value_cents"] == 150 + 225
+    assert (r["session_end"] - r["session_start"]).total_seconds() == 3600
