@@ -197,7 +197,8 @@ def main():
                   "anomalous_days", "k_core", "idw_surface",
                   "tile_top_sources", "interarrival_quantiles",
                   "ward_geometry", "stream_tile_counts",
-                  "bounce_rates"]:
+                  "bounce_rates", "degree_histogram", "link_reciprocity",
+                  "token_entropy", "ward_density"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

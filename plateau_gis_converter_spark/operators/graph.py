@@ -591,3 +591,40 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
     raise RuntimeError(
         f"k_core did not converge within max_iters={max_iters}; "
         "raise max_iters (peeling depth exceeds the bound)")
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of the directed link graph — the first
+    diagnostic run on any web graph (power-law tail, hub detection,
+    sanity of an extraction change). One row per (direction, degree):
+    how many nodes have that out-/in-degree. Two partial-agg groupBys
+    (node degree, then degree histogram) per direction — no joins, no
+    windows, nothing driver-side.
+    """
+    def hist(col: str, direction: str) -> DataFrame:
+        return (edges.groupBy(F.col(col).alias("id"))
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .groupBy("degree")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+                .select(F.lit(direction).alias("direction"),
+                        F.col("degree").cast("bigint").alias("degree"),
+                        "n_nodes"))
+    return hist("src", "out").unionByName(hist("dst", "in"))
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Link reciprocity: the share of directed edges whose reverse edge
+    also exists (a classic spam/nepotism signal — organic link graphs
+    are weakly reciprocal, link rings highly). One self-semi-join on the
+    reversed key, integer ppm. Output: one row
+    (n_edges, n_reciprocal, reciprocity_ppm)."""
+    e = (edges.where(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    agg = (e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+           .crossJoin(recip.agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("n_reciprocal"))))
+    return agg.withColumn(
+        "reciprocity_ppm",
+        F.expr("CAST((1000000 * n_reciprocal) DIV n_edges AS BIGINT)"))

@@ -270,3 +270,39 @@ def bigram_collocations(docs: DataFrame, min_count: int = 5,
             .select("w_a", "w_b", "n_ab", "n_a", "n_b",
                     F.expr("n_ab * _N * 1000000 div (n_a * n_b)")
                     .cast("bigint").alias("lift_micro")))
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the lexical-
+    diversity / gibberish signal (keyword-stuffed and boilerplate pages
+    sit far below prose of the same length; repeated-token spam
+    approaches 0). Quantized to integer micro-nats so the value is
+    engine-reproducible: entropy = ln(n) - (1/n) * sum(c_i * ln(c_i))
+    becomes ln_e6(n) - (sum_i floor(ln(c_i)*c_i*1e6 + 0.5)) DIV n —
+    each term quantized BEFORE the sum, so the aggregate is integer and
+    merge-order free (the module's float-determinism discipline).
+
+    One tokenize+explode map stage and one partial-agg groupBy per
+    level — no windows, no joins.
+
+    Output: (doc_id, n_tokens, n_distinct, entropy_e6_nats).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(F.col(text_col)).alias("toks"))
+    occ = toks.select("doc_id", F.explode("toks").alias("tok"))
+    cnt = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    term = F.floor(F.log(F.col("c").cast("double"))
+                   * F.col("c").cast("double") * F.lit(1e6)
+                   + F.lit(0.5)).cast("bigint")
+    agg = (cnt.groupBy("doc_id")
+           .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.sum(term).cast("bigint").alias("s")))
+    ln_n = F.floor(F.log(F.col("n_tokens").cast("double")) * F.lit(1e6)
+                   + F.lit(0.5)).cast("bigint")
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct",
+        (ln_n - F.expr("s DIV n_tokens")).cast("bigint")
+        .alias("entropy_e6_nats"))

@@ -5287,6 +5287,161 @@ FROM files LEFT JOIN hits ON files.file_id = hits.file_id
 """
 
 
+def q_degree_histogram(spark, sf_dir):
+    """Degree distribution of the link graph (graph.degree_histogram):
+    one row per (direction, degree) with the node count — two partial
+    aggs per direction, nothing driver-side. Oracle re-derives both
+    histograms from the edge CTE."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return gr.degree_histogram(gr.synthetic_link_edges(docs, n))
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+o AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+      FROM e GROUP BY 1),
+i AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS degree
+      FROM e GROUP BY 1)
+SELECT 'out' AS direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM o GROUP BY 2
+UNION ALL
+SELECT 'in', degree, CAST(count(*) AS BIGINT) FROM i GROUP BY 2
+"""
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Link reciprocity (graph.reciprocity): share of directed edges
+    whose reverse exists, integer ppm — one reversed-key self-semi-join.
+    Oracle via an EXISTS subquery."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return gr.reciprocity(gr.synthetic_link_edges(docs, n))
+
+
+SQL_LINK_RECIPROCITY = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+      FROM e a WHERE EXISTS (SELECT 1 FROM e b
+                             WHERE b.src = a.dst AND b.dst = a.src)),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT t.n_edges, r.n_reciprocal,
+       CAST((1000000 * r.n_reciprocal) // t.n_edges AS BIGINT)
+           AS reciprocity_ppm
+FROM t, r
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document token entropy in micro-nats (text.token_entropy):
+    lexical-diversity / gibberish signal; each c*ln(c) term quantized
+    BEFORE the sum so the aggregate is integer and merge-order free.
+    Oracle re-derives from the shared token CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_entropy(docs)
+
+
+SQL_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+occ AS (SELECT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)),
+cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM occ GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE)) * CAST(c AS DOUBLE)
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM cnt GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) - s // n_tokens AS BIGINT) AS entropy_e6_nats
+FROM agg
+"""
+
+
+def q_ward_density(spark, sf_dir):
+    """Ward page density — the geometry x spatial-join composition:
+    PIP-joined page counts per ward divided by the exact shoelace area
+    (pages per 1e9 µdeg^2, integer DIV). Composes spatial_join_points
+    with operators/geometry over the same fixture quads; oracle = PIP
+    counts joined to the closed-form quad shoelace."""
+    from ..operators import geometry as gm
+
+    pts = _points_df(spark, sf_dir)
+    recs = fx.tessellation_records()
+    joined = sj.spatial_join_points(spark, pts, recs)
+    counts = joined.groupBy("ward_code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"))
+    rows = []
+    for rec in recs:
+        for i, (x, y) in enumerate(rec["rings_udeg"][0]):
+            rows.append((rec["ward_code"], i, x, y))
+    verts = spark.createDataFrame(rows, "poly_id string, i int, "
+                                        "x long, y long")
+    geom = gm.ring_area2_centroid(verts).withColumnRenamed(
+        "poly_id", "ward_code")
+    return (counts.join(geom.select("ward_code", "area2_udeg2"),
+                        "ward_code")
+            .withColumn("density_per_gud2",
+                        F.expr("CAST((n_pages * 2000000000) DIV "
+                               "area2_udeg2 AS BIGINT)")))
+
+
+SQL_WARD_DENSITY = f"""
+WITH {POINTS_CTE},
+b(ward_code, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES
+    {fx.boundaries_sql_values()}),
+cnts AS (
+  SELECT b.ward_code, CAST(count(*) AS BIGINT) AS n_pages
+  FROM pts p JOIN b ON {fx.PIP_CONVEX_SQL}
+  GROUP BY 1),
+b8 AS (
+  SELECT ward_code,
+         CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+         CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2,
+         CAST(x3 AS BIGINT) AS x3, CAST(y3 AS BIGINT) AS y3,
+         CAST(x4 AS BIGINT) AS x4, CAST(y4 AS BIGINT) AS y4
+  FROM b),
+area AS (
+  SELECT ward_code,
+         CAST((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3)
+              + (x4*y1 - x1*y4) AS BIGINT) AS area2_udeg2
+  FROM b8)
+SELECT c.ward_code, c.n_pages, a.area2_udeg2,
+       CAST((c.n_pages * 2000000000) // a.area2_udeg2 AS BIGINT)
+           AS density_per_gud2
+FROM cnts c JOIN area a USING (ward_code)
+"""
+
+
 def q_ward_geometry(spark, sf_dir):
     """Exact polygon geometry (operators/geometry.ring_area2_centroid):
     shoelace 2*area and integer-DIV centroid for the 23 ward quads from
@@ -6172,6 +6327,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ward_geometry": q_ward_geometry,
     "stream_tile_counts": q_stream_tile_counts,
     "bounce_rates": q_bounce_rates,
+    # round-5 wave 15
+    "degree_histogram": q_degree_histogram,
+    "link_reciprocity": q_link_reciprocity,
+    "token_entropy": q_token_entropy,
+    "ward_density": q_ward_density,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -6313,6 +6473,11 @@ ORACLES: dict[str, str] = {
     "ward_geometry": SQL_WARD_GEOMETRY,
     "stream_tile_counts": SQL_STREAM_TILE_COUNTS,
     "bounce_rates": SQL_BOUNCE_RATES,
+    # round-5 wave 15
+    "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "link_reciprocity": SQL_LINK_RECIPROCITY,
+    "token_entropy": SQL_TOKEN_ENTROPY,
+    "ward_density": SQL_WARD_DENSITY,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
