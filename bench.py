@@ -198,7 +198,8 @@ def main():
                   "tile_top_sources", "interarrival_quantiles",
                   "ward_geometry", "stream_tile_counts",
                   "bounce_rates", "degree_histogram", "link_reciprocity",
-                  "token_entropy", "ward_density"]:
+                  "token_entropy", "ward_density", "focal_delta",
+                  "hll_estimate"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -132,3 +132,49 @@ def hll_rollup_tiles(registers: DataFrame, levels: int = 1) -> DataFrame:
                 F.expr(f"y div {d}").cast("bigint").alias("y"),
                 F.col("bucket"))
             .agg(F.max("r").cast("bigint").alias("r")))
+
+
+def hll_estimate_grouped(registers: DataFrame, groups: list[str],
+                         p: int = 12) -> DataFrame:
+    """Distributed, engine-reproducible HLL estimate READ over a
+    per-group register relation (the distributed dual of the scalar
+    ``hll_estimate`` helper): one partial-agg groupBy, no collect, one
+    output row per group.
+
+    Determinism scheme (the module's register discipline extended to
+    the read path): the harmonic denominator is accumulated as the
+    EXACT integer S = sum(2^(B - r)) + zeros * 2^B with B = 62 - p —
+    every term a power of two (r <= 61 - p, so the exponent is >= 1)
+    and S <= m * 2^B = 2^62, always inside i64 for any p in [4, 18].
+    The BIGINT sum is associative and merge-order free. Only AFTER the
+    exact aggregation does one fixed-order scalar double chain (same
+    literals, same op order in Spark and DuckDB) produce
+    alpha * m^2 * 2^B / S with the standard linear-counting small-range
+    correction; alpha is the SAME p-specific constant the scalar
+    ``hll_estimate`` uses (0.673/0.697/0.709 for p=4/5/6), resolved in
+    Python and embedded as one literal so the two readers agree
+    bit-for-bit. Output: (*groups, n_buckets, s_scaled, est_distinct).
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    b = 62 - p
+    alpha = (0.673 if p == 4 else 0.697 if p == 5 else 0.709 if p == 6
+             else 0.7213 / (1 + 1.079 / m))
+    per = (registers.groupBy(*groups)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                F.sum(F.expr(f"CAST(1 AS BIGINT) << CAST({b} - r AS INT)"))
+                .cast("bigint").alias("s_present")))
+    zeros = F.lit(m).cast("bigint") - F.col("n_buckets")
+    s = (F.col("s_present") + zeros * F.lit(1 << b)).alias("s_scaled")
+    per = per.select(*groups, "n_buckets", s)
+    raw = (F.lit(alpha)
+           * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(1 << b))
+           / F.col("s_scaled").cast("double"))
+    zeros2 = F.lit(m).cast("bigint") - F.col("n_buckets")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m))
+                                 / zeros2.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros2 > 0), lc).otherwise(raw)
+    return per.select(*groups, "n_buckets", "s_scaled",
+                      F.floor(est + F.lit(0.5)).cast("bigint")
+                      .alias("est_distinct"))

@@ -372,3 +372,38 @@ def idw_surface(samples: DataFrame, cell_udeg: int,
     return agg.select("cx", "cy", "n_samples",
                       F.expr("CAST(num DIV den AS BIGINT)")
                       .alias("idw_value"))
+
+
+def apply_focal_delta(prev_focal: DataFrame, added_pts: DataFrame,
+                      removed_pts: DataFrame, zoom: int,
+                      tile_px: int = 256, radius: int = 1,
+                      lng_col: str = "lng_udeg",
+                      lat_col: str = "lat_udeg") -> DataFrame:
+    """Incremental FOCAL-raster maintenance: the box-filter is linear in
+    the input raster (focal(R + D) = focal(R) + focal(D)), so a stored
+    smoothed heatmap updates from the snapshot delta alone:
+
+        new_focal = prev_focal + focal(rasterize(added))
+                               - focal(rasterize(removed))
+
+    pixels whose smoothed count reaches 0 drop out (and negatives from a
+    stale prev_focal drop with them — same consistency discipline as
+    ``apply_raster_delta``). Lossless against a full
+    rasterize-then-focal recompute of the new snapshot; the gate proves
+    it. Cost: two delta rasters + their (2r+1)^2 scatters + ONE merge
+    groupBy — O(changed pixels), never O(corpus). Completes the
+    incremental family across derived rasters, not just the base one.
+    """
+    cols = ["z", "x", "y", "px", "py"]
+    fa = focal_stats(rasterize_points(added_pts, zoom, tile_px,
+                                      lng_col, lat_col),
+                     zoom, tile_px, radius)
+    fr = focal_stats(rasterize_points(removed_pts, zoom, tile_px,
+                                      lng_col, lat_col),
+                     zoom, tile_px, radius)
+    signed = (prev_focal.select(*cols, F.col("focal_sum").alias("d"))
+              .unionAll(fa.select(*cols, F.col("focal_sum").alias("d")))
+              .unionAll(fr.select(*cols, (-F.col("focal_sum")).alias("d"))))
+    return (signed.groupBy(*cols)
+            .agg(F.sum("d").alias("focal_sum"))
+            .where(F.col("focal_sum") > 0))

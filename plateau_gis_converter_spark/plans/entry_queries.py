@@ -5287,6 +5287,130 @@ FROM files LEFT JOIN hits ON files.file_id = hits.file_id
 """
 
 
+def q_focal_delta(spark, sf_dir):
+    """Incremental FOCAL-raster maintenance (raster.apply_focal_delta):
+    the box filter is linear in the input raster, so the stored
+    smoothed heatmap updates from the snapshot delta alone
+    (prev + focal(rast(added)) - focal(rast(removed))). Same snapshot
+    delta fixture as raster_delta (removed %17|%13, %13 moved +25000
+    µdeg east, %19 added at fresh ids), z=8 / 16 px so neighborhoods
+    genuinely overlap. Oracle = FULL rasterize-then-focal recompute of
+    the new snapshot — losslessness by linearity."""
+    from ..operators import raster as ra
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lng, lat = geo.point_udeg_cols(did)
+    prev = ra.focal_stats(
+        ra.rasterize_points(docs.select(lng, lat), zoom=8, tile_px=16),
+        zoom=8, tile_px=16, radius=1)
+    removed = (docs.where((did % 17 == 0) | (did % 13 == 0))
+               .select(lng, lat))
+    lng_a, lat_a = geo.point_udeg_cols(did + 1000000)
+    moved = (docs.where((did % 17 != 0) & (did % 13 == 0))
+             .select((lng + 25000).alias("lng_udeg"), lat))
+    added = (docs.where(did % 19 == 0).select(lng_a, lat_a))
+    return ra.apply_focal_delta(prev, moved.unionAll(added), removed,
+                                zoom=8, tile_px=16, radius=1)
+
+
+def _focal_delta_sql() -> str:
+    lng_o, lat_o = fx.point_udeg_sql("doc_id")
+    lng_a, lat_a = fx.point_udeg_sql("(doc_id + 1000000)")
+    return f"""
+WITH np AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN {lng_o} + 25000 ELSE {lng_o} END
+             AS lng_udeg,
+         {lat_o} AS lat_udeg
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT {lng_a}, {lat_a} FROM documents WHERE doc_id % 19 = 0),
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 4096.0) AS BIGINT) % 4096 + 4096) % 4096)
+        AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 4096.0) AS BIGINT), 4095)) AS gy
+  FROM np),
+r AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+c AS (
+  SELECT ((gx + dx.i) % 4096 + 4096) % 4096 AS tx, gy + dy.i AS ty, n
+  FROM r, UNNEST(range(-1, 2)) AS dx(i), UNNEST(range(-1, 2)) AS dy(i)
+  WHERE gy + dy.i >= 0 AND gy + dy.i < 4096)
+SELECT CAST(8 AS INT) AS z, tx // 16 AS x, ty // 16 AS y,
+       tx % 16 AS px, ty % 16 AS py, CAST(sum(n) AS BIGINT) AS focal_sum
+FROM c GROUP BY 2, 3, 4, 5
+"""
+
+
+SQL_FOCAL_DELTA = _focal_delta_sql()
+
+
+def q_hll_estimate(spark, sf_dir):
+    """Distributed HLL estimate READ (cardinality.hll_estimate_grouped,
+    p=6 so both the raw-harmonic and linear-counting branches are live
+    on this fixture): per-lang distinct-doc estimates from the register
+    relation — exact-integer harmonic denominator (sum of powers of
+    two), then ONE fixed-order scalar double chain; exact distinct
+    joined alongside for accuracy reading. Oracle re-derives registers,
+    S, and the same scalar chain."""
+    from ..operators import cardinality as cd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull())
+            .select("lang", F.col("doc_id").cast("string").alias("k")))
+    regs = cd.hll_registers_grouped(docs, "k", ["lang"], p=6)
+    est = cd.hll_estimate_grouped(regs, ["lang"], p=6)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("k").cast("bigint").alias("exact_distinct"))
+    return est.join(exact, "lang")
+
+
+SQL_HLL_ESTIMATE = f"""
+WITH h AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'hll'),
+                                  1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE lang IS NOT NULL),
+br AS (SELECT lang, hv // {1 << 54} AS bucket, hv % {1 << 54} AS rest
+       FROM h),
+reg AS (
+  SELECT lang, bucket,
+         CAST(max(CASE WHEN rest = 0 THEN 55
+                       ELSE 54 - (length(bin(rest)) - 1) END) AS BIGINT)
+             AS r
+  FROM br GROUP BY 1, 2),
+per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(56 - r AS INT)) AS BIGINT)
+             AS s_present
+  FROM reg GROUP BY 1),
+scal AS (
+  SELECT lang, n_buckets,
+         CAST(s_present + (64 - n_buckets) * {1 << 56} AS BIGINT)
+             AS s_scaled
+  FROM per),
+est AS (
+  SELECT lang, n_buckets, s_scaled,
+         0.709 * 64.0 * 64.0 * {float(1 << 56)}
+             / CAST(s_scaled AS DOUBLE) AS raw,
+         64 - n_buckets AS zeros
+  FROM scal),
+fin AS (
+  SELECT lang, n_buckets, s_scaled,
+         CAST(floor((CASE WHEN raw <= 160.0 AND zeros > 0
+                          THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+                          ELSE raw END) + 0.5) AS BIGINT) AS est_distinct
+  FROM est),
+ex AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT)
+           AS exact_distinct
+       FROM documents WHERE lang IS NOT NULL GROUP BY 1)
+SELECT fin.lang, fin.n_buckets, fin.s_scaled, fin.est_distinct,
+       ex.exact_distinct
+FROM fin JOIN ex USING (lang)
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -6332,6 +6456,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_reciprocity": q_link_reciprocity,
     "token_entropy": q_token_entropy,
     "ward_density": q_ward_density,
+    # round-5 wave 16
+    "focal_delta": q_focal_delta,
+    "hll_estimate": q_hll_estimate,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -6478,6 +6605,9 @@ ORACLES: dict[str, str] = {
     "link_reciprocity": SQL_LINK_RECIPROCITY,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "ward_density": SQL_WARD_DENSITY,
+    # round-5 wave 16
+    "focal_delta": SQL_FOCAL_DELTA,
+    "hll_estimate": SQL_HLL_ESTIMATE,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

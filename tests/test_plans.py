@@ -423,3 +423,24 @@ def test_wave15_query_scans_prune_columns_and_stay_jvm(spark):
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave16_query_scans_prune_columns_and_stay_jvm(spark):
+    """Wave-16 gates (incremental focal, HLL estimate read): pruned
+    scans, zero Python."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "focal_delta": {"doc_id"},
+        "hll_estimate": {"doc_id", "lang"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
