@@ -199,7 +199,8 @@ def main():
                   "ward_geometry", "stream_tile_counts",
                   "bounce_rates", "degree_histogram", "link_reciprocity",
                   "token_entropy", "ward_density", "focal_delta",
-                  "hll_estimate"]:
+                  "hll_estimate", "trend_slope", "mor_read",
+                  "stream_followup"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -269,3 +269,60 @@ def group_value_quantiles(df: DataFrame, group_col: str, col: str,
             .groupBy("g", "q_ppm")
             .agg(F.min("v").alias("value"))
             .select(F.col("g").alias(group_col), "q_ppm", "value"))
+
+
+def trend_slope(events: DataFrame, key_col: str = "event_type",
+                ts_col: str = "ts") -> DataFrame:
+    """Per-key OLS trend slope of daily activity, integer-exact — the
+    crawl-freshness / traffic-trend diagnostic (is this host growing or
+    dying?) that feeds recrawl scheduling alongside
+    ``temporal``'s change-frequency priority.
+
+    Least-squares slope over the (day index, daily count) series:
+
+        slope = (n*S_xy - S_x*S_y) / (n*S_xx - S_x^2)
+
+    Every sum is computed over INTEGER (x, y): x = epoch-day relative
+    to the key's own first active day (OLS slope is translation
+    invariant, and the numerator/denominator are EXACTLY invariant in
+    integer arithmetic, so the per-key offset changes nothing except
+    keeping magnitudes small — at 10 years x 10^9 events/day,
+    n*S_xy stays ~5e19-bounded only with the offset applied; raw epoch
+    days would overflow i64), y = that day's event count.  The output
+    is slope_uday = 10^6 * num DIV den in micro-events/day/day —
+    integer division TRUNCATING toward zero, which Spark's `div` and
+    DuckDB's integer `//` both do (verified: -7 div 2 = -7 // 2 = -3),
+    so negative slopes agree bit-for-bit with no float in the chain.
+
+    Shape: one partial-agg groupBy to daily counts, one window over the
+    SMALL per-key daily relation (days/key rows, not events) for the
+    x offset, one second partial agg — no window ever touches the raw
+    event stream.  Keys with a single active day get NULL slope
+    (den = 0) and are kept with n_days = 1.
+    """
+    from pyspark.sql import Window
+
+    daily = (events.where(F.col(key_col).isNotNull())
+             .groupBy(F.col(key_col).alias("k"),
+                      F.expr(f"CAST(to_date({ts_col}) AS DATE)")
+                      .alias("d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    w = Window.partitionBy("k")
+    daily = daily.withColumn(
+        "x", (F.datediff(F.col("d"), F.min("d").over(w))).cast("bigint"))
+    agg = (daily.groupBy("k")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("sx"),
+                F.sum("y").cast("bigint").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        * F.lit(1000000)
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.expr(
+        "CASE WHEN _den = 0 THEN NULL ELSE _num div _den END")
+    return (agg.withColumn("_num", num).withColumn("_den", den)
+            .select(F.col("k").alias(key_col),
+                    F.col("n").alias("n_days"),
+                    F.col("sy").alias("total_events"),
+                    slope.cast("bigint").alias("slope_uday")))

@@ -5411,6 +5411,143 @@ FROM fin JOIN ex USING (lang)
 """
 
 
+def q_trend_slope(spark, sf_dir):
+    """Per-key OLS trend slope of daily activity (stats.trend_slope):
+    integer-exact least-squares slope over (day index, daily count) per
+    event type — the crawl-freshness / traffic-trend signal. Oracle
+    re-derives daily counts, the per-key x offset, and the identical
+    truncating integer division (Spark `div` == DuckDB integer `//`,
+    both toward zero — verified on negatives)."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    return st.trend_slope(ev)
+
+
+SQL_TREND_SLOPE = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+xd AS (
+  SELECT k,
+         CAST(date_diff('day', min(d) OVER (PARTITION BY k), d) AS BIGINT)
+             AS x,
+         y
+  FROM daily),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xd GROUP BY 1)
+SELECT k AS event_type, n AS n_days, sy AS total_events,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(((n * sxy - sx * sy) * 1000000)
+                      // (n * sxx - sx * sx) AS BIGINT)
+       END AS slope_uday
+FROM agg
+"""
+
+
+def q_mor_read(spark, sf_dir):
+    """Merge-on-read scan (sources/layout.merge_on_read): Iceberg-v2
+    positional + equality delete files applied at read time via two
+    broadcast anti joins with the spec's sequence-number rules
+    (positional: delete_seq >= data_seq; equality: strictly >). Fixture:
+    each doc is row pos=doc_id%50 of file doc_id//50 committed at
+    data_seq=doc_id%4; every 7th doc has a positional delete at
+    delete_seq=doc_id%5 (so some deletes are OLDER than the data and
+    must NOT apply); equality deletes kill lang='de' rows before seq 2
+    and lang='fr' rows before seq 5. Oracle = double NOT EXISTS."""
+    from ..sources import layout as ly
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fp = F.format_string("data/f-%03d.parquet", (did / 50).cast("bigint"))
+    data = docs.select(
+        "doc_id", "lang", fp.alias("file_path"),
+        (did % 50).cast("bigint").alias("pos"),
+        (did % 4).cast("bigint").alias("data_seq"))
+    pos_del = (docs.where(did % 7 == 0)
+               .select(fp.alias("file_path"),
+                       (did % 50).cast("bigint").alias("pos"),
+                       (did % 5).cast("bigint").alias("delete_seq")))
+    eq_del = spark.createDataFrame(
+        [("de", 2), ("fr", 5)], "lang string, delete_seq bigint")
+    return ly.merge_on_read(data, pos_del, eq_del, eq_cols=["lang"])
+
+
+SQL_MOR_READ = """
+WITH data AS (
+  SELECT doc_id, lang,
+         printf('data/f-%03d.parquet', doc_id // 50) AS file_path,
+         CAST(doc_id % 50 AS BIGINT) AS pos,
+         CAST(doc_id % 4 AS BIGINT) AS data_seq
+  FROM documents),
+pdel AS (
+  SELECT printf('data/f-%03d.parquet', doc_id // 50) AS file_path,
+         CAST(doc_id % 50 AS BIGINT) AS pos,
+         CAST(doc_id % 5 AS BIGINT) AS delete_seq
+  FROM documents WHERE doc_id % 7 = 0),
+edel AS (SELECT * FROM (VALUES ('de', 2), ('fr', 5)) AS t(lang, delete_seq))
+SELECT d.doc_id, d.lang, d.file_path, d.pos, d.data_seq
+FROM data d
+WHERE NOT EXISTS (SELECT 1 FROM pdel p
+                  WHERE p.file_path = d.file_path AND p.pos = d.pos
+                    AND p.delete_seq >= d.data_seq)
+  AND NOT EXISTS (SELECT 1 FROM edel e
+                  WHERE e.lang = d.lang AND e.delete_seq > d.data_seq)
+"""
+
+
+def q_stream_followup(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join
+    (streaming/pipeline.streaming_followup_join) driven as a gate: two
+    file streams over the events parquet (views and purchases), inner
+    join on user within a 2-hour event-time band, 1-hour watermark,
+    append mode, availableNow, memory sink. Sixth streaming-engine
+    gate — the symmetric-hash-join path (per-side keyed state stores
+    bounded by watermark + time-range condition) that no other
+    streaming operator exercises. Inner-join emission is exactly the
+    static interval join, so a full SQL oracle applies."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def src():
+        return (spark.readStream.schema(static.schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir))
+
+    views = src().where(F.col("event_type") == "view")
+    buys = src().where(F.col("event_type") == "purchase")
+    out = sp.streaming_followup_join(views, buys, within="2 hours",
+                                     watermark="1 hour")
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_followup_gate_{_STREAM_GATE_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_followup_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, l_event_id, l_ts, r_event_id, r_ts, lag_us "
+        f"FROM {qname}")
+
+
+SQL_STREAM_FOLLOWUP = """
+SELECT a.user_id, a.event_id AS l_event_id, a.ts AS l_ts,
+       b.event_id AS r_event_id, b.ts AS r_ts,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -6459,6 +6596,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 wave 16
     "focal_delta": q_focal_delta,
     "hll_estimate": q_hll_estimate,
+    # round-5 wave 17
+    "trend_slope": q_trend_slope,
+    "mor_read": q_mor_read,
+    "stream_followup": q_stream_followup,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -6608,6 +6749,10 @@ ORACLES: dict[str, str] = {
     # round-5 wave 16
     "focal_delta": SQL_FOCAL_DELTA,
     "hll_estimate": SQL_HLL_ESTIMATE,
+    # round-5 wave 17
+    "trend_slope": SQL_TREND_SLOPE,
+    "mor_read": SQL_MOR_READ,
+    "stream_followup": SQL_STREAM_FOLLOWUP,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

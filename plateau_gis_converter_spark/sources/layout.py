@@ -35,6 +35,7 @@ scan's pushed filter performs, measured from the files themselves.
 from __future__ import annotations
 
 import glob as _glob
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -219,3 +220,58 @@ def merge_plan(file_stats: DataFrame, update_keys: DataFrame,
                     F.coalesce("n_hits", F.lit(0)).cast("bigint")
                     .alias("n_hits"))
             .withColumn("rewrite", F.col("n_hits") > 0))
+
+
+def merge_on_read(data: DataFrame, pos_deletes: DataFrame,
+                  eq_deletes: DataFrame | None = None,
+                  eq_cols: Sequence[str] | None = None,
+                  file_col: str = "file_path", pos_col: str = "pos",
+                  seq_col: str = "data_seq",
+                  delete_seq_col: str = "delete_seq") -> DataFrame:
+    """Merge-on-read scan: apply positional AND equality delete files to
+    a data relation at read time — the Iceberg v2 / Delta
+    deletion-vector read path (the write side never rewrites data
+    files; deletes land as small delete files and the READER subtracts
+    them).  This is the MoR complement to ``merge_plan`` (copy-on-write)
+    and completes the lakehouse maintenance set
+    (clustering/compaction/vacuum/COW-merge/MoR-read).
+
+    Sequence-number semantics follow the Iceberg v2 spec exactly:
+
+    * a POSITIONAL delete (file_path, pos, delete_seq) removes the row
+      at that position when ``delete_seq >= data_seq`` (a position
+      delete committed in the same snapshot as the data applies);
+    * an EQUALITY delete (eq_cols..., delete_seq) removes every row
+      whose eq_cols match when ``delete_seq > data_seq`` STRICTLY (an
+      equality delete never applies to data of its own commit — that is
+      how upsert MERGE writes a delete+insert of the same key in one
+      snapshot without killing its own insert).
+
+    Both subtractions are LEFT ANTI joins with the sequence predicate
+    folded into the join condition.  Delete files are small relative to
+    data by construction (that is the point of MoR), so both anti joins
+    broadcast the delete relation — the scan stays shuffle-free and the
+    plan composes with partition pruning on the data side.  Output =
+    surviving data rows, schema unchanged.
+    """
+    from pyspark.sql.functions import broadcast
+
+    pd_ = pos_deletes.select(
+        F.col(file_col).alias("_df"), F.col(pos_col).alias("_dp"),
+        F.col(delete_seq_col).alias("_ds"))
+    out = data.join(
+        broadcast(pd_),
+        (F.col(file_col) == F.col("_df")) & (F.col(pos_col) == F.col("_dp"))
+        & (F.col("_ds") >= F.col(seq_col)),
+        "left_anti")
+    if eq_deletes is not None:
+        if not eq_cols:
+            raise ValueError("eq_deletes given but eq_cols is empty")
+        ed = eq_deletes.select(
+            *[F.col(c).alias(f"_e_{c}") for c in eq_cols],
+            F.col(delete_seq_col).alias("_es"))
+        cond = F.col("_es") > F.col(seq_col)
+        for c in eq_cols:
+            cond = cond & (F.col(c) == F.col(f"_e_{c}"))
+        out = out.join(broadcast(ed), cond, "left_anti")
+    return out

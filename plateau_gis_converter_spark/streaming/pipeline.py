@@ -254,3 +254,54 @@ def streaming_dirty_tiles(updates: DataFrame, zoom: int = 12) -> DataFrame:
     return (tiled.groupBy("x", "y")
             .applyInPandasWithState(first_dirty_fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_followup_join(left: DataFrame, right: DataFrame,
+                            key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            within: str = "2 hours",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the attribution
+    pattern (impression -> conversion within T) over two unbounded
+    streams, exercising the symmetric-hash-join engine path (per-side
+    keyed state stores, watermark + time-range condition bounding BOTH
+    buffers) that none of the other five streaming operators touch.
+
+    Semantics: INNER join on the key with the event-time band
+    ``l.ts <= r.ts <= l.ts + within``.  For an inner join the emitted
+    set is exactly the static interval join of the two inputs — the
+    watermark only bounds STATE (how long an unmatched row waits for a
+    partner), never filters a match that arrives in order — so the
+    result is deterministic under availableNow and a full SQL oracle
+    applies.  State bound: each side buffers only rows newer than
+    (max event time - watermark - within); without the time-range
+    condition Spark would have to buffer both streams forever and in
+    fact rejects the plan.
+
+    Scale: ONE co-partitioned exchange per side on the join key (the
+    same key both state stores hash by); the band `within` caps how
+    many right rows any left row can pair with, so output stays linear
+    in the click-through rate, never cartesian-per-user.
+
+    Output: (key, left event id/ts, right event id/ts, lag_us —
+    microseconds, exact integers via unix_micros/epoch_us so the two
+    engines agree on sub-second timestamps).
+    """
+    l = (left.select(F.col(key_col).alias("k"),
+                     F.col("event_id").alias("l_event_id"),
+                     F.col(ts_col).cast("timestamp").alias("l_ts"))
+         .withWatermark("l_ts", watermark))
+    r = (right.select(F.col(key_col).alias("_rk"),
+                      F.col("event_id").alias("r_event_id"),
+                      F.col(ts_col).cast("timestamp").alias("r_ts"))
+         .withWatermark("r_ts", watermark))
+    joined = l.join(
+        r, (F.col("k") == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner")
+    return joined.select(
+        F.col("k").alias(key_col), "l_event_id", "l_ts",
+        "r_event_id", "r_ts",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts")))
+        .cast("bigint").alias("lag_us"))

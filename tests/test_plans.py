@@ -436,6 +436,10 @@ def test_wave16_query_scans_prune_columns_and_stay_jvm(spark):
     expected = {
         "focal_delta": {"doc_id"},
         "hll_estimate": {"doc_id", "lang"},
+        # wave 17 (stream_followup returns a memory-sink scan — its
+        # batch twin is audited via the wave17 operator test instead)
+        "trend_slope": {"event_type", "ts"},
+        "mor_read": {"doc_id", "lang"},
     }
     for name, want in expected.items():
         plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
