@@ -200,7 +200,9 @@ def main():
                   "bounce_rates", "degree_histogram", "link_reciprocity",
                   "token_entropy", "ward_density", "focal_delta",
                   "hll_estimate", "trend_slope", "mor_read",
-                  "stream_followup"]:
+                  "stream_followup",
+                  "resolve_redirects", "phash_near_dup",
+                  "stream_distinct"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

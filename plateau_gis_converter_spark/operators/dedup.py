@@ -729,3 +729,55 @@ def cosine_pairs(docs: DataFrame, threshold_pct: int = 60,
             .select("doc_a", "doc_b", "dot", "ss_a", "ss_b",
                     F.expr("dot * dot * 1000000 div (ss_a * ss_b)")
                     .cast("bigint").alias("cos2_micro")))
+
+
+def hamming_near_pairs(df: DataFrame, key_col: str, fp_col: str,
+                       max_hamming: int = 3, bits: int = 64) -> DataFrame:
+    """Generic banded hamming near-pair join over ANY precomputed
+    integer fingerprint column — the blocking engine behind
+    ``simhash_near_pairs`` exposed for fingerprints the caller computed
+    elsewhere: image perceptual hashes (multimodal pHash near-dup),
+    audio chromaprints, or any 64-bit LSH sketch.  Same pigeonhole
+    guarantee (Manku et al. WWW'07): with ``bands = max_hamming + 1``
+    disjoint bands, two fingerprints within the radius agree on at
+    least one full band, so recall is EXACTLY 1; precision is exact
+    (hamming verified on the full fingerprint after the bucket join).
+
+    Scale: one explode (d+1 rows per key) + one band-keyed self
+    equi-join — never all-pairs; bucket sizes shrink exponentially in
+    the band width (bits/(d+1)).
+
+    Output: (key_a, key_b, hamming), key_a < key_b, distinct.
+    """
+    bands = max_hamming + 1
+    if bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands "
+                         f"than bits={bits}")
+    base, rem = divmod(bits, bands)
+    starts, widths, pos = [], [], 0
+    for i in range(bands):
+        w = base + (1 if i < rem else 0)
+        starts.append(pos)
+        widths.append(w)
+        pos += w
+    bandc = [F.struct(F.lit(i).alias("band"),
+                      F.shiftright(F.col(fp_col), starts[i])
+                      .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key"))
+             for i in range(bands)]
+    blocks = (df.select(F.col(key_col).alias("k"),
+                        F.col(fp_col).alias("fp"),
+                        F.explode(F.array(*bandc)).alias("bk"))
+              .select("k", "fp", "bk.band", "bk.key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.k") < F.col("b.k")))
+             .select(F.col("a.k").alias("key_a"),
+                     F.col("b.k").alias("key_b"),
+                     F.col("a.fp").alias("fp_a"),
+                     F.col("b.fp").alias("fp_b"))
+             .distinct())
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    return (pairs.withColumn("hamming", F.bit_count(xor))
+            .where(F.col("hamming") <= max_hamming)
+            .select("key_a", "key_b", "hamming"))

@@ -101,3 +101,67 @@ def link_edges(pages: DataFrame, ids: DataFrame,
     return (links.join(src, "url").join(dst, "dst_url")
             .where(F.col("src_id") != F.col("dst_id"))
             .select("src_id", "dst_id"))
+
+
+def resolve_redirects(redirects: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Resolve HTTP redirect chains to their final destination with
+    exact cycle detection — the canonicalization step a crawler runs
+    before dedup/PageRank so every alias of a page collapses to one
+    node (3xx chains are ubiquitous: http→https, apex→www, tracking
+    hops).
+
+    The redirect map is a FUNCTIONAL graph (≤1 out-edge per src; the
+    engine enforces determinism by keeping min(dst) per src if the
+    input violates it).  Resolution uses POINTER DOUBLING: a mapping
+    m_k(x) = the 2^k-th successor of x (or its terminal), advanced by
+    joining m with itself (m_{k+1}(x) = m_k(m_k(x))), with an exact hop
+    accumulator.  ceil(log2(n)) + 1 rounds suffice for any chain (a
+    chain is ≤ n long), so a 10^9-node redirect web resolves in ~31
+    self-joins instead of 10^9 sequential lookups; each round shuffles
+    only the mapping relation on the current pointer.
+
+    A src whose pointer is STILL a redirecting node after the final
+    round cannot be on a terminating chain (it would have terminated
+    within n hops) — it is on or leads into a CYCLE: emitted with
+    final=NULL/hops=NULL and status='cycle', a deterministic labeling a
+    recursive-CTE oracle reproduces (the post-doubling pointer value
+    itself is round-count-dependent, so it is never exposed).
+
+    Output: (src, final, hops, status in ('ok', 'cycle')).
+    Driver footprint: one count() scalar + O(log n) round scalars.
+    """
+    import math
+
+    f = (redirects.groupBy(F.col(src_col).alias("s"))
+         .agg(F.min(dst_col).alias("t"))
+         .localCheckpoint(eager=True))
+    n = f.count()
+    if n == 0:
+        return f.select(F.col("s").alias("src"),
+                        F.col("t").alias("final"),
+                        F.lit(1).cast("bigint").alias("hops"),
+                        F.lit("ok").alias("status"))
+    srcs = f.select(F.col("s").alias("rs"))
+    # m: src -> (cur, hops); hops = exact steps taken so far
+    m = f.select("s", F.col("t").alias("cur"),
+                 F.lit(1).cast("bigint").alias("hops"))
+    rounds = max(1, math.ceil(math.log2(n)) + 1)
+    for _ in range(rounds):
+        j = m.select(F.col("s").alias("s2"), F.col("cur").alias("cur2"),
+                     F.col("hops").alias("hops2"))
+        m = (m.join(j, m["cur"] == j["s2"], "left")
+             .select("s",
+                     F.coalesce(F.col("cur2"), F.col("cur")).alias("cur"),
+                     (F.col("hops") + F.coalesce(F.col("hops2"), F.lit(0)))
+                     .alias("hops"))
+             .localCheckpoint(eager=True))
+    # a pointer that still redirects after 2^rounds >= n hops is cyclic
+    term = m.join(srcs, m["cur"] == srcs["rs"], "left")
+    return term.select(
+        F.col("s").alias("src"),
+        F.when(F.col("rs").isNull(), F.col("cur")).alias("final"),
+        F.when(F.col("rs").isNull(), F.col("hops")).cast("bigint")
+        .alias("hops"),
+        F.when(F.col("rs").isNull(), F.lit("ok")).otherwise(F.lit("cycle"))
+        .alias("status"))

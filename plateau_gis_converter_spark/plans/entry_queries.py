@@ -5548,6 +5548,139 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 """
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (links.resolve_redirects): pointer
+    doubling over a synthetic functional redirect graph — doc i%17==0/1
+    form 2-cycles (i<->i+1), other docs redirect to i div 2 unless
+    i%5==0 (terminal, no out-edge), so chains mix clean terminations,
+    hops through intermediate redirects, and descents into the 0<->1
+    cycle. Oracle = recursive-CTE walk with an n-hop guard (a chain
+    longer than n nodes is impossible, so no terminal within n hops
+    proves a cycle)."""
+    from ..operators import links as lk
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    r = i % 17
+    edges = (docs.where(~((r >= 2) & (i % 5 == 0)))
+             .select(i.alias("src"),
+                     F.when(r == 0, i + 1)
+                     .when(r == 1, i - 1)
+                     .otherwise(F.expr("doc_id div 2")).alias("dst")))
+    return lk.resolve_redirects(edges)
+
+
+SQL_RESOLVE_REDIRECTS = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         CAST(CASE WHEN doc_id % 17 = 0 THEN doc_id + 1
+                   WHEN doc_id % 17 = 1 THEN doc_id - 1
+                   ELSE doc_id // 2 END AS BIGINT) AS dst
+  FROM documents
+  WHERE NOT (doc_id % 17 >= 2 AND doc_id % 5 = 0)),
+nn AS (SELECT count(*) AS cnt FROM e),
+walk AS (
+  SELECT src AS src0, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+  UNION ALL
+  SELECT w.src0, e.dst, w.hops + 1
+  FROM walk w JOIN e ON w.cur = e.src
+  WHERE w.hops <= (SELECT cnt FROM nn)),
+fin AS (
+  SELECT src0, cur, hops FROM walk
+  WHERE cur NOT IN (SELECT src FROM e))
+SELECT e.src, f.cur AS final, f.hops AS hops,
+       CASE WHEN f.src0 IS NULL THEN 'cycle' ELSE 'ok' END AS status
+FROM e LEFT JOIN fin f ON e.src = f.src0
+"""
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs (dedup.hamming_near_pairs — the
+    generic banded hamming join behind simhash, over a caller-supplied
+    fingerprint): 60-bit constructed pHashes where each group of 4 docs
+    shares an md5 base pattern and member k has k deterministic bits
+    flipped, so true near pairs exist at every hamming level and the
+    <= 3 threshold both keeps and cuts. Oracle = full all-pairs
+    bit_count(xor) recompute (recall-1 proof for the banding)."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = F.conv(F.substring(F.md5(
+        F.concat(F.lit("g"), F.expr("doc_id div 4").cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+    fp = base
+    for j in (1, 2, 3):
+        # shiftleft's numBits arg must be a literal int in the Python
+        # API; the shift-by-column form only exists in SQL — expr it.
+        mask = F.when(i % 4 >= j, F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(CAST(conv(substring("
+            f"md5(concat('f', CAST(doc_id AS STRING), '_{j}')), 1, 2),"
+            " 16, 10) AS BIGINT) % 60 AS INT))")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = fp.bitwiseXOR(mask)
+    fps = docs.select("doc_id", fp.alias("fp"))
+    return dd.hamming_near_pairs(fps, "doc_id", "fp",
+                                 max_hamming=3, bits=60)
+
+
+SQL_PHASH_NEAR_DUP = """
+WITH fps AS (
+  SELECT doc_id,
+    xor(xor(xor(
+      CAST(concat('0x', substr(md5('g' || CAST(doc_id // 4 AS VARCHAR)),
+                  1, 15)) AS BIGINT),
+      CASE WHEN doc_id % 4 >= 1 THEN CAST(1 AS BIGINT) <<
+        CAST(CAST(concat('0x', substr(md5('f' || CAST(doc_id AS VARCHAR)
+             || '_1'), 1, 2)) AS BIGINT) % 60 AS INTEGER)
+        ELSE CAST(0 AS BIGINT) END),
+      CASE WHEN doc_id % 4 >= 2 THEN CAST(1 AS BIGINT) <<
+        CAST(CAST(concat('0x', substr(md5('f' || CAST(doc_id AS VARCHAR)
+             || '_2'), 1, 2)) AS BIGINT) % 60 AS INTEGER)
+        ELSE CAST(0 AS BIGINT) END),
+      CASE WHEN doc_id % 4 >= 3 THEN CAST(1 AS BIGINT) <<
+        CAST(CAST(concat('0x', substr(md5('f' || CAST(doc_id AS VARCHAR)
+             || '_3'), 1, 2)) AS BIGINT) % 60 AS INTEGER)
+        ELSE CAST(0 AS BIGINT) END) AS fp
+  FROM documents)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+def q_stream_distinct(spark, sf_dir):
+    """Streaming DISTINCT over the BUILT-IN dedup state operator
+    (streaming/pipeline.streaming_distinct -> StreamingDeduplicate with
+    a keyed state store) — seventh streaming-engine gate, the one
+    stateful path (dropDuplicates) the other six don't touch.
+    Restricted to key columns the emitted set is exactly SELECT
+    DISTINCT, deterministic under availableNow."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    out = sp.streaming_distinct(stream, ["user_id", "event_type"])
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_distinct_gate_{_STREAM_GATE_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_distinct_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT user_id, event_type FROM {qname}")
+
+
+SQL_STREAM_DISTINCT = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -6600,6 +6733,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_slope": q_trend_slope,
     "mor_read": q_mor_read,
     "stream_followup": q_stream_followup,
+    # round-5 wave 18
+    "resolve_redirects": q_resolve_redirects,
+    "phash_near_dup": q_phash_near_dup,
+    "stream_distinct": q_stream_distinct,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -6753,6 +6890,10 @@ ORACLES: dict[str, str] = {
     "trend_slope": SQL_TREND_SLOPE,
     "mor_read": SQL_MOR_READ,
     "stream_followup": SQL_STREAM_FOLLOWUP,
+    # round-5 wave 18
+    "resolve_redirects": SQL_RESOLVE_REDIRECTS,
+    "phash_near_dup": SQL_PHASH_NEAR_DUP,
+    "stream_distinct": SQL_STREAM_DISTINCT,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -305,3 +305,26 @@ def streaming_followup_join(left: DataFrame, right: DataFrame,
         "r_event_id", "r_ts",
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts")))
         .cast("bigint").alias("lag_us"))
+
+
+def streaming_distinct(stream: DataFrame,
+                       cols: "list[str]") -> DataFrame:
+    """Streaming DISTINCT over the BUILT-IN dedup state operator
+    (``dropDuplicates`` on a streaming DataFrame compiles to
+    StreamingDeduplicate with a keyed state store) — the engine path
+    none of the other streaming operators touch:
+    ``streaming_dedup_first_seen`` implements first-seen semantics in
+    ARBITRARY state (applyInPandasWithState) because it must carry a
+    representative payload; when the key IS the whole row, the built-in
+    operator does it with zero Python and per-key state of literally
+    one empty value.
+
+    Restricted to key columns only, the emitted set is exactly
+    ``SELECT DISTINCT cols`` — deterministic regardless of which
+    physical row arrives first, so a full SQL oracle applies.  Without
+    a watermark the state grows with distinct keys (same trade as the
+    exact NoTimeout default of ``streaming_dedup_first_seen``);
+    bounded-state ingest adds ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` upstream.
+    """
+    return stream.select(*cols).dropDuplicates(cols)
