@@ -202,7 +202,9 @@ def main():
                   "hll_estimate", "trend_slope", "mor_read",
                   "stream_followup",
                   "resolve_redirects", "phash_near_dup",
-                  "stream_distinct"]:
+                  "stream_distinct",
+                  "spatial_join_holes", "skew_salted_join",
+                  "stream_enrich"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

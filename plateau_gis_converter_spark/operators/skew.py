@@ -98,3 +98,36 @@ def adaptive_cell_split(df: DataFrame, base_zoom: int = 12,
     for c in cached[:-1]:
         c.unpersist()
     return out
+
+
+def salted_replicated_join(fact: DataFrame, dim: DataFrame, key: str,
+                           row_col: str, buckets: int = 16) -> DataFrame:
+    """Hot-key SHUFFLE-join mitigation: fragment-replicate (skew) join.
+
+    ``salted_aggregate`` fixes hot reduce keys in aggregations; this is the
+    join-side counterpart for when the dim side is too big to broadcast and
+    a handful of fact keys dominate (Tokyo hot-spot cells, bot user-ids):
+    a plain shuffle join sends EVERY row of a hot key to one reducer.
+
+    Technique (Pig's "skewed join" / fragment-replicate): replicate each
+    dim row ``buckets`` times with salt 0..buckets-1 (map-side explode, no
+    shuffle on the replicate itself), salt each fact row deterministically
+    from a row-unique column, then equi-join on (key, salt) — the hot key's
+    rows spread over ``buckets`` reducers, each holding a full dim copy for
+    that key. Dim shuffle volume grows buckets×; choose buckets ≈ the skew
+    factor. Result-identical to the plain join for ANY join keys because
+    every (fact row, dim row) pair meets at exactly one salt value — the
+    ``skew_salted_join`` gate proves that against the plain-join oracle.
+
+    The join is hinted ``shuffle_hash`` so the mitigation path (and not a
+    broadcast) is what actually executes — plan-asserted in tests. AQE's
+    skewJoin handles residual physical skew; this operator is the explicit
+    logical-level variant for engines/pipelines that need deterministic
+    partition bounds (state sizing, spill budgets).
+    """
+    fsalt = F.pmod(F.hash(F.col(row_col)), F.lit(buckets))
+    f2 = fact.withColumn("_salt", fsalt)
+    d2 = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    return (f2.join(d2.hint("shuffle_hash"), [key, "_salt"])
+            .drop("_salt"))

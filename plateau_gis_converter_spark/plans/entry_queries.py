@@ -5681,6 +5681,105 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_spatial_join_holes(spark, sf_dir):
+    """General-polygon spatial join (spatial_join_points refine='evenodd'):
+    exact INTEGER even-odd ray-cast refinement over concave + holed
+    polygons (fixtures.holed_records — a donut whose hole swallows dense
+    center #1, a concave L, a triangle), per the north-star's "exact
+    ray-casting point-in-polygon refinement". Spark prunes candidates
+    through the z12 covering-cell broadcast index; the oracle brute-forces
+    ALL points x ALL polygon edges with the identical integer crossing
+    predicate — so the gate simultaneously proves the cell index lossless
+    AND the Arrow kernel's parity bit-for-bit."""
+    pts = _points_df(spark, sf_dir)
+    out = sj.spatial_join_points(spark, pts, fx.holed_records(),
+                                 refine="evenodd")
+    return out.select("doc_id", "ward_code").orderBy("doc_id", "ward_code")
+
+
+SQL_SPATIAL_JOIN_HOLES = f"""
+WITH {POINTS_CTE},
+e(ward_code, ex1, ey1, ex2, ey2) AS (VALUES
+    {fx.holed_edges_sql_values()}),
+cr AS (
+  SELECT p.doc_id, e.ward_code,
+         CASE WHEN ((e.ey1 > p.lat_udeg) <> (e.ey2 > p.lat_udeg))
+              AND (CASE WHEN e.ey2 > e.ey1
+                   THEN (p.lng_udeg - CAST(e.ex1 AS BIGINT))
+                        * (CAST(e.ey2 AS BIGINT) - e.ey1)
+                      < (CAST(e.ex2 AS BIGINT) - e.ex1)
+                        * (p.lat_udeg - CAST(e.ey1 AS BIGINT))
+                   ELSE (p.lng_udeg - CAST(e.ex1 AS BIGINT))
+                        * (CAST(e.ey2 AS BIGINT) - e.ey1)
+                      > (CAST(e.ex2 AS BIGINT) - e.ex1)
+                        * (p.lat_udeg - CAST(e.ey1 AS BIGINT)) END)
+         THEN 1 ELSE 0 END AS c
+  FROM pts p, e)
+SELECT doc_id, ward_code FROM cr
+GROUP BY doc_id, ward_code HAVING sum(c) % 2 = 1
+ORDER BY doc_id, ward_code
+"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Fragment-replicate skew join (skew.salted_replicated_join): the
+    events fact (15 distinct user_ids — every key hot) joins the customer
+    dim replicated 8x with per-row fact salts, hinted shuffle_hash so the
+    mitigation path executes. Oracle = the PLAIN equi-join — salting must
+    be result-invariant, proven on every run."""
+    from ..operators import skew
+
+    events = _t(spark, sf_dir, "events")
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"),
+                    "c_mktsegment", "c_nationkey"))
+    out = skew.salted_replicated_join(events, cust, "user_id",
+                                      row_col="event_id", buckets=8)
+    return out.select("event_id", "user_id", "event_type",
+                      "c_mktsegment",
+                      F.col("c_nationkey").cast("int").alias("nationkey"))
+
+
+SQL_SKEW_SALTED_JOIN = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+       CAST(c.c_nationkey AS INTEGER) AS nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join (streaming.streaming_enrich) — the
+    STATELESS streaming engine path (per-batch broadcast hash join, no
+    state store), eighth streaming gate. Inner emission under availableNow
+    equals the static join, so a full SQL oracle applies."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    out = sp.streaming_enrich(stream, dim, ["user_id"]).select(
+        "event_id", "user_id", "c_mktsegment")
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_enrich_gate_{_STREAM_GATE_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_enrich_")
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT event_id, user_id, c_mktsegment FROM {qname}")
+
+
+SQL_STREAM_ENRICH = """
+SELECT e.event_id, e.user_id, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -6737,6 +6836,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolve_redirects": q_resolve_redirects,
     "phash_near_dup": q_phash_near_dup,
     "stream_distinct": q_stream_distinct,
+    # round-5 wave 19
+    "spatial_join_holes": q_spatial_join_holes,
+    "skew_salted_join": q_skew_salted_join,
+    "stream_enrich": q_stream_enrich,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -6894,6 +6997,10 @@ ORACLES: dict[str, str] = {
     "resolve_redirects": SQL_RESOLVE_REDIRECTS,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
     "stream_distinct": SQL_STREAM_DISTINCT,
+    # round-5 wave 19
+    "spatial_join_holes": SQL_SPATIAL_JOIN_HOLES,
+    "skew_salted_join": SQL_SKEW_SALTED_JOIN,
+    "stream_enrich": SQL_STREAM_ENRICH,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -315,3 +315,52 @@ def points_df(spark):
          {"frn:class": "kiosk"}),
     ]
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# general polygons (concave + holes) for the even-odd refine gate
+# ---------------------------------------------------------------------------
+# Real PLATEAU district footprints are concave and may carry interior rings
+# (courtyards, enclaves); the convex-quad tessellation can't represent them.
+# Three deterministic features over the point extent:
+#   D-01  square donut straddling dense center #1 — its hole removes the
+#         densest point mass (the hole branch must actually fire);
+#   C-02  concave L — the bounding-box of the exterior contains points the
+#         polygon does not (the concavity branch must actually fire);
+#   T-03  triangle — odd vertex count, non-axis-aligned edges.
+# Rings are UNCLOSED (wrap edge implied), winding-insensitive (even-odd).
+
+def holed_records() -> list[dict]:
+    donut_ext = [[139_660_000, 35_650_000], [139_740_000, 35_650_000],
+                 [139_740_000, 35_730_000], [139_660_000, 35_730_000]]
+    donut_hole = [[139_690_000, 35_680_000], [139_710_000, 35_680_000],
+                  [139_710_000, 35_700_000], [139_690_000, 35_700_000]]
+    ell = [[139_780_000, 35_560_000], [139_880_000, 35_560_000],
+           [139_880_000, 35_610_000], [139_830_000, 35_610_000],
+           [139_830_000, 35_660_000], [139_780_000, 35_660_000]]
+    tri = [[139_580_000, 35_540_000], [139_660_000, 35_540_000],
+           [139_620_000, 35_620_000]]
+    return [
+        {"ward_code": "D-01", "typename": "urf:DistrictWithCourtyard",
+         "rings_udeg": [donut_ext, donut_hole]},
+        {"ward_code": "C-02", "typename": "urf:ConcaveDistrict",
+         "rings_udeg": [ell]},
+        {"ward_code": "T-03", "typename": "urf:TriangleDistrict",
+         "rings_udeg": [tri]},
+    ]
+
+
+def holed_edges_sql_values() -> str:
+    """Every directed edge (wrap included) of every ring of holed_records()
+    as SQL VALUES rows e(ward_code, x1, y1, x2, y2) — the oracle counts
+    ray crossings over this relation, so holes need no special casing
+    (even-odd parity is global across rings)."""
+    rows = []
+    for rec in holed_records():
+        for ring in rec["rings_udeg"]:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                rows.append(f"('{rec['ward_code']}', {x1}, {y1}, {x2}, {y2})")
+    return ",\n    ".join(rows)

@@ -328,3 +328,21 @@ def streaming_distinct(stream: DataFrame,
     ``dropDuplicatesWithinWatermark`` upstream.
     """
     return stream.select(*cols).dropDuplicates(cols)
+
+
+def streaming_enrich(stream: DataFrame, dim: DataFrame,
+                     on: "list[str]", how: str = "inner") -> DataFrame:
+    """Stream-STATIC equi-join — the stateless enrichment engine path
+    (no state store at all): each micro-batch joins against the static
+    relation, planned as a BroadcastHashJoin when the dim is small, so
+    per-batch cost is O(batch) regardless of stream history.  The
+    production shape for dimension lookup (page → domain metadata,
+    user → account tier) where stream-stream state would be waste.
+
+    Inner emission is exactly the static join of whatever rows arrived,
+    so a full SQL oracle applies under availableNow.  The static side is
+    re-resolved per batch by the engine — a slowly-changing dim picks up
+    updates between batches (document the read-consistency trade vs
+    snapshotting the dim into the checkpoint).
+    """
+    return stream.join(F.broadcast(dim), on, how)
