@@ -204,7 +204,11 @@ def main():
                   "resolve_redirects", "phash_near_dup",
                   "stream_distinct",
                   "spatial_join_holes", "skew_salted_join",
-                  "stream_enrich"]:
+                  "stream_enrich",
+                  "sorted_neighborhood", "sssp_seeds", "stream_upsert",
+                  "scc_components", "edit_distance_join",
+                  "dbscan_clusters", "kmeans_geo", "daily_locf",
+                  "peak_concurrency"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

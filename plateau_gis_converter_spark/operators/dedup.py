@@ -781,3 +781,115 @@ def hamming_near_pairs(df: DataFrame, key_col: str, fp_col: str,
     return (pairs.withColumn("hamming", F.bit_count(xor))
             .where(F.col("hamming") <= max_hamming)
             .select("key_a", "key_b", "hamming"))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str, block_col: str,
+                              window: int = 4,
+                              num_partitions: int | None = None) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95) — the
+    classic entity-resolution candidate generator the LSH family doesn't
+    cover: sort the corpus by a blocking key (record length, normalized
+    title, zip code) and pair every record with its ``window - 1``
+    successors.  Catches near-duplicates whose set similarity is low but
+    whose blocking keys are adjacent.
+
+    Scale: the global rank does NOT use a single-reducer window — it is
+    the two-phase scan from operators/packing.py: repartitionByRange on
+    (block, key), per-partition row_number (partitionBy partition id →
+    parallel), plus O(partitions) count offsets collected to the driver.
+    The eager localCheckpoint pins one physical range partitioning for
+    both the offsets job and the output job (same nondeterminism window
+    as packing — RangePartitioner samples per execution).  Pairing is an
+    EQUI-join on rank+j for j in 1..window-1 (map-side explode), never a
+    range join.
+
+    Output: (key_a, key_b, block_a, block_b, dist) with key_a the
+    earlier record in sort order and dist its rank distance.
+    """
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    d = df.select(F.col(key_col).alias("k"), F.col(block_col).alias("b"))
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, "b", "k")
+    else:
+        d = d.repartitionByRange("b", "k")
+    part = (d.withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    totals = {r["pid"]: r["n"] for r in
+              part.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid: int, off: long")
+    w = Window.partitionBy("pid").orderBy("b", "k")
+    ranked = (part.join(F.broadcast(off_df), "pid")
+              .withColumn("rank", (F.col("off")
+                                   + F.row_number().over(w) - 1)
+                          .cast("bigint"))
+              .select("k", "b", "rank"))
+    probes = ranked.select(
+        "k", "b",
+        F.explode(F.array(*[F.lit(j) for j in range(1, window)]))
+        .alias("dist"),
+        (F.col("rank") + F.col("dist")).alias("rank"))
+    right = ranked.select(F.col("k").alias("key_b"),
+                          F.col("b").alias("block_b"), "rank")
+    return (probes.join(right, "rank")
+            .select(F.col("k").alias("key_a"), "key_b",
+                    F.col("b").alias("block_a"), "block_b",
+                    F.col("dist").cast("int").alias("dist")))
+
+def edit_distance_pairs(df: DataFrame, key_col: str, str_col: str,
+                        max_dist: int = 2) -> DataFrame:
+    """Exact edit-distance self-join with LOSSLESS length-band blocking —
+    the typo/near-title/URL-variant matcher the set-similarity family
+    (Jaccard/MinHash/SimHash) can't express: 'rec-0421x' vs 'rec-0421xx'
+    is one edit but shares almost no high-order shingles.
+
+    Blocking rule: levenshtein(a, b) <= k implies |len(a) - len(b)| <= k
+    (each edit changes length by at most 1), so bucketing strings by
+    floor(len / (k+1)) guarantees any qualifying pair lands in the same
+    or adjacent buckets. Each string sits in its HOME bucket once; the
+    probe side explodes to {home-1, home, home+1}; the equi-join on the
+    bucket plus ``key(home) < key(probe)`` yields every qualifying pair
+    exactly once (no distinct needed). Candidate recall is exactly 1 —
+    the gate's oracle is the brute-force all-pairs levenshtein, so a
+    blocking bug fails the gate.
+
+    Verification is Spark's built-in ``levenshtein`` (JVM codegen, the
+    classic unit-cost insert/delete/substitute DP — same definition as
+    DuckDB's), with the |len diff| <= k necessary condition applied
+    before the DP as a cheap prune.
+
+    Scale: one equi-join keyed by bucket. Bucket population is bounded
+    by the corpus length distribution, not the corpus (production
+    blocking composes this with a second key — first token, registered
+    domain — the same way `sorted_neighborhood_pairs` composes block
+    keys); the DP cost per candidate is O(len^2) on short keys only.
+    Output: (key_a, key_b, dist), key_a < key_b, dist <= max_dist.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    width = max_dist + 1
+    d = df.select(F.col(key_col).alias("k"), F.col(str_col).alias("s"),
+                  F.length(str_col).alias("ln"))
+    home = d.select("k", "s", "ln",
+                    F.floor(F.col("ln") / width).alias("bk"))
+    probe = d.select(
+        F.col("k").alias("kb"), F.col("s").alias("sb"),
+        F.col("ln").alias("lnb"),
+        F.explode(F.array(F.floor(F.col("ln") / width) - 1,
+                          F.floor(F.col("ln") / width),
+                          F.floor(F.col("ln") / width) + 1)).alias("bk"))
+    return (home.join(probe, "bk")
+            .where(F.col("k") < F.col("kb"))
+            .where(F.abs(F.col("ln") - F.col("lnb")) <= max_dist)
+            .withColumn("dist", F.levenshtein("s", "sb"))
+            .where(F.col("dist") <= max_dist)
+            .select(F.col("k").alias("key_a"), F.col("kb").alias("key_b"),
+                    F.col("dist").cast("bigint").alias("dist")))

@@ -317,3 +317,76 @@ def stay_points(track: DataFrame, min_events: int = 2,
                       & (F.col("duration_us") >= int(min_duration_us)))
             .select("user_id", "cx", "cy", "t_start", "t_end",
                     "n_events", "duration_us"))
+
+
+def daily_state_locf(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", state_col: str = "event_type",
+                     order_cols: Sequence[str] = ("ts", "event_id")
+                     ) -> DataFrame:
+    """Daily last-state snapshot grid with LOCF gap fill — the feature-
+    store resample: one row per (key, calendar day) from the key's first
+    to last active day, carrying the day's LAST observed state (max by
+    ``order_cols`` — latest ts, unique tiebreak) and filling inactive
+    days with the most recent prior state (last-observation-carried-
+    forward). ``is_gap`` marks filled rows.
+
+    Shape: one partial-agg groupBy (key, day) for the per-day last
+    state, one tiny per-key span agg, one map-side ``sequence`` explode
+    for the grid (bounded by span days, never a calendar cross join),
+    one left join back, and one per-key ordered window for the carry —
+    the only shuffle beyond the aggs is the window's hash partition by
+    key. Integer/string state keeps it engine-exact.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    last_state = (events.groupBy(F.col(key_col).alias("key"),
+                                 day.alias("day"))
+                  .agg(F.max(F.struct(*[F.col(c) for c in order_cols],
+                                      F.col(state_col)))
+                       .getField(state_col).alias("state")))
+    span = last_state.groupBy("key").agg(F.min("day").alias("d0"),
+                                         F.max("day").alias("d1"))
+    grid = span.select(
+        "key", F.explode(F.sequence(
+            "d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    w = (Window.partitionBy("key").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(last_state, ["key", "day"], "left")
+            .select("key", "day",
+                    F.last("state", ignorenulls=True).over(w)
+                    .alias("state"),
+                    F.col("state").isNull().alias("is_gap")))
+
+
+def peak_concurrency(intervals: DataFrame, key_col: str,
+                     start_col: str, end_col: str) -> DataFrame:
+    """Per-key peak interval concurrency via the classic sweep line:
+    each interval contributes (+1 at start, -1 at end); events are
+    ordered by (t, delta) — end-exclusive semantics, a departure at t
+    applies before an arrival at t — and the running sum's maximum is
+    the peak. Output (key, peak, first_peak_ts) with first_peak_ts the
+    earliest instant the peak is reached (deterministic: the prefix-sum
+    multiset at tied (t, delta) rows is order-invariant, so both the
+    max and its first time are engine-exact).
+
+    Shape: one map-side explode to 2 rows per interval + one per-key
+    ordered window (hash partition by key) + one partial agg. Capacity
+    planning / peak-load sizing over sessions, crawls, connections.
+    """
+    pts = intervals.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(
+            F.struct(F.col(start_col).alias("t"),
+                     F.lit(1).alias("delta")),
+            F.struct(F.col(end_col).alias("t"),
+                     F.lit(-1).alias("delta")))).alias("e")
+    ).select("key", F.col("e.t").alias("t"), F.col("e.delta").alias("delta"))
+    w = (Window.partitionBy("key").orderBy("t", "delta")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = pts.select("key", "t",
+                         F.sum("delta").over(w).alias("load"))
+    peak = running.withColumn(
+        "peak", F.max("load").over(Window.partitionBy("key")))
+    return (peak.where(F.col("load") == F.col("peak"))
+            .groupBy("key")
+            .agg(F.min("peak").cast("bigint").alias("peak"),
+                 F.min("t").alias("first_peak_ts")))

@@ -5780,6 +5780,354 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (dedup.sorted_neighborhood_pairs):
+    documents sorted by (n_chars, doc_id), each paired with its 3
+    successors — the classic adjacent-key candidate generator. The global
+    rank is the packing-style two-phase scan (range partition +
+    per-partition window + O(partitions) offsets), never a single-reducer
+    window; the oracle is the plain row_number self-join."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.sorted_neighborhood_pairs(docs, "doc_id", "n_chars", window=4)
+    return out.select("key_a", "key_b",
+                      F.col("block_a").cast("bigint").alias("block_a"),
+                      F.col("block_b").cast("bigint").alias("block_b"),
+                      "dist")
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank
+  FROM documents)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       a.n_chars AS block_a, b.n_chars AS block_b,
+       CAST(b.rank - a.rank AS INTEGER) AS dist
+FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 3
+"""
+
+
+def q_sssp_seeds(spark, sf_dir):
+    """Weighted shortest paths from a seed set (graph.sssp_from_seeds):
+    Bellman-Ford over a synthetic DAG — every doc has parent doc div 2
+    (weight 1 + doc_id % 7), docs divisible by 5 get a second parent
+    doc div 3, edges point parent -> child so ids strictly increase (no
+    cycles) and the two-parent nodes give real min-over-paths decisions.
+    Seeds = docs 0..2. Oracle = recursive-CTE min over path sums
+    (UNION-distinct state dedup; integer weights keep it exact)."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    w = (F.lit(1) + i % 7).cast("bigint")
+    e1 = (docs.where(i >= 1)
+          .select(F.expr("doc_id div 2").alias("src"), i.alias("dst"),
+                  w.alias("w")))
+    e2 = (docs.where((i >= 1) & (i % 5 == 0))
+          .select(F.expr("doc_id div 3").alias("src"), i.alias("dst"),
+                  (F.lit(2) + i % 3).cast("bigint").alias("w")))
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    seeds = docs.where(i <= 2).select(i.alias("id"))
+    return gr.sssp_from_seeds(seeds, edges, max_rounds=30)
+
+
+SQL_SSSP_SEEDS = """
+WITH RECURSIVE e AS (
+  SELECT CAST(doc_id // 2 AS BIGINT) AS src, doc_id AS dst,
+         CAST(1 + doc_id % 7 AS BIGINT) AS w
+  FROM documents WHERE doc_id >= 1 AND doc_id // 2 <> doc_id
+  UNION ALL
+  SELECT CAST(doc_id // 3 AS BIGINT) AS src, doc_id AS dst,
+         CAST(2 + doc_id % 3 AS BIGINT) AS w
+  FROM documents WHERE doc_id >= 1 AND doc_id % 5 = 0
+    AND doc_id // 3 <> doc_id),
+walk AS (
+  SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist
+  FROM documents WHERE doc_id <= 2
+  UNION
+  SELECT e.dst, w.dist + e.w FROM walk w JOIN e ON w.id = e.src)
+SELECT id, min(dist) AS dist FROM walk GROUP BY id
+"""
+
+
+def q_stream_upsert(spark, sf_dir):
+    """foreachBatch streaming upsert (streaming.streaming_upsert) — the
+    ninth streaming gate, exercising the foreachBatch sink path: keyed
+    MERGE into versioned parquet snapshots, per-user latest event by
+    (ts, event_id). Under availableNow the final snapshot equals the
+    batch latest-per-key, so a full SQL oracle applies."""
+    import tempfile
+
+    from ..streaming import pipeline as sp
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    state_dir = tempfile.mkdtemp(prefix="upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (sp.streaming_upsert(
+            stream.select("user_id", "ts", "event_id", "event_type"),
+            state_dir, ["user_id"], ["ts", "event_id"])
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (sp.read_upsert_state(spark, state_dir)
+            .select("user_id", "event_id", "event_type"))
+
+
+SQL_STREAM_UPSERT = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_scc_components(spark, sf_dir):
+    """Strongly connected components (graph.scc_labels — FW-BW-Trim
+    coloring): the web-graph bowtie/link-ring primitive. The synthetic
+    directed graph mixes every SCC shape the algorithm must handle:
+    10-node blocks chained i->i+1, blocks with index not divisible by 3
+    close the cycle (non-trivial SCCs), blocks divisible by 3 stay
+    acyclic chains (Trim fodder), and every 5th block links to the next
+    (cross-SCC DAG edges forcing a second peel). Oracle = recursive
+    reachability closure; mutual-reach pairs grouped by min id."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ids = docs.select(i.alias("id"))
+    blk = F.expr("doc_id div 10")
+    e1 = docs.where(i % 10 != 9).select(i.alias("src"),
+                                        (i + 1).alias("dst"))
+    e2 = (docs.where((i % 10 == 9) & (blk % 3 != 0))
+          .select(i.alias("src"), (i - 9).alias("dst")))
+    e3 = (docs.where((i % 10 == 9) & (blk % 5 == 0))
+          .select(i.alias("src"), (i + 1).alias("dst")))
+    edges = (e1.unionByName(e2).unionByName(e3)
+             .join(ids.select(F.col("id").alias("dst")), "dst",
+                   "left_semi"))
+    return gr.scc_labels(ids, edges, max_peels=6)
+
+
+SQL_SCC_COMPONENTS = """
+WITH RECURSIVE
+n AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+    WHERE doc_id % 10 <> 9
+    UNION ALL
+    SELECT doc_id, doc_id - 9 FROM documents
+    WHERE doc_id % 10 = 9 AND (doc_id // 10) % 3 <> 0
+    UNION ALL
+    SELECT doc_id, doc_id + 1 FROM documents
+    WHERE doc_id % 10 = 9 AND (doc_id // 10) % 5 = 0)
+  WHERE dst IN (SELECT id FROM n)),
+reach AS (
+  SELECT id AS src, id AS dst FROM n
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+SELECT r1.src AS id, min(r1.dst) AS scc_id
+FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+GROUP BY r1.src
+"""
+
+
+def q_edit_distance_join(spark, sf_dir):
+    """Exact edit-distance self-join (dedup.edit_distance_pairs):
+    synthetic record titles matched at levenshtein <= 2. Spark blocks
+    by the length band (floor(len/3) home bucket, probe explodes to
+    +/-1 — lossless because one edit moves length by at most 1); the
+    ORACLE IS THE BRUTE-FORCE ALL-PAIRS LEVENSHTEIN, so the gate proves
+    the blocking candidate set misses nothing."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    titled = docs.select(
+        "doc_id",
+        F.concat(F.expr("repeat('a', (doc_id * 7) % 23)"), F.lit("-"),
+                 (F.col("doc_id") % 13).cast("string")).alias("title"))
+    return dd.edit_distance_pairs(titled, "doc_id", "title", max_dist=2)
+
+
+SQL_EDIT_DISTANCE_JOIN = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, concat(repeat('a', (doc_id * 7) % 23), '-',
+                        CAST(doc_id % 13 AS STRING)) AS s
+  FROM documents)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
+def q_dbscan_clusters(spark, sf_dir):
+    """Deterministic DBSCAN (clustering.dbscan_clusters) over the
+    document points: eps = 250 m haversine, minPts = 4 (self included).
+    Spark: covering-cell candidate pairs -> neighbor-count agg -> core
+    filter -> alternating-CC over core-core edges -> min-label border
+    assignment. Oracle: brute-force all-pairs adjacency + recursive
+    closure over core-core edges + the same min-label border rule — one
+    gate proves candidate recall AND the cluster/role labeling."""
+    from ..operators import clustering as cl
+
+    pts = _points_df(spark, sf_dir)
+    return cl.dbscan_clusters(pts, radius_m=250.0, min_pts=4)
+
+
+def _sql_dbscan_clusters() -> str:
+    from ..operators import geodesy as gd
+
+    hav = gd.haversine_mm_sql("a.lng_udeg", "a.lat_udeg",
+                              "b.lng_udeg", "b.lat_udeg")
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+  WHERE {hav} <= 250000),
+adj AS MATERIALIZED (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+core AS MATERIALIZED (
+  SELECT id FROM adj GROUP BY id HAVING count(*) + 1 >= 4),
+ce AS MATERIALIZED (
+  SELECT a.id AS u, a.nb AS v FROM adj a
+  WHERE a.id IN (SELECT id FROM core) AND a.nb IN (SELECT id FROM core)
+  UNION ALL SELECT id, id FROM core),
+walk AS (
+  SELECT u AS id, u AS lbl FROM ce
+  UNION
+  SELECT ce.v, w.lbl FROM walk w JOIN ce ON ce.u = w.id),
+lbl AS MATERIALIZED (SELECT id, min(lbl) AS cluster_id
+                     FROM walk GROUP BY id)
+SELECT c.id, l.cluster_id, 'core' AS role
+FROM core c JOIN lbl l ON c.id = l.id
+UNION ALL
+SELECT a.id, min(l.cluster_id), 'border'
+FROM adj a JOIN lbl l ON a.nb = l.id
+WHERE a.id NOT IN (SELECT id FROM core)
+  AND a.nb IN (SELECT id FROM core)
+GROUP BY a.id
+"""
+
+
+def q_kmeans_geo(spark, sf_dir):
+    """Integer-exact k-means (clustering.kmeans_lloyd_int): 3 Lloyd
+    iterations, k=5, seeded with the 5 smallest-id points — the IVF
+    coarse-quantizer trainer reduced to an oracle-checkable integer
+    form (bigint coords, integer squared distance, ties -> smaller
+    centroid id, centroid update = sum DIV count). Oracle unrolls the
+    same three assign/update rounds as CTEs."""
+    from ..operators import clustering as cl
+
+    pts = _points_df(spark, sf_dir)
+    return cl.kmeans_lloyd_int(pts, k=5, iters=3)
+
+
+def _sql_kmeans_geo(k: int = 5, iters: int = 3) -> str:
+    d2 = ("(p.lng_udeg - c.cx)*(p.lng_udeg - c.cx)"
+          " + (p.lat_udeg - c.cy)*(p.lat_udeg - c.cy)")
+    parts = [f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS c,
+         lng_udeg AS cx, lat_udeg AS cy
+  FROM (SELECT * FROM pts ORDER BY doc_id LIMIT {k}))"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT doc_id, c FROM (
+    SELECT p.doc_id, c.c, row_number() OVER (
+      PARTITION BY p.doc_id ORDER BY {d2}, c.c) AS rn
+    FROM pts p CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT a{i}.c, CAST(sum(p.lng_udeg) // count(*) AS BIGINT) AS cx,
+         CAST(sum(p.lat_udeg) // count(*) AS BIGINT) AS cy
+  FROM a{i} JOIN pts p USING (doc_id) GROUP BY a{i}.c)""")
+    return f"""
+WITH {POINTS_CTE},
+{','.join(parts)}
+SELECT doc_id AS id, c AS cluster, cx, cy FROM (
+  SELECT p.doc_id, c.c, c.cx, c.cy, row_number() OVER (
+    PARTITION BY p.doc_id ORDER BY {d2}, c.c) AS rn
+  FROM pts p CROSS JOIN c{iters} c) WHERE rn = 1
+"""
+
+
+def q_daily_locf(spark, sf_dir):
+    """Daily last-state snapshot grid with LOCF gap fill
+    (temporal.daily_state_locf): per user, one row per calendar day
+    from first to last active day carrying the day's last event_type;
+    inactive days carry the prior state forward (is_gap marks them).
+    Null user_ids filtered on both sides (cross-engine null-key
+    canonicalization). Oracle: row_number day-last + generate_series
+    grid + last_value IGNORE NULLS."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    return tp.daily_state_locf(ev)
+
+
+SQL_DAILY_LOCF = """
+WITH ls AS MATERIALIZED (
+  SELECT user_id AS key, date_trunc('day', ts) AS day, event_type AS state
+  FROM (SELECT user_id, ts, event_id, event_type, row_number() OVER (
+          PARTITION BY user_id, date_trunc('day', ts)
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+  WHERE rn = 1),
+span AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM ls GROUP BY key),
+grid AS (SELECT key, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM span)
+SELECT g.key, g.day,
+       last_value(l.state IGNORE NULLS) OVER (
+         PARTITION BY g.key ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state,
+       l.state IS NULL AS is_gap
+FROM grid g LEFT JOIN ls l ON g.key = l.key AND g.day = l.day
+"""
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """Per-event-type peak interval concurrency (temporal.
+    peak_concurrency): each event holds a (1 + event_id % 7)-minute
+    active interval; the sweep line (+1 start / -1 end, departures
+    before arrivals at ties — end-exclusive) yields the peak load and
+    its first instant. Oracle replays the identical sweep in SQL."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull()))
+    iv = ev.select(
+        "event_type", F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, CAST(1 + event_id % 7 AS INT), ts)")
+        .alias("e"))
+    return tp.peak_concurrency(iv, "event_type", "s", "e")
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH iv AS MATERIALIZED (
+  SELECT event_type AS key, ts AS s,
+         ts + to_minutes(1 + event_id % 7) AS e
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+pt AS (SELECT key, s AS t, 1 AS delta FROM iv
+       UNION ALL SELECT key, e, -1 FROM iv),
+run AS (SELECT key, t, sum(delta) OVER (
+          PARTITION BY key ORDER BY t, delta
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+        FROM pt),
+mx AS (SELECT key, t, load, max(load) OVER (PARTITION BY key) AS peak
+       FROM run)
+SELECT key, CAST(min(peak) AS BIGINT) AS peak, min(t) AS first_peak_ts
+FROM mx WHERE load = peak GROUP BY key
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -6840,6 +7188,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_join_holes": q_spatial_join_holes,
     "skew_salted_join": q_skew_salted_join,
     "stream_enrich": q_stream_enrich,
+    # round-5 wave 20
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "sssp_seeds": q_sssp_seeds,
+    "stream_upsert": q_stream_upsert,
+    # round-5 wave 21
+    "scc_components": q_scc_components,
+    "edit_distance_join": q_edit_distance_join,
+    "dbscan_clusters": q_dbscan_clusters,
+    # round-5 wave 22
+    "kmeans_geo": q_kmeans_geo,
+    "daily_locf": q_daily_locf,
+    "peak_concurrency": q_peak_concurrency,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -7001,6 +7361,18 @@ ORACLES: dict[str, str] = {
     "spatial_join_holes": SQL_SPATIAL_JOIN_HOLES,
     "skew_salted_join": SQL_SKEW_SALTED_JOIN,
     "stream_enrich": SQL_STREAM_ENRICH,
+    # round-5 wave 20
+    "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "sssp_seeds": SQL_SSSP_SEEDS,
+    "stream_upsert": SQL_STREAM_UPSERT,
+    # round-5 wave 21
+    "scc_components": SQL_SCC_COMPONENTS,
+    "edit_distance_join": SQL_EDIT_DISTANCE_JOIN,
+    "dbscan_clusters": _sql_dbscan_clusters(),
+    # round-5 wave 22
+    "kmeans_geo": _sql_kmeans_geo(),
+    "daily_locf": SQL_DAILY_LOCF,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

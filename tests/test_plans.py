@@ -448,3 +448,22 @@ def test_wave16_query_scans_prune_columns_and_stay_jvm(spark):
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave20_21_query_scans_prune_and_stay_jvm(spark):
+    """Waves 20-21: edit_distance_join is the one lazily-planned gate
+    (the iterative SCC/SSSP/DBSCAN/sorted-neighborhood gates return
+    checkpointed relations, so their scans are consumed inside the loop
+    and audited by the whole-registry python-free test instead). Its
+    scan must read doc_id ONLY (the title is derived) and stay JVM."""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    plan = (eq.QUERIES["edit_distance_join"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+    assert cols == {"doc_id"}, f"scan reads {sorted(cols)}"
+    assert "EvalPython" not in plan and "InPandas" not in plan
