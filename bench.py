@@ -208,7 +208,8 @@ def main():
                   "sorted_neighborhood", "sssp_seeds", "stream_upsert",
                   "scc_components", "edit_distance_join",
                   "dbscan_clusters", "kmeans_geo", "daily_locf",
-                  "peak_concurrency"]:
+                  "peak_concurrency", "cell_hull", "active_time_union",
+                  "hrw_routing"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

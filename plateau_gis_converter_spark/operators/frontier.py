@@ -143,3 +143,40 @@ def recrawl_priority(history: DataFrame, now: int, key_col: str = "url",
                F.expr(f"(n_versions - 1) * ({int(now)} - last_change) "
                       f"* 1000000 div ({int(now)} - first_seen)"))
         .otherwise(F.lit(0)).cast("bigint").alias("priority_micro")))
+
+
+def hrw_route(keys: DataFrame, n_nodes: int, key_col: str = "key",
+              salt: str = "hrw") -> DataFrame:
+    """Rendezvous (highest-random-weight) routing — Thaler & Ravishankar
+    '96, the consistent shard router behind cache/fetcher/state
+    assignment when nodes come and go: key k goes to
+    argmax_node md5(k || '|' || node). Unlike ``fetcher_of``'s modulo
+    (which remaps ~ (n-1)/n of all keys when n changes), HRW moves ONLY
+    the keys whose new node wins — expectation 1/(n+1) of the corpus on
+    scale-up, and every moved key lands on the NEW node (nothing
+    reshuffles between survivors: their per-node weights are unchanged,
+    so a key changes owner only if the added node's weight beats its
+    old max).
+
+    Map-only: each key explodes to the O(n_nodes) literal node list
+    (n is the cluster size, a constant), one 60-bit md5 weight per
+    (key, node), one partial-agg max(struct(weight, node)) keyed by
+    key. Ties (astronomically unlikely, but the gate demands bit
+    determinism) break to the LOWER node id via the negated-id struct
+    trick. Output: (key, node).
+    """
+    if n_nodes < 1:
+        raise ValueError(f"n_nodes must be >= 1, got {n_nodes}")
+    node = F.explode(F.array(*[F.lit(i) for i in range(n_nodes)]))
+    weighted = keys.select(F.col(key_col).alias("key"),
+                           node.alias("node"))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("key").cast("string"), F.lit("|" + salt + "|"),
+                       F.col("node").cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+    return (weighted
+            .select("key", "node", h.alias("w"))
+            .groupBy("key")
+            .agg(F.max(F.struct(F.col("w"), (-F.col("node")).alias("nn")))
+                 .alias("b"))
+            .select("key", (-F.col("b.nn")).cast("bigint").alias("node")))

@@ -74,3 +74,60 @@ def ring_area2_centroid(vertices: DataFrame, poly_col: str = "poly_id",
         .alias("cx_udeg"),
         F.expr("CAST(y0 + cyn DIV (3 * area2) AS BIGINT)")
         .alias("cy_udeg"))
+
+
+def convex_hull_vertices(pts: DataFrame, key_col: str = "cell",
+                         x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-group 2-D convex hull VERTEX set (strict corners) over integer
+    coordinates — coverage-extent summarization: the minimal polygon
+    enclosing a cell's pages for footprint display, spatial-index MBR
+    refinement, cluster outline export.
+
+    Kernel: Andrew's monotone chain per group via ``applyInPandas`` —
+    the deliberate Python-by-design path (a data-dependent stack has no
+    Catalyst form), with EXACT Python-int cross products (no float ever
+    enters, so the result is bit-deterministic and an independent SQL
+    characterization can gate it). Strict-turn popping (pop on
+    cross <= 0) drops collinear edge-interior points, so the emitted
+    set is exactly the EXTREME points: p is emitted iff p is NOT in the
+    convex hull of the other points — the property the gate's oracle
+    states directly via Caratheodory (p inside-or-on a non-degenerate
+    triangle of others, or strictly within a segment of two others).
+
+    Scale: one shuffle keyed by group; per-group work O(n log n); group
+    size is a cell's population (bounded by the gridding, same contract
+    as every cell-keyed operator here). Duplicate points collapse
+    first. Output: (key, x, y), one row per hull vertex; singleton
+    groups emit their point, collinear groups their two endpoints.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} bigint, {x_col} bigint, {y_col} bigint"
+
+    def _hull(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        key = int(pdf[key_col].iloc[0])
+        p = sorted({(int(a), int(b))
+                    for a, b in zip(pdf[x_col], pdf[y_col])})
+        if len(p) <= 2:
+            hull = p
+        else:
+            def cross(o, a, b):
+                return ((a[0] - o[0]) * (b[1] - o[1])
+                        - (a[1] - o[1]) * (b[0] - o[0]))
+
+            def half(seq):
+                h: list = []
+                for q in seq:
+                    while len(h) >= 2 and cross(h[-2], h[-1], q) <= 0:
+                        h.pop()
+                    h.append(q)
+                return h
+
+            hull = half(p)[:-1] + half(reversed(p))[:-1]
+        return pd.DataFrame([(key, x, y) for x, y in hull],
+                            columns=[key_col, x_col, y_col])
+
+    return (pts.select(F.col(key_col).cast("bigint").alias(key_col),
+                       F.col(x_col).cast("bigint").alias(x_col),
+                       F.col(y_col).cast("bigint").alias(y_col))
+            .groupBy(key_col).applyInPandas(_hull, out_schema))

@@ -390,3 +390,43 @@ def peak_concurrency(intervals: DataFrame, key_col: str,
             .groupBy("key")
             .agg(F.min("peak").cast("bigint").alias("peak"),
                  F.min("t").alias("first_peak_ts")))
+
+
+def interval_union_time(intervals: DataFrame, key_col: str,
+                        start_col: str, end_col: str) -> DataFrame:
+    """Per-key UNION length of half-open intervals — true active time
+    when sessions/fetches overlap (summing durations double-counts;
+    this merges first): chain the intervals in (start, end) order,
+    break an island where start > max(end) of everything before
+    (half-open: touching intervals merge), then sum island extents.
+
+    Output (key, covered_us, n_islands): covered microseconds of the
+    merged union and the merged-interval count — both integer-exact
+    (unix_micros), so the oracle replays the identical two windows.
+
+    Shape: one hash partition by key + two ordered windows over it + one
+    partial agg. The cumulative-max island trick is O(n log n) per key
+    with NO interval self-join (the naive overlap join is quadratic on
+    hot keys).
+    """
+    # cast("timestamp") first: parquet NTZ timestamps reject unix_micros
+    # directly; the session is UTC so the epoch read matches DuckDB's
+    # epoch_us over the same naive values
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    base = intervals.select(F.col(key_col).alias("key"),
+                            s_us.alias("s"), e_us.alias("e"))
+    w = Window.partitionBy("key").orderBy("s", "e")
+    prev_max = (F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+    flagged = base.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0))
+    island = flagged.withColumn(
+        "island", F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    per_island = (island.groupBy("key", "island")
+                  .agg((F.max("e") - F.min("s")).alias("ext")))
+    return (per_island.groupBy("key")
+            .agg(F.sum("ext").alias("covered_us"),
+                 F.count(F.lit(1)).alias("n_islands")))

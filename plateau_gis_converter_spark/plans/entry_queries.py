@@ -6128,6 +6128,145 @@ FROM mx WHERE load = peak GROUP BY key
 """
 
 
+def q_cell_hull(spark, sf_dir):
+    """Per-cell convex hull vertex set (geometry.convex_hull_vertices):
+    the sparse (non-dense-cluster) document points gridded into
+    100k-µdeg cells; each cell emits its hull CORNERS via the integer
+    monotone-chain applyInPandas kernel (Python-by-design — exact
+    Python-int cross products). The oracle characterizes the same set
+    declaratively via Caratheodory: a point is NON-extreme iff it lies
+    in a non-degenerate triangle of three other cell points
+    (boundary inclusive) or strictly inside a segment of two — so a
+    hull bug (dropped corner, kept edge point) fails the gate without
+    the oracle ever running a hull."""
+    from ..operators import geometry as gm
+
+    pts = _points_df(spark, sf_dir).where(F.col("doc_id") % 10 >= 4)
+    cells = pts.select(
+        (F.floor(F.col("lng_udeg") / 100000) * 100000
+         + F.floor(F.col("lat_udeg") / 100000)).alias("cell"),
+        F.col("lng_udeg").alias("x"), F.col("lat_udeg").alias("y"))
+    return gm.convex_hull_vertices(cells, "cell", "x", "y")
+
+
+def _sql_cell_hull() -> str:
+    s1 = "((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x))"
+    s2 = "((c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x))"
+    s3 = "((a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x))"
+    return f"""
+WITH {POINTS_CTE},
+g AS MATERIALIZED (
+  SELECT DISTINCT
+         (lng_udeg // 100000) * 100000 + (lat_udeg // 100000) AS cell,
+         lng_udeg AS x, lat_udeg AS y
+  FROM pts WHERE doc_id % 10 >= 4),
+tri AS (
+  SELECT DISTINCT p.cell, p.x, p.y
+  FROM g p
+  JOIN g a ON a.cell = p.cell AND (a.x, a.y) <> (p.x, p.y)
+  JOIN g b ON b.cell = p.cell AND (b.x, b.y) <> (p.x, p.y)
+           AND (b.x, b.y) > (a.x, a.y)
+  JOIN g c ON c.cell = p.cell AND (c.x, c.y) <> (p.x, p.y)
+           AND (c.x, c.y) > (b.x, b.y)
+  WHERE ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x)) <> 0
+    AND (({s1} >= 0 AND {s2} >= 0 AND {s3} >= 0)
+      OR ({s1} <= 0 AND {s2} <= 0 AND {s3} <= 0))),
+seg AS (
+  SELECT DISTINCT p.cell, p.x, p.y
+  FROM g p
+  JOIN g a ON a.cell = p.cell
+  JOIN g b ON b.cell = p.cell
+  WHERE ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x)) = 0
+    AND (a.x-p.x)*(b.x-p.x) + (a.y-p.y)*(b.y-p.y) < 0)
+SELECT cell, x, y FROM g
+EXCEPT
+SELECT * FROM (SELECT * FROM tri UNION SELECT * FROM seg)
+"""
+
+
+def q_active_time_union(spark, sf_dir):
+    """Per-user UNION length of active intervals (temporal.
+    interval_union_time): each event holds (1 + event_id % 7) minutes;
+    overlapping holds merge (half-open — touching intervals chain)
+    before summing, so double-counted overlap would fail the gate. The
+    cumulative-max island trick needs NO interval self-join. Oracle
+    replays the identical two windows in SQL."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()))
+    iv = ev.select(
+        "user_id", F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, CAST(1 + event_id % 7 AS INT), ts)")
+        .alias("e"))
+    return tp.interval_union_time(iv, "user_id", "s", "e")
+
+
+SQL_ACTIVE_TIME_UNION = """
+WITH iv AS MATERIALIZED (
+  SELECT user_id AS key, epoch_us(ts) AS s,
+         epoch_us(ts + to_minutes(1 + event_id % 7)) AS e
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+fl AS (
+  SELECT key, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY key ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY key ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv),
+isl AS (
+  SELECT key, s, e, sum(ni) OVER (PARTITION BY key ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl),
+per AS (SELECT key, island, max(e) - min(s) AS ext
+        FROM isl GROUP BY key, island)
+SELECT key, CAST(sum(ext) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM per GROUP BY key
+"""
+
+
+def q_hrw_routing(spark, sf_dir):
+    """Rendezvous (HRW) shard routing (frontier.hrw_route): every doc
+    key routed under an 8-node and a 9-node cluster; ``moved`` marks
+    keys whose owner changed. The consistency property (a moved key
+    can ONLY land on the new node 8 — survivors never reshuffle among
+    themselves) is pinned by pytest; the oracle recomputes both argmax
+    assignments from the same md5 weights."""
+    from ..operators import frontier as fr
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(F.concat(F.lit("doc-"),
+                                F.col("doc_id").cast("string")).alias("key"))
+    a8 = fr.hrw_route(keys, 8).withColumnRenamed("node", "node8")
+    a9 = fr.hrw_route(keys, 9).withColumnRenamed("node", "node9")
+    return (a8.join(a9, "key")
+            .select("key", "node8", "node9",
+                    (F.col("node8") != F.col("node9")).alias("moved")))
+
+
+def _sql_hrw_routing() -> str:
+    w = _hex60_sql("concat(key, '|hrw|', CAST(node AS STRING))")
+    return f"""
+WITH k AS MATERIALIZED (
+  SELECT concat('doc-', CAST(doc_id AS STRING)) AS key FROM documents),
+w8 AS (SELECT key, node, {w} AS w
+       FROM k CROSS JOIN (SELECT range AS node FROM range(8))),
+a8 AS (SELECT key, node AS node8 FROM (
+  SELECT key, node, row_number() OVER (
+    PARTITION BY key ORDER BY w DESC, node) AS rn FROM w8) WHERE rn = 1),
+w9 AS (SELECT key, node, {w} AS w
+       FROM k CROSS JOIN (SELECT range AS node FROM range(9))),
+a9 AS (SELECT key, node AS node9 FROM (
+  SELECT key, node, row_number() OVER (
+    PARTITION BY key ORDER BY w DESC, node) AS rn FROM w9) WHERE rn = 1)
+SELECT a8.key, CAST(node8 AS BIGINT) AS node8,
+       CAST(node9 AS BIGINT) AS node9, node8 <> node9 AS moved
+FROM a8 JOIN a9 ON a8.key = a9.key
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -7200,6 +7339,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_geo": q_kmeans_geo,
     "daily_locf": q_daily_locf,
     "peak_concurrency": q_peak_concurrency,
+    # round-5 wave 23
+    "cell_hull": q_cell_hull,
+    "active_time_union": q_active_time_union,
+    "hrw_routing": q_hrw_routing,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -7373,6 +7516,10 @@ ORACLES: dict[str, str] = {
     "kmeans_geo": _sql_kmeans_geo(),
     "daily_locf": SQL_DAILY_LOCF,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    # round-5 wave 23
+    "cell_hull": _sql_cell_hull(),
+    "active_time_union": SQL_ACTIVE_TIME_UNION,
+    "hrw_routing": _sql_hrw_routing(),
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -96,6 +96,8 @@ def test_gate_queries_python_free_unless_whitelisted(spark):
         "warc_roundtrip",     # Content-Length-driven WARC record parser
                               # mapInPandas (binary framing is the point)
         "ingest_e2e",         # composes the same WARC record parser
+        "cell_hull",          # monotone-chain hull applyInPandas (a
+                              # data-dependent stack has no Catalyst form)
     }
     markers = ("EvalPython", "InPandas", "ArrowEval", "PythonUDF")
     sf = "/root/testdata/sf0.001"
