@@ -209,7 +209,8 @@ def main():
                   "scc_components", "edit_distance_join",
                   "dbscan_clusters", "kmeans_geo", "daily_locf",
                   "peak_concurrency", "cell_hull", "active_time_union",
-                  "hrw_routing"]:
+                  "hrw_routing", "modularity", "readability",
+                  "chi2_assoc"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -825,3 +825,56 @@ def scc_labels(nodes: DataFrame, edges: DataFrame,
     raise RuntimeError(
         f"scc_labels did not finish in {max_peels} peels — the graph's "
         f"SCC-chain depth exceeds the budget; raise max_peels")
+
+
+def modularity_contrib(edges: DataFrame, labels: DataFrame,
+                       a_col: str = "src", b_col: str = "dst",
+                       id_col: str = "id",
+                       label_col: str = "scc_id") -> DataFrame:
+    """Per-community modularity decomposition (Newman & Girvan) of a
+    node labeling over the UNDIRECTED simple graph — the quality score
+    that says whether a community/cluster labeling (label propagation,
+    CC, SCC condensation) actually concentrates edges:
+
+        Q = sum_c [ e_c/m - (d_c/(2m))^2 ]  =  sum_c q_num_c / (4 m^2)
+
+    with e_c intra-community edges, d_c the community degree sum, and
+    the returned exact integer q_num_c = 4*m*e_c - d_c^2. Keeping the
+    per-community numerators exact (one global DIV at read time) avoids
+    the float-sum nondeterminism AND the precision loss of per-cell
+    division; i64-safe while 2m < ~3e9 (beyond that, carry the d_c^2
+    term as a decimal — noted, not needed at gate scale).
+
+    Input edges may be directed/duplicated: normalized to distinct
+    unordered pairs, self-loops dropped. Shape: one distinct + two
+    label equi-joins + two partial aggs; m is one O(1) driver scalar.
+    Output: (community, intra_edges, degree_sum, q_num).
+    """
+    und = (edges.select(F.least(F.col(a_col), F.col(b_col)).alias("u"),
+                        F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
+           .where(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=True))
+    m = und.count()
+    lab = labels.select(F.col(id_col).alias("nid"),
+                        F.col(label_col).alias("community"))
+    deg = (und.select(F.col("u").alias("nid"))
+           .unionAll(und.select(F.col("v").alias("nid")))
+           .groupBy("nid").agg(F.count(F.lit(1)).alias("degree")))
+    d_c = (deg.join(lab, "nid")
+           .groupBy("community").agg(F.sum("degree").alias("degree_sum")))
+    e_c = (und.join(lab.select(F.col("nid").alias("u"),
+                               F.col("community").alias("cu")), "u")
+           .join(lab.select(F.col("nid").alias("v"),
+                            F.col("community").alias("cv")), "v")
+           .where(F.col("cu") == F.col("cv"))
+           .groupBy(F.col("cu").alias("community"))
+           .agg(F.count(F.lit(1)).alias("intra_edges")))
+    return (d_c.join(e_c, "community", "left")
+            .select("community",
+                    F.coalesce(F.col("intra_edges"), F.lit(0))
+                    .cast("bigint").alias("intra_edges"),
+                    F.col("degree_sum").cast("bigint").alias("degree_sum"),
+                    (F.lit(4 * m) * F.coalesce(F.col("intra_edges"),
+                                               F.lit(0))
+                     - F.col("degree_sum") * F.col("degree_sum"))
+                    .cast("bigint").alias("q_num")))

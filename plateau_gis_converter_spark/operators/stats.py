@@ -326,3 +326,43 @@ def trend_slope(events: DataFrame, key_col: str = "event_type",
                     F.col("n").alias("n_days"),
                     F.col("sy").alias("total_events"),
                     slope.cast("bigint").alias("slope_uday")))
+
+
+def chi2_flags(df: DataFrame, row_col: str, col_col: str,
+               threshold: int = 4) -> DataFrame:
+    """Chi-squared association cells over a two-way contingency table,
+    flagged in EXACT integers — drift/association detection between two
+    categorical columns (language x source, event type x hour): which
+    cells deviate from independence by more than ``threshold`` in their
+    chi-squared contribution.
+
+    Cell contribution (O-E)^2/E with E = R*C/N equals
+    (O*N - R*C)^2 / (N*R*C), so the flag
+
+        (O*N - R*C)^2  >  threshold * N * R * C
+
+    is decided entirely in int64 (safe while O*N < ~3e9*sqrt(thr) —
+    fixture and any per-shard table qualify; a corpus-global table
+    would pre-aggregate per shard first, these counts being additive).
+
+    Shape: one partial-agg groupBy for cells + two tiny margin aggs
+    broadcast back; map-side flag math. Output: (row_key, col_key, o,
+    r, c, n, flagged).
+    """
+    cells = (df.groupBy(F.col(row_col).alias("row_key"),
+                        F.col(col_col).alias("col_key"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    cells = cells.localCheckpoint(eager=True)
+    rows = cells.groupBy("row_key").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("col_key").agg(F.sum("o").alias("c"))
+    n_total = cells.agg(F.sum("o")).collect()[0][0]
+    dev = (F.col("o") * F.lit(n_total) - F.col("r") * F.col("c"))
+    return (cells.join(F.broadcast(rows), "row_key")
+            .join(F.broadcast(colm), "col_key")
+            .select("row_key", "col_key",
+                    F.col("o").cast("bigint").alias("o"),
+                    F.col("r").cast("bigint").alias("r"),
+                    F.col("c").cast("bigint").alias("c"),
+                    F.lit(n_total).cast("bigint").alias("n"),
+                    (dev * dev > F.lit(int(threshold)) * F.lit(n_total)
+                     * F.col("r") * F.col("c")).alias("flagged")))

@@ -306,3 +306,53 @@ def token_entropy(docs: DataFrame, text_col: str = "text",
         "doc_id", "n_tokens", "n_distinct",
         (ln_n - F.expr("s DIV n_tokens")).cast("bigint")
         .alias("entropy_e6_nats"))
+
+
+def readability_milli(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document in exact MILLI-points — the
+    classic curation quality signal (C4/Gopher-style pipelines gate on
+    readability bands; machine-generated and boilerplate text scores
+    abnormally).
+
+    Deterministic integer recipe (both engines evaluate it identically,
+    so the gate is bit-exact — the float Flesch constant chain would
+    diverge in the last ulp):
+
+      words     W = non-empty [a-z0-9']+ runs of the lowercased text
+      sentences S = max(1, count of [.!?]+ runs)
+      syllables V = max(W, count of [aeiouy]+ vowel GROUPS) — the
+                    standard vowel-run approximation, floored at one
+                    per word
+      fre_milli = 206835 - 1015*((1000*W) DIV S) DIV 1000 * ... — all
+                  ratios pre-scaled by 1000 then DIV'd, exactly:
+                  206835 - (1015*a) DIV 1000 - (84600*b) DIV 1000
+                  with a = (1000*W) DIV S, b = (1000*V) DIV W.
+
+    Scale: pure map-side Catalyst (regexp counts + integer math), no
+    shuffle, no Python. Empty/wordless docs emit NULL score.
+    """
+    t = F.lower(F.col(text_col))
+    # count of non-overlapping regex runs = length delta / run collapse:
+    # replace each run with one char, count sentinel chars
+    def runs(pattern: str) -> F.Column:
+        collapsed = F.regexp_replace(t, pattern, "\x01")
+        return (F.length(collapsed)
+                - F.length(F.regexp_replace(collapsed, "\x01", ""))
+                ).cast("bigint")
+
+    w = runs(r"[a-z0-9']+")
+    s = F.greatest(F.lit(1).cast("bigint"), runs(r"[.!?]+"))
+    v = F.greatest(w, runs(r"[aeiouy]+"))
+    return (docs.select(F.col(id_col), w.alias("__w"), s.alias("__s"),
+                        v.alias("__v"))
+            .select(id_col, F.col("__w").alias("n_words"),
+                    F.col("__s").alias("n_sentences"),
+                    F.col("__v").alias("n_syllables"),
+                    F.when(F.col("__w") > 0,
+                           F.lit(206835)
+                           - F.expr("CAST((1015 * ((1000 * __w) DIV __s)) "
+                                    "DIV 1000 AS BIGINT)")
+                           - F.expr("CAST((84600 * ((1000 * __v) DIV __w)) "
+                                    "DIV 1000 AS BIGINT)"))
+                    .alias("fre_milli")))

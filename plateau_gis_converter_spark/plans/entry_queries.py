@@ -6267,6 +6267,126 @@ FROM a8 JOIN a9 ON a8.key = a9.key
 """
 
 
+def q_modularity(spark, sf_dir):
+    """Per-community modularity decomposition (graph.modularity_contrib)
+    of the block labeling (community = doc div 10) over the SCC gate's
+    block graph read undirected — cross-block links are INTER edges, so
+    the cu == cv intra filter provably fires. q_num = 4*m*e_c - d_c^2
+    stays an exact integer; Q = sum(q_num)/(4 m^2) at read time. Oracle
+    re-derives edges, degrees and both aggregates independently."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ids = docs.select(i.alias("id"))
+    blk = F.expr("doc_id div 10")
+    e1 = docs.where(i % 10 != 9).select(i.alias("src"),
+                                        (i + 1).alias("dst"))
+    e2 = (docs.where((i % 10 == 9) & (blk % 3 != 0))
+          .select(i.alias("src"), (i - 9).alias("dst")))
+    e3 = (docs.where((i % 10 == 9) & (blk % 5 == 0))
+          .select(i.alias("src"), (i + 1).alias("dst")))
+    edges = (e1.unionByName(e2).unionByName(e3)
+             .join(ids.select(F.col("id").alias("dst")), "dst",
+                   "left_semi"))
+    labels = docs.select(i.alias("id"), blk.alias("community"))
+    return gr.modularity_contrib(edges, labels, label_col="community")
+
+
+SQL_MODULARITY = """
+WITH e0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+    WHERE doc_id % 10 <> 9
+    UNION ALL
+    SELECT doc_id, doc_id - 9 FROM documents
+    WHERE doc_id % 10 = 9 AND (doc_id // 10) % 3 <> 0
+    UNION ALL
+    SELECT doc_id, doc_id + 1 FROM documents
+    WHERE doc_id % 10 = 9 AND (doc_id // 10) % 5 = 0)
+  WHERE dst IN (SELECT doc_id FROM documents)),
+und AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM e0
+  WHERE src <> dst GROUP BY 1, 2),
+m AS (SELECT count(*) AS m FROM und),
+lbl AS (SELECT doc_id AS id, doc_id // 10 AS community FROM documents),
+deg AS (SELECT nid, count(*) AS degree FROM (
+  SELECT u AS nid FROM und UNION ALL SELECT v FROM und) GROUP BY nid),
+dc AS (SELECT l.community, CAST(sum(d.degree) AS BIGINT) AS degree_sum
+       FROM deg d JOIN lbl l ON d.nid = l.id GROUP BY 1),
+ec AS (SELECT la.community, CAST(count(*) AS BIGINT) AS intra_edges
+       FROM und JOIN lbl la ON und.u = la.id JOIN lbl lb ON und.v = lb.id
+       WHERE la.community = lb.community GROUP BY 1)
+SELECT dc.community, coalesce(ec.intra_edges, 0) AS intra_edges,
+       dc.degree_sum,
+       CAST(4 * m.m * coalesce(ec.intra_edges, 0)
+            - dc.degree_sum * dc.degree_sum AS BIGINT) AS q_num
+FROM dc LEFT JOIN ec ON dc.community = ec.community, m
+"""
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading ease in exact milli-points (text.readability_milli):
+    word/sentence/vowel-group runs counted by regex, all ratios
+    pre-scaled integer DIVs — bit-exact across engines. The Spark side
+    counts runs via sentinel-collapse regexp_replace; the oracle counts
+    the SAME runs via regexp_extract_all list length — independent
+    formulations of one spec."""
+    from ..operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.readability_milli(docs)
+
+
+SQL_READABILITY = """
+WITH c AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+'))
+              AS BIGINT) AS w,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+                       AS BIGINT)) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS v0
+  FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sentences,
+       greatest(w, v0) AS n_syllables,
+       CASE WHEN w > 0 THEN
+         206835 - (1015 * ((1000 * w) // s)) // 1000
+                - (84600 * ((1000 * greatest(w, v0)) // w)) // 1000
+       END AS fre_milli
+FROM c
+"""
+
+
+def q_chi2_assoc(spark, sf_dir):
+    """Chi-squared association cells (stats.chi2_flags) over the
+    lang x source contingency table, flagged where the cell's exact
+    integer contribution test (O*N - R*C)^2 > 2*N*R*C fires (threshold
+    2 flags ~8/100 fixture cells — both branches exercised; the
+    population-stat masking note on anomalous_days applies to z^2, not
+    to contingency cells). Oracle rebuilds cells and margins."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    return st.chi2_flags(docs, "lang", "source", threshold=2)
+
+
+SQL_CHI2_ASSOC = """
+WITH cells AS MATERIALIZED (
+  SELECT lang AS row_key, source AS col_key,
+         CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+r AS (SELECT row_key, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+c AS (SELECT col_key, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT cells.row_key, cells.col_key, o, r.r, c.c, n.n,
+       (o * n.n - r.r * c.c) * (o * n.n - r.r * c.c)
+         > 2 * n.n * r.r * c.c AS flagged
+FROM cells JOIN r USING (row_key) JOIN c USING (col_key), n
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -7343,6 +7463,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_hull": q_cell_hull,
     "active_time_union": q_active_time_union,
     "hrw_routing": q_hrw_routing,
+    # round-5 wave 24
+    "modularity": q_modularity,
+    "readability": q_readability,
+    "chi2_assoc": q_chi2_assoc,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -7520,6 +7644,10 @@ ORACLES: dict[str, str] = {
     "cell_hull": _sql_cell_hull(),
     "active_time_union": SQL_ACTIVE_TIME_UNION,
     "hrw_routing": _sql_hrw_routing(),
+    # round-5 wave 24
+    "modularity": SQL_MODULARITY,
+    "readability": SQL_READABILITY,
+    "chi2_assoc": SQL_CHI2_ASSOC,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

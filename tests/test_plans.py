@@ -469,3 +469,32 @@ def test_wave20_21_query_scans_prune_and_stay_jvm(spark):
     cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
     assert cols == {"doc_id"}, f"scan reads {sorted(cols)}"
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_wave22_24_query_scans_prune_and_stay_jvm(spark):
+    """Waves 22-24 lazily-planned gates: scans read only the consumed
+    columns, zero Python stages. (kmeans_geo and the CC-backed
+    modularity legs run through checkpoints and are covered by the
+    whole-registry python-free audit.)"""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "daily_locf": {"user_id", "ts", "event_id", "event_type"},
+        "peak_concurrency": {"event_type", "ts", "event_id"},
+        "active_time_union": {"user_id", "ts", "event_id"},
+        "hrw_routing": {"doc_id"},
+        "readability": {"doc_id", "text"},
+        # chi2_assoc checkpoints its tiny cells relation (the margins and
+        # the output reuse it without re-scanning the corpus), so its
+        # final plan has no FileScan — python-free audit covers it
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
