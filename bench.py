@@ -210,7 +210,8 @@ def main():
                   "dbscan_clusters", "kmeans_geo", "daily_locf",
                   "peak_concurrency", "cell_hull", "active_time_union",
                   "hrw_routing", "modularity", "readability",
-                  "chi2_assoc"]:
+                  "chi2_assoc", "frame_sample", "er_match_scores",
+                  "ngram_novelty"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

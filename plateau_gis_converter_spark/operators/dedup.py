@@ -893,3 +893,73 @@ def edit_distance_pairs(df: DataFrame, key_col: str, str_col: str,
             .where(F.col("dist") <= max_dist)
             .select(F.col("k").alias("key_a"), F.col("kb").alias("key_b"),
                     F.col("dist").cast("bigint").alias("dist")))
+
+def er_match_scores(pairs: DataFrame, records: DataFrame, key_col: str,
+                    fields: "list[tuple[str, int, int]]",
+                    upper: int, lower: int) -> DataFrame:
+    """Fellegi-Sunter record-pair scoring (Fellegi & Sunter JASA'69) —
+    the decision stage of entity resolution: candidate pairs (from any
+    blocking generator here: ``edit_distance_pairs``,
+    ``sorted_neighborhood_pairs``, LSH) get an integer log-odds score
+    as the sum of per-field agreement weights, then a three-way
+    classification against the (upper, lower) thresholds.
+
+    fields: [(column, agree_weight, disagree_weight)] — weights are
+    integer deci-bans (10 * log10 of the m/u likelihood ratio, rounded
+    offline where the m/u probabilities are estimated); keeping them
+    integers makes the score and classification engine-exact. Field
+    equality is NULL-SAFE (two NULLs agree — mirror with IS NOT
+    DISTINCT FROM in SQL).
+
+    Output: (key_a, key_b, score, match_class in
+    'match'|'possible'|'nonmatch'). Shape: two equi-joins of the pair
+    relation to the record fields + map-side CASE sums; no shuffle
+    beyond the joins.
+    """
+    if lower > upper:
+        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
+    cols = [c for c, _, _ in fields]
+    a = records.select(F.col(key_col).alias("key_a"),
+                       *[F.col(c).alias(f"a_{c}") for c in cols])
+    b = records.select(F.col(key_col).alias("key_b"),
+                       *[F.col(c).alias(f"b_{c}") for c in cols])
+    j = pairs.select("key_a", "key_b").join(a, "key_a").join(b, "key_b")
+    score = None
+    for c, agree, disagree in fields:
+        term = F.when(F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}")),
+                      F.lit(int(agree))).otherwise(F.lit(int(disagree)))
+        score = term if score is None else score + term
+    return j.select(
+        "key_a", "key_b", score.cast("bigint").alias("score"),
+        F.when(score >= upper, F.lit("match"))
+        .when(score >= lower, F.lit("possible"))
+        .otherwise(F.lit("nonmatch")).alias("match_class"))
+
+
+def shingle_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came before
+    it (doc_id order = ingest order): the ppm share of the doc's
+    distinct shingles whose FIRST occurrence in the corpus is this doc.
+    The curation signal between exact dedup and LSH: boilerplate-heavy
+    or templated docs score near 0 even when no single earlier doc is
+    a near-duplicate of them (pairwise similarity misses N-way overlap
+    diluted across many sources).
+
+    novelty_ppm = 1_000_000 * |{s : min_doc(s) = doc}| DIV |shingles| —
+    integer-exact. Shape: the shingle explode + ONE min-agg keyed by
+    shingle + one equi-join back + one count agg keyed by doc. The
+    min-agg is the same partial-combine shape as exact dedup; no
+    all-pairs anything.
+    """
+    sh = shingles(docs, n=n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(first, "shingle")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                                 1).otherwise(0)).alias("n_first")))
+    return per_doc.select(
+        "doc_id", F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_first").cast("bigint").alias("n_first"),
+        F.expr("CAST((1000000 * n_first) DIV n_shingles AS BIGINT)")
+        .alias("novelty_ppm"))

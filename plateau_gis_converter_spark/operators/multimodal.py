@@ -159,7 +159,12 @@ def image_features(df: DataFrame, blob_col: str = "html",
 def frame_sample_stub(df: DataFrame, blob_col: str = "html",
                       url_col: str = "url", every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: 1→N rows per media blob (frame index +
-    fake frame digest). Real impl: ffmpeg piped decode in the same UDF."""
+    fake frame digest). Real impl: ffmpeg piped decode in the same UDF.
+
+    The fake "frame" is 64 bytes of the blob; the digest input is
+    blob + ASCII(frame_idx) — the index appended as ASCII digits, not
+    packed bytes, so an independent engine can restate the hash input as
+    plain string concat (the gate's DuckDB oracle does exactly that)."""
     schema = T.StructType([
         T.StructField("url", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -174,8 +179,10 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "html",
                     continue
                 n_frames = max(1, len(blob) // 64)
                 for i in range(0, n_frames, every_n):
-                    d = hashlib.md5(bytes(blob) + i.to_bytes(4, "big")).hexdigest()
-                    rows.append({"url": url, "frame_idx": i, "frame_digest": d})
+                    d = hashlib.md5(bytes(blob)
+                                    + str(i).encode("ascii")).hexdigest()
+                    rows.append({"url": url, "frame_idx": i,
+                                 "frame_digest": d})
             if rows:
                 yield pd.DataFrame(rows)
 

@@ -6387,6 +6387,113 @@ FROM cells JOIN r USING (row_key) JOIN c USING (col_key), n
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (multimodal.frame_sample_stub): the
+    third multimodal gate — 1->N rows per binary blob via mapInPandas
+    (Python-by-design; the stub 'decode' is byte math: one fake frame
+    per 64 bytes, every 10th sampled, digest = md5(blob || ASCII idx)
+    so the oracle restates the hash input as plain string concat)."""
+    from ..operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"))
+    return mm.frame_sample_stub(pages, every_n=10)
+
+
+SQL_FRAME_SAMPLE = """
+WITH pages AS MATERIALIZED (
+  SELECT concat('https://', source, '/doc/', CAST(doc_id AS VARCHAR)) AS url,
+         '<html><body>' || text || '</body></html>' AS page
+  FROM documents),
+nf AS (SELECT url, page,
+              greatest(1, octet_length(encode(page)) // 64) AS n
+       FROM pages)
+SELECT url, CAST(idx AS INTEGER) AS frame_idx,
+       md5(page || CAST(idx AS VARCHAR)) AS frame_digest
+FROM nf, unnest(range(0, n, 10)) AS t(idx)
+"""
+
+
+def q_er_match_scores(spark, sf_dir):
+    """Fellegi-Sunter scoring (dedup.er_match_scores) over the
+    edit-distance blocking candidates: per-field integer deci-ban
+    agreement weights (lang +15/-10, source +12/-8, length band
+    +8/-5), three-way classification at (30, 5) — all-agree pairs
+    are 'match' (35), two-agree 'possible', the rest 'nonmatch'.
+    Oracle re-derives candidates brute-force and mirrors the CASE
+    sums with IS NOT DISTINCT FROM equality."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    titled = docs.select(
+        "doc_id",
+        F.concat(F.expr("repeat('a', (doc_id * 7) % 23)"), F.lit("-"),
+                 (F.col("doc_id") % 13).cast("string")).alias("title"),
+        "lang", "source", F.expr("n_chars div 100").alias("band"))
+    pairs = dd.edit_distance_pairs(titled, "doc_id", "title", max_dist=2)
+    return dd.er_match_scores(
+        pairs, titled, "doc_id",
+        [("lang", 15, -10), ("source", 12, -8), ("band", 8, -5)],
+        upper=30, lower=5)
+
+
+SQL_ER_MATCH_SCORES = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, concat(repeat('a', (doc_id * 7) % 23), '-',
+                        CAST(doc_id % 13 AS STRING)) AS s,
+         lang, source, n_chars // 100 AS band
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         a.lang AS al, b.lang AS bl, a.source AS asrc, b.source AS bsrc,
+         a.band AS ab, b.band AS bb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE levenshtein(a.s, b.s) <= 2),
+sc AS (
+  SELECT key_a, key_b,
+    CAST((CASE WHEN al IS NOT DISTINCT FROM bl THEN 15 ELSE -10 END)
+       + (CASE WHEN asrc IS NOT DISTINCT FROM bsrc THEN 12 ELSE -8 END)
+       + (CASE WHEN ab IS NOT DISTINCT FROM bb THEN 8 ELSE -5 END)
+       AS BIGINT) AS score
+  FROM p)
+SELECT key_a, key_b, score,
+       CASE WHEN score >= 30 THEN 'match'
+            WHEN score >= 5 THEN 'possible'
+            ELSE 'nonmatch' END AS match_class
+FROM sc
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document shingle novelty (dedup.shingle_novelty): ppm of the
+    doc's distinct 3-gram shingles FIRST seen at this doc in ingest
+    (doc_id) order — the N-way-boilerplate signal pairwise similarity
+    dilutes away. One min-agg keyed by shingle + one join back; oracle
+    over the shared shingle CTE."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.shingle_novelty(docs)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH {SHINGLES_CTE},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+per AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_first
+  FROM sh s JOIN first f USING (shingle) GROUP BY 1)
+SELECT doc_id, n_shingles, n_first,
+       CAST((1000000 * n_first) // n_shingles AS BIGINT) AS novelty_ppm
+FROM per
+"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution of the link graph (graph.degree_histogram):
     one row per (direction, degree) with the node count — two partial
@@ -7467,6 +7574,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modularity": q_modularity,
     "readability": q_readability,
     "chi2_assoc": q_chi2_assoc,
+    # round-5 wave 25
+    "frame_sample": q_frame_sample,
+    "er_match_scores": q_er_match_scores,
+    "ngram_novelty": q_ngram_novelty,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -7648,6 +7759,10 @@ ORACLES: dict[str, str] = {
     "modularity": SQL_MODULARITY,
     "readability": SQL_READABILITY,
     "chi2_assoc": SQL_CHI2_ASSOC,
+    # round-5 wave 25
+    "frame_sample": SQL_FRAME_SAMPLE,
+    "er_match_scores": SQL_ER_MATCH_SCORES,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

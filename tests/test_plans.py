@@ -98,6 +98,8 @@ def test_gate_queries_python_free_unless_whitelisted(spark):
         "ingest_e2e",         # composes the same WARC record parser
         "cell_hull",          # monotone-chain hull applyInPandas (a
                               # data-dependent stack has no Catalyst form)
+        "frame_sample",       # frame-sampling mapInPandas (stub decode;
+                              # the 1->N binary framing is the point)
     }
     markers = ("EvalPython", "InPandas", "ArrowEval", "PythonUDF")
     sf = "/root/testdata/sf0.001"
