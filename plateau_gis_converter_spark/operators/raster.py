@@ -407,3 +407,71 @@ def apply_focal_delta(prev_focal: DataFrame, added_pts: DataFrame,
     return (signed.groupBy(*cols)
             .agg(F.sum("d").alias("focal_sum"))
             .where(F.col("focal_sum") > 0))
+
+
+def morans_i(raster: DataFrame, value_col: str = "n_points",
+             tile_px: int = 256) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of the sparse density
+    raster (Moran 1950; the standard clustered-vs-dispersed diagnostic a
+    geo pipeline reports next to hotspot maps).  Cells are the raster's
+    NON-EMPTY pixels (the sparse-representation convention, documented:
+    empty pixels are outside the study region, as in `hotspot_regions`);
+    the weight matrix is binary rook adjacency (|dgx|+|dgy| = 1, no
+    x wrap) between those cells.
+
+        I = (n / W) * Σ_ij w_ij (x_i − x̄)(x_j − x̄) / Σ_i (x_i − x̄)²
+
+    INTEGER-EXACT moments: multiply the centered terms through by n —
+    d_i = n·x_i − S (S = Σx) is a pure int64, so num = Σ_directed
+    d_i·d_j, den = Σ d_i², W = directed-pair count, and n are all
+    exact, associative, merge-order-free aggregates (the house
+    discipline).  I = n·num / (W·den) is emitted both as the four exact
+    integers AND as i_milli via ONE fixed-order scalar double chain
+    (same op order in the oracle — the `hll_estimate_grouped` pattern).
+    Overflow ceiling (documented like bm25's): |d_i| ≤ n·max_x + S, so
+    num needs (n·max_x + S)² < 2^63 — holds whenever n·max_x < 3e9,
+    i.e. any realistic zoom at the fixture scales; a planetary-scale
+    raster runs the same plan per-region.
+
+    Plan shape: one 1-row stats agg (broadcast back via cross join),
+    one map-side 4-offset explode + equi-join on the neighbor key
+    (never an all-pairs/inequality join), two partial aggs.  Zero
+    Python, zero driver data beyond the single output row.
+    """
+    p = F.lit(int(tile_px)).cast("bigint")
+    cells = raster.select(
+        (F.col("x") * p + F.col("px")).alias("gx"),
+        (F.col("y") * p + F.col("py")).alias("gy"),
+        F.col(value_col).cast("bigint").alias("v"))
+    stats = cells.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"))
+    d = (cells.crossJoin(F.broadcast(stats))
+         .select("gx", "gy", "n", "s",
+                 (F.col("n") * F.col("v") - F.col("s")).alias("d")))
+    offsets = F.expr("array(struct(1L as dx, 0L as dy),"
+                     " struct(-1L as dx, 0L as dy),"
+                     " struct(0L as dx, 1L as dy),"
+                     " struct(0L as dx, -1L as dy))")
+    probes = (d.select("gx", "gy", "d", F.explode(offsets).alias("o"))
+              .select((F.col("gx") + F.col("o.dx")).alias("gx"),
+                      (F.col("gy") + F.col("o.dy")).alias("gy"),
+                      F.col("d").alias("da")))
+    pairs = probes.join(d.select("gx", "gy", F.col("d").alias("db")),
+                        ["gx", "gy"])
+    nm = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("w_sum"),
+        F.coalesce(F.sum(F.col("da") * F.col("db")), F.lit(0))
+        .cast("bigint").alias("num"))
+    dn = d.groupBy().agg(F.max("n").alias("n"),
+                         F.sum(F.col("d") * F.col("d"))
+                         .cast("bigint").alias("den"))
+    out = dn.crossJoin(nm)
+    i_milli = F.floor(
+        F.col("num").cast("double") / F.col("den").cast("double")
+        * F.col("n").cast("double") / F.col("w_sum").cast("double")
+        * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+    return out.select(
+        "n", "w_sum", "num", "den",
+        F.when((F.col("den") > 0) & (F.col("w_sum") > 0), i_milli)
+        .otherwise(F.lit(None).cast("bigint")).alias("i_milli"))

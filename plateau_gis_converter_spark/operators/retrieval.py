@@ -259,3 +259,92 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 5, n_docs: int | None = None,
             .where(F.col("rank") <= int(k))
             .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
                     "df", "score_e6", F.col("rank").cast("int").alias("rank")))
+
+
+def maxscore_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k BM25 with MaxScore candidate pruning (Turtle & Flood 1995;
+    the block-max/WAND family) — LOSSLESSLY identical output to
+    ``bm25_topk(exact=True)``, but the expensive per-(query, doc)
+    aggregation only runs over docs that can still reach the top-k.
+
+    The relational recast of MaxScore:
+
+    1. **seed θ**: exact-score only the docs containing ALL of a
+       query's terms (a tiny conjunctive subset — one countDistinct
+       filter) and take the k-th best score as θ.  θ is a LOWER bound
+       on the final k-th score, so it is always safe; if fewer than k
+       conjunctive docs exist, θ = −∞ (no pruning, exact fallback).
+    2. **term classification**: per term, ub = max per-doc contribution
+       over the probed postings (one partial agg).  Sort a query's
+       terms by ub ascending; a term is NON-essential when the
+       inclusive prefix sum of ubs is < θ.  Any doc containing only
+       non-essential terms scores ≤ that prefix sum < θ ≤ final k-th
+       score — strictly below, so it can never enter the top-k under
+       the (score desc, doc_id) tiebreak.  The top-ub term is always
+       essential (θ ≤ Σ ub), so candidates are never empty.
+    3. **score candidates**: docs holding ≥1 essential term (one
+       equi-join), exact-scored over ALL their query hits.
+
+    At web scale this is the difference between aggregating the full
+    posting lists of stop-ish terms (huge df, tiny idf → tiny ub →
+    non-essential) and touching them only for already-candidate docs.
+    The gate's oracle is the FULL exact BM25 ranking, so the gate is a
+    losslessness proof, same pattern as ``heavy_hitters`` /
+    ``decontaminate_bloom``.  Scale: postings/df/ub are partial aggs;
+    queries/θ/term-classes are O(|queries|) broadcasts; the candidate
+    join is an equi-join keyed by (query, doc) — no all-pairs anywhere.
+    """
+    post = postings(docs, text_col, id_col).localCheckpoint(eager=True)
+    row = (post.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+           .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("dl").alias("t"))
+           .collect()[0])
+    n_docs, t_total = int(row["n"]), int(row["t"])
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    q = F.broadcast(queries.select("query_id", "term"))
+    qlen = queries.groupBy("query_id").agg(
+        F.countDistinct("term").alias("qlen"))
+    contrib = F.expr(
+        f"(((({n_docs} - df) * {MICRO}) div df + {MICRO})"
+        f" * ((22 * tf * {t_total} * {MICRO})"
+        f"    div (10 * tf * {t_total} + 3 * {t_total}"
+        f"         + 9 * dl * {n_docs}))) div {MICRO}")
+    # the probed postings subset (bounded by the query terms' df) is
+    # reused three times (θ seed, ub, candidate scoring) — pin it once
+    hits = (post.join(q, "term").join(F.broadcast(dfreq), "term")
+            .withColumn("c", contrib)
+            .select("query_id", "doc_id", "term", "c")
+            .localCheckpoint(eager=True))
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id"))
+    conj = (hits.groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("term").alias("nt"),
+                 F.sum("c").cast("bigint").alias("score_micro"))
+            .join(F.broadcast(qlen), "query_id")
+            .where(F.col("nt") == F.col("qlen")))
+    theta = (conj.withColumn("r", F.row_number().over(w_rank))
+             .where(F.col("r") == k)
+             .select("query_id", F.col("score_micro").alias("theta")))
+
+    ub = hits.groupBy("query_id", "term").agg(F.max("c").alias("ub"))
+    w_cum = (Window.partitionBy("query_id")
+             .orderBy(F.col("ub").asc(), F.col("term"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ess = (ub.join(F.broadcast(theta), "query_id", "left")
+           .withColumn("cum", F.sum("ub").over(w_cum))
+           .where(F.col("theta").isNull()
+                  | (F.col("cum") >= F.col("theta")))
+           .select("query_id", "term"))
+
+    cand = (hits.join(F.broadcast(ess), ["query_id", "term"])
+            .select("query_id", "doc_id").distinct())
+    scored = (hits.join(cand, ["query_id", "doc_id"])
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("c").cast("bigint").alias("score_micro")))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w_rank).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score_micro"))

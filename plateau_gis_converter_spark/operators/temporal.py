@@ -430,3 +430,47 @@ def interval_union_time(intervals: DataFrame, key_col: str,
     return (per_island.groupBy("key")
             .agg(F.sum("ext").alias("covered_us"),
                  F.count(F.lit(1)).alias("n_islands")))
+
+
+def rolling_daily_stats(events: DataFrame, key_col: str = "event_type",
+                        ts_col: str = "ts", value_col: str = "value",
+                        days: int = 7) -> DataFrame:
+    """Trailing ``days``-day rolling activity per key — the
+    moving-average freshness/traffic panel (7-day rolling counts and
+    value sums per host/event type) every crawl-ops dashboard draws.
+
+    Engine path: this is the one window shape none of the other gates
+    exercise — a RANGE frame (``rangeBetween(-(days-1), 0)`` over the
+    integer day index), which Spark executes with the sliding
+    RangeFrame state in a single window pass, NOT a self-join.  The
+    frame slides over the per-(key, day) DAILY relation (days/key rows)
+    produced by one partial-agg groupBy — the raw event stream is never
+    windowed, so the state per key is bounded by active days, not
+    events.  Calendar gaps are handled by the range frame semantics
+    (missing days simply contribute nothing), which a rowsBetween frame
+    would get wrong.
+
+    Float discipline: ``value`` is quantized per ROW to milli-units
+    (floor(value * 1000.0) — one correctly-rounded double multiply,
+    identical in both engines) BEFORE any aggregation, so every sum is
+    an exact, merge-order-free int64 and the rolling mean is integer
+    `div`.  Output: (key, day_num, n_day, v_milli_day, n_win, v_milli_win,
+    mean_milli_win).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    v_milli = F.floor(F.col(value_col) * F.lit(1000.0)).cast("bigint")
+    daily = (events.select(F.col(key_col).alias("key"),
+                           day.alias("day_num"), v_milli.alias("vm"))
+             .groupBy("key", "day_num")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_day"),
+                  F.sum("vm").cast("bigint").alias("v_milli_day")))
+    w = (Window.partitionBy("key").orderBy("day_num")
+         .rangeBetween(-(int(days) - 1), 0))
+    out = daily.select(
+        F.col("key").alias(key_col), "day_num", "n_day", "v_milli_day",
+        F.sum("n_day").over(w).cast("bigint").alias("n_win"),
+        F.sum("v_milli_day").over(w).cast("bigint").alias("v_milli_win"))
+    return out.withColumn(
+        "mean_milli_win",
+        F.expr("v_milli_win div n_win").cast("bigint"))

@@ -7394,6 +7394,189 @@ WHERE rank <= 3
 """
 
 
+def q_wand_topk(spark, sf_dir):
+    """MaxScore-pruned BM25 top-k (retrieval.maxscore_topk): θ seeded
+    from the conjunctive-match subset, non-essential terms cut by the
+    ascending-ub inclusive-prefix rule, candidates exact-scored. The
+    oracle is the FULL exact BM25 ranking over every matching doc, so
+    the gate is a pruning-LOSSLESSNESS proof (the heavy_hitters /
+    decontaminate_bloom pattern). 6 corpus-derived two-term queries at
+    skip=11 — a disjoint fixture from the bm25_topk gate."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = rt.corpus_queries(docs, n_queries=6, skip=11)
+    return rt.maxscore_topk(docs, qs, k=10)
+
+
+SQL_WAND_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)),
+                                        '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS term
+  FROM toks, UNNEST(range(greatest(len(t) - 1, 0))) AS u(i)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM occ GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM occ GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS t FROM dl),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r
+  FROM dfq),
+queries AS (
+  SELECT CAST((r - 12) // 2 AS BIGINT) AS query_id, term
+  FROM ranked WHERE r > 11 AND r <= 23),
+score AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(sum(
+      ((((s.n - dfq.df) * 1000000) // dfq.df + 1000000)
+       * ((22 * tf.tf * s.t * 1000000)
+          // (10 * tf.tf * s.t + 3 * s.t + 9 * dl.dl * s.n)))
+      // 1000000) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN queries q USING (term)
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, score_micro FROM (
+  SELECT query_id, doc_id, score_micro,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+  FROM score)
+WHERE rank <= 10
+"""
+
+
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation (raster.morans_i) of the
+    z=8 point-density raster: rook adjacency between non-empty pixels,
+    integer-exact moments (d_i = n·x_i − S), the ratio via one
+    fixed-order scalar double chain. Oracle re-derives the raster, the
+    adjacency via per-axis equi-joins with an abs()=1 filter (an
+    independent formulation of rook neighbours vs Spark's 4-offset
+    explode), and the same exact integer moments."""
+    from ..operators import raster as ra
+
+    pts = _points_df(spark, sf_dir)
+    r = ra.rasterize_points(pts, zoom=8, tile_px=16)
+    return ra.morans_i(r, tile_px=16)
+
+
+SQL_MORANS_I = f"""
+WITH {POINTS_CTE},
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 4096.0) AS BIGINT) % 4096 + 4096) % 4096)
+        AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 4096.0) AS BIGINT), 4095)) AS gy
+  FROM pts),
+c AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS v FROM g GROUP BY 1, 2),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+       FROM c),
+d AS (SELECT gx, gy, st.n * c.v - st.s AS d FROM c, st),
+pr AS (
+  SELECT a.d AS da, b.d AS db
+  FROM d a JOIN d b ON a.gx = b.gx AND abs(a.gy - b.gy) = 1
+  UNION ALL
+  SELECT a.d, b.d
+  FROM d a JOIN d b ON a.gy = b.gy AND abs(a.gx - b.gx) = 1),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS w_sum,
+              CAST(coalesce(sum(da * db), 0) AS BIGINT) AS num FROM pr),
+dn AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM d)
+SELECT st.n, nm.w_sum, nm.num, dn.den,
+  CASE WHEN dn.den > 0 AND nm.w_sum > 0 THEN
+    CAST(floor(CAST(nm.num AS DOUBLE) / CAST(dn.den AS DOUBLE)
+               * CAST(st.n AS DOUBLE) / CAST(nm.w_sum AS DOUBLE)
+               * 1000.0 + 0.5) AS BIGINT)
+  ELSE NULL END AS i_milli
+FROM st, nm, dn
+"""
+
+
+def q_rolling_activity(spark, sf_dir):
+    """Trailing 7-day rolling daily activity per event type
+    (temporal.rolling_daily_stats) — the one RANGE-frame window gate
+    (rangeBetween over the integer day index; calendar gaps contribute
+    nothing, which a rows frame would get wrong). value quantized to
+    milli-units per row before any sum. Oracle is the independent
+    self-join formulation (b.day BETWEEN a.day-6 AND a.day)."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events")
+    return tp.rolling_daily_stats(ev, days=7)
+
+
+SQL_ROLLING_ACTIVITY = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+         CAST(count(*) AS BIGINT) AS n_day,
+         CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+             AS v_milli_day
+  FROM events GROUP BY 1, 2)
+SELECT a.event_type, a.day_num, a.n_day, a.v_milli_day,
+       CAST(sum(b.n_day) AS BIGINT) AS n_win,
+       CAST(sum(b.v_milli_day) AS BIGINT) AS v_milli_win,
+       CAST(sum(b.v_milli_day) // sum(b.n_day) AS BIGINT) AS mean_milli_win
+FROM daily a JOIN daily b
+  ON a.event_type = b.event_type
+ AND b.day_num BETWEEN a.day_num - 6 AND a.day_num
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_html_depth(spark, sf_dir):
+    """Max DOM nesting depth per page (html.html_tag_depth): the depth
+    prefix-scan runs INSIDE the tag array via one higher-order aggregate
+    fold — a sequential per-doc scan as a map-side Catalyst projection,
+    zero shuffle. Fixture wraps each doc in doc_id%5 nested divs so
+    depths vary 2..6. Oracle unnests the same tag stream and replays the
+    scan as a window cumulative sum + max (independent formulation)."""
+    from ..operators import html as ht
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><body>"),
+        F.expr("repeat('<div>', CAST(doc_id % 5 AS INT))"),
+        F.col("text"),
+        F.expr("repeat('</div>', CAST(doc_id % 5 AS INT))"),
+        F.lit("</body></html>"))
+    pages = docs.select("doc_id", page.alias("html"))
+    return (ht.html_tag_depth(pages)
+            .select("doc_id", "n_tags", "max_depth"))
+
+
+SQL_HTML_DEPTH = """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><body>' || repeat('<div>', CAST(doc_id % 5 AS INT))
+         || text || repeat('</div>', CAST(doc_id % 5 AS INT))
+         || '</body></html>' AS page
+  FROM documents),
+tg AS (SELECT doc_id,
+              regexp_extract_all(page, '</?[a-z][a-z0-9]*[^>]*>', 0) AS tags
+       FROM pages),
+ex AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+              CASE WHEN tags[i+1] LIKE '</%' THEN -1 ELSE 1 END AS delta
+       FROM tg, UNNEST(range(len(tags))) AS u(i)),
+cum AS (SELECT doc_id,
+               sum(delta) OVER (PARTITION BY doc_id ORDER BY i) AS depth
+        FROM ex),
+mx AS (SELECT doc_id, max(depth) AS md FROM cum GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.tags) AS BIGINT) AS n_tags,
+       CAST(GREATEST(coalesce(m.md, 0), 0) AS BIGINT) AS max_depth
+FROM tg t LEFT JOIN mx m USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -7578,6 +7761,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "er_match_scores": q_er_match_scores,
     "ngram_novelty": q_ngram_novelty,
+    "wand_topk": q_wand_topk,
+    "morans_i": q_morans_i,
+    "rolling_activity": q_rolling_activity,
+    "html_depth": q_html_depth,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -7763,6 +7950,10 @@ ORACLES: dict[str, str] = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "er_match_scores": SQL_ER_MATCH_SCORES,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "wand_topk": SQL_WAND_TOPK,
+    "morans_i": SQL_MORANS_I,
+    "rolling_activity": SQL_ROLLING_ACTIVITY,
+    "html_depth": SQL_HTML_DEPTH,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -100,6 +100,9 @@ def test_gate_queries_python_free_unless_whitelisted(spark):
                               # data-dependent stack has no Catalyst form)
         "frame_sample",       # frame-sampling mapInPandas (stub decode;
                               # the 1->N binary framing is the point)
+        "spatial_join_holes",  # Arrow even-odd PIP kernel refine — the
+                               # gate exists to prove that kernel's
+                               # parity vs the brute-force integer oracle
     }
     markers = ("EvalPython", "InPandas", "ArrowEval", "PythonUDF")
     sf = "/root/testdata/sf0.001"
@@ -500,3 +503,33 @@ def test_wave22_24_query_scans_prune_and_stay_jvm(spark):
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
+
+
+def test_wave26_query_scans_prune_and_stay_jvm(spark):
+    """Wave 26 lazily-planned gates: scans read only consumed columns,
+    zero Python stages. (wand_topk runs through checkpointed postings
+    and is covered by the whole-registry python-free audit; its
+    losslessness is the gate itself.)"""
+    spark.catalog.clearCache()  # plan-shape audit: a leaked cache rewrites scans
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "morans_i": {"doc_id"},
+        "rolling_activity": {"event_type", "ts", "value"},
+        "html_depth": {"doc_id", "text"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    # rolling_activity must execute as ONE window pass with a RANGE
+    # frame, not a self-join
+    plan = (eq.QUERIES["rolling_activity"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "specifiedwindowframe(RangeFrame, -6" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
