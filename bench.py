@@ -212,7 +212,9 @@ def main():
                   "hrw_routing", "modularity", "readability",
                   "chi2_assoc", "frame_sample", "er_match_scores",
                   "ngram_novelty", "wand_topk", "morans_i",
-                  "rolling_activity", "html_depth"]:
+                  "rolling_activity", "html_depth",
+                  "segment_intersections", "dag_layers",
+                  "contour_cases"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -131,3 +131,107 @@ def convex_hull_vertices(pts: DataFrame, key_col: str = "cell",
                        F.col(x_col).cast("bigint").alias(x_col),
                        F.col(y_col).cast("bigint").alias(y_col))
             .groupBy(key_col).applyInPandas(_hull, out_schema))
+
+
+def segment_intersections(a: DataFrame, b: DataFrame,
+                          cell_udeg: int = 32768) -> DataFrame:
+    """Exact integer segment-intersection join between two segment sets
+    (road/boundary overlay — the line-line companion of the point-in-
+    polygon spatial join; the reference's slicing stages clip segments
+    against tile edges with the same orientation tests,
+    nusamai/src/sink/mvt/slice.rs).
+
+    Inputs: (seg_id, x1, y1, x2, y2) integer µdeg endpoints per side.
+    Output: (a_id, b_id, proper) for every intersecting pair — proper=1
+    for a transversal crossing, 0 for touches (shared endpoint,
+    endpoint-on-interior, collinear overlap).
+
+    Candidates come from a covering-grid index: each segment scatters to
+    every ``cell_udeg``-sized cell its bbox overlaps (a map-side
+    2-D sequence explode), pairs meet by cell equi-join. LOSSLESS: two
+    intersecting segments have overlapping bboxes, and overlapping
+    real intervals have overlapping floor-quantized cell ranges, so an
+    intersecting pair always shares >= 1 cell — the gate proves this
+    against a brute-force all-pairs oracle. Pick ``cell_udeg`` near the
+    ~p95 segment extent: too small scatters long segments wide, too
+    large packs unrelated segments together (same tuning contract as
+    the z12 covering-cell polygon index).
+
+    The predicate is the CLRS SEGMENTS-INTERSECT exact integer test —
+    four cross-product orientations d1..d4, proper iff d1·d2 < 0 and
+    d3·d4 < 0, else the four collinear/on-segment bbox probes. All
+    int64 (differences of same-quadrant µdeg coords are < 2^31, their
+    products < 2^62); zero floats, zero Python. Pairs sharing several
+    cells collapse by one distinct AFTER the cheap map-side predicate,
+    so the shuffle carries only true hits.
+
+    Scale: one shuffle per side keyed by cell, one equi-join, one
+    distinct over hits. Skewed cells (a downtown) are AQE-splittable —
+    the join key is the cell, the classic salt target.
+    """
+    c = int(cell_udeg)
+    shift = 1 << 31  # keep floor-division exact for negative coords
+
+    def cells(df: DataFrame, tag: str) -> DataFrame:
+        # `div` (integer division) on the shift-positive coords keeps the
+        # cell index exact for ANY cell size (a double `/` would only be
+        # exact for power-of-two cells).
+        base = df.select(
+            F.col("seg_id").alias(f"{tag}_id"),
+            F.col("x1").cast("bigint").alias(f"{tag}x1"),
+            F.col("y1").cast("bigint").alias(f"{tag}y1"),
+            F.col("x2").cast("bigint").alias(f"{tag}x2"),
+            F.col("y2").cast("bigint").alias(f"{tag}y2"))
+        x1, y1 = f"{tag}x1", f"{tag}y1"
+        x2, y2 = f"{tag}x2", f"{tag}y2"
+        return (base.select(
+            "*",
+            F.explode(F.expr(
+                f"sequence((least({x1}, {x2}) + {shift}L) div {c}L, "
+                f"(greatest({x1}, {x2}) + {shift}L) div {c}L)"))
+            .alias("cx"),
+            F.expr(
+                f"sequence((least({y1}, {y2}) + {shift}L) div {c}L, "
+                f"(greatest({y1}, {y2}) + {shift}L) div {c}L)")
+            .alias("cys"))
+            .select(f"{tag}_id", x1, y1, x2, y2, "cx",
+                    F.explode("cys").alias("cy")))
+
+    ca = cells(a, "a")
+    cb = cells(b, "b")
+    cand = ca.join(cb, ["cx", "cy"]).drop("cx", "cy")
+
+    def d(px, py, qx, qy, rx, ry):
+        """orientation of r relative to directed segment p->q (cross)."""
+        return ((F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py))
+                - (F.col(qy) - F.col(py)) * (F.col(rx) - F.col(px)))
+
+    d1 = d("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    d2 = d("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    d3 = d("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    d4 = d("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+
+    def on_seg(sx1, sy1, sx2, sy2, px, py):
+        return (F.col(px).between(F.least(sx1, sx2), F.greatest(sx1, sx2))
+                & F.col(py).between(F.least(sy1, sy2),
+                                    F.greatest(sy1, sy2)))
+
+    e = cand.withColumn("d1", d1).withColumn("d2", d2) \
+            .withColumn("d3", d3).withColumn("d4", d4)
+    proper = (((F.col("d1") > 0) & (F.col("d2") < 0))
+              | ((F.col("d1") < 0) & (F.col("d2") > 0))) & \
+             (((F.col("d3") > 0) & (F.col("d4") < 0))
+              | ((F.col("d3") < 0) & (F.col("d4") > 0)))
+    touch = (((F.col("d1") == 0) & on_seg("bx1", "by1", "bx2", "by2",
+                                          "ax1", "ay1"))
+             | ((F.col("d2") == 0) & on_seg("bx1", "by1", "bx2", "by2",
+                                            "ax2", "ay2"))
+             | ((F.col("d3") == 0) & on_seg("ax1", "ay1", "ax2", "ay2",
+                                            "bx1", "by1"))
+             | ((F.col("d4") == 0) & on_seg("ax1", "ay1", "ax2", "ay2",
+                                            "bx2", "by2")))
+    return (e.where(proper | touch)
+            .select("a_id", "b_id",
+                    F.when(proper, F.lit(1)).otherwise(F.lit(0))
+                    .cast("bigint").alias("proper"))
+            .distinct())

@@ -878,3 +878,52 @@ def modularity_contrib(edges: DataFrame, labels: DataFrame,
                                                F.lit(0))
                      - F.col("degree_sum") * F.col("degree_sum"))
                     .cast("bigint").alias("q_num")))
+
+
+def dag_layers(nodes: DataFrame, edges: DataFrame,
+               max_rounds: int = 30) -> DataFrame:
+    """Topological LAYERS of a DAG — for every node the length of the
+    longest directed path ending at it (sources sit at layer 0). The
+    scheduling primitive behind dependency-ordered pipelines: everything
+    in layer k can run once layers < k finished (the reference's
+    transform chain is such a dependency order, fixed at plan time;
+    here it is computed from a data-sized graph).
+
+    nodes: one ``id`` column. edges: (src, dst). Returns (id, layer),
+    integer-exact.
+
+    Bellman iteration on the max-plus semiring: layer_{k+1}(v) =
+    max(0, max over in-edges (u,v) of layer_k(u) + 1) — monotone
+    non-decreasing, fixpoint at the true longest-path depth after
+    (depth) rounds. Per round: ONE equi-join keyed by src + ONE max
+    aggregation keyed by node, O(1) driver scalars (the improved
+    count); the edge relation is pinned once (the sssp_from_seeds
+    lesson — unpinned lineage re-plans superlinearly). If the budget
+    exhausts before the fixpoint the graph has a cycle (layers on a
+    cycle grow forever) or a deeper-than-budget chain — raise loudly,
+    never return a truncated layering (same honesty contract as
+    connected_components / scc_labels).
+    """
+    lay = (nodes.select("id").distinct()
+           .withColumn("layer", F.lit(0).cast("bigint"))
+           .localCheckpoint(eager=True))
+    edges = (edges.select("src", "dst").distinct()
+             .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        relaxed = (lay.join(edges, lay["id"] == edges["src"])
+                   .select(F.col("dst").alias("id"),
+                           (F.col("layer") + F.lit(1).cast("bigint"))
+                           .alias("layer")))
+        nxt = (lay.unionByName(relaxed)
+               .groupBy("id").agg(F.max("layer").alias("layer"))
+               .localCheckpoint(eager=True))
+        improved = (nxt.join(lay.withColumnRenamed("layer", "old"), "id")
+                    .where(F.col("layer") > F.col("old"))
+                    .count())
+        lay = nxt
+        if improved == 0:
+            return lay
+    raise RuntimeError(
+        f"dag_layers did not converge in {max_rounds} rounds — the graph "
+        f"has a cycle, or a chain deeper than the budget (raise "
+        f"max_rounds)")

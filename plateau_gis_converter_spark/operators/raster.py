@@ -475,3 +475,52 @@ def morans_i(raster: DataFrame, value_col: str = "n_points",
         "n", "w_sum", "num", "den",
         F.when((F.col("den") > 0) & (F.col("w_sum") > 0), i_milli)
         .otherwise(F.lit(None).cast("bigint")).alias("i_milli"))
+
+
+def contour_cases(raster: DataFrame, thr: int,
+                  tile_px: int = 256) -> DataFrame:
+    """Marching-squares cell classification of the sparse density raster
+    at iso-level ``thr`` — the raster -> vector bridge in the OTHER
+    direction from ``rasterize_points`` (the reference vectorizes
+    derived surfaces the same way its tiling stage polygonizes
+    coverage; contour extraction is the standard cartographic move on
+    a density heatmap before it ships as an MVT overlay layer).
+
+    Every 2x2 pixel block whose corners straddle the threshold yields a
+    marching-squares case id: bit 1 = (bx, by) set, bit 2 = (bx+1, by),
+    bit 4 = (bx, by+1), bit 8 = (bx+1, by+1), where "set" means the
+    pixel's count >= thr (absent sparse pixels are 0, the documented
+    sparse-raster convention). Cases 0 and 15 emit no contour; the two
+    saddle cases (6 and 9 — diagonal corners set) emit 2 segments, all
+    other non-trivial cases 1.
+
+    Output: (bx, by, case_id, n_segments) per contour-carrying block in
+    GLOBAL pixel coords (gx = x*tile_px + px, as morans_i).
+
+    Plan: set pixels scatter to their <= 4 containing blocks with the
+    corner's bit weight (a map-side 4-element explode), ONE sum
+    aggregation keyed by block — O(set pixels), never O(raster area);
+    blocks no set pixel touches are case 0 by construction and never
+    materialize. Zero Python, zero floats; the oracle recomputes blocks
+    by four LEFT JOIN corner probes (an independent formulation of the
+    same classification).
+    """
+    p = F.lit(int(tile_px)).cast("bigint")
+    px = (raster.where(F.col("n_points") >= F.lit(int(thr)))
+          .select((F.col("x") * p + F.col("px")).alias("gx"),
+                  (F.col("y") * p + F.col("py")).alias("gy")))
+    corners = F.expr("array(struct(0L as dx, 0L as dy, 1L as w),"
+                     " struct(1L as dx, 0L as dy, 2L as w),"
+                     " struct(0L as dx, 1L as dy, 4L as w),"
+                     " struct(1L as dx, 1L as dy, 8L as w))")
+    scattered = (px.select("gx", "gy", F.explode(corners).alias("o"))
+                 .select((F.col("gx") - F.col("o.dx")).alias("bx"),
+                         (F.col("gy") - F.col("o.dy")).alias("by"),
+                         F.col("o.w").alias("w")))
+    cases = (scattered.groupBy("bx", "by")
+             .agg(F.sum("w").cast("bigint").alias("case_id"))
+             .where(F.col("case_id") != 15))
+    return cases.select(
+        "bx", "by", "case_id",
+        F.when(F.col("case_id").isin(6, 9), F.lit(2)).otherwise(F.lit(1))
+        .cast("bigint").alias("n_segments"))

@@ -7577,6 +7577,178 @@ FROM tg t LEFT JOIN mx m USING (doc_id)
 """
 
 
+def q_segment_intersections(spark, sf_dir):
+    """Exact integer line-line intersection join
+    (geometry.segment_intersections): deterministic µdeg segments grown
+    from each synthetic point (even doc_ids = set A, odd = set B), paired
+    through the covering-grid cell index, refined by the CLRS four-
+    orientation integer predicate. The oracle brute-forces ALL A×B pairs
+    with the identical predicate restated independently — the gate proves
+    the cell index LOSSLESS (bbox overlap ⇒ shared cell) and the
+    predicate exact, the spatial_join_holes pattern for lines."""
+    from ..operators import geometry as gm
+
+    pts = _points_df(spark, sf_dir)
+    seg = pts.select(
+        F.col("doc_id").alias("seg_id"),
+        F.col("lng_udeg").cast("bigint").alias("x1"),
+        F.col("lat_udeg").cast("bigint").alias("y1"),
+        (F.col("lng_udeg") + (F.col("doc_id") * 48611) % 24001
+         - 12000).cast("bigint").alias("x2"),
+        (F.col("lat_udeg") + (F.col("doc_id") * 51347) % 24001
+         - 12000).cast("bigint").alias("y2"))
+    a = seg.where(F.col("seg_id") % 2 == 0)
+    b = seg.where(F.col("seg_id") % 2 == 1)
+    return gm.segment_intersections(a, b, cell_udeg=32768)
+
+
+SQL_SEGMENT_INTERSECTIONS = f"""
+WITH {POINTS_CTE},
+seg AS (
+  SELECT doc_id AS seg_id, lng_udeg AS x1, lat_udeg AS y1,
+         lng_udeg + (doc_id * 48611) % 24001 - 12000 AS x2,
+         lat_udeg + (doc_id * 51347) % 24001 - 12000 AS y2
+  FROM pts),
+dd AS (
+  SELECT a.seg_id AS a_id, b.seg_id AS b_id,
+         a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2,
+         (b.x2 - b.x1) * (a.y1 - b.y1)
+           - (b.y2 - b.y1) * (a.x1 - b.x1) AS d1,
+         (b.x2 - b.x1) * (a.y2 - b.y1)
+           - (b.y2 - b.y1) * (a.x2 - b.x1) AS d2,
+         (a.x2 - a.x1) * (b.y1 - a.y1)
+           - (a.y2 - a.y1) * (b.x1 - a.x1) AS d3,
+         (a.x2 - a.x1) * (b.y2 - a.y1)
+           - (a.y2 - a.y1) * (b.x2 - a.x1) AS d4
+  FROM seg a, seg b
+  WHERE a.seg_id % 2 = 0 AND b.seg_id % 2 = 1),
+cls AS (
+  SELECT a_id, b_id,
+         (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+          AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))) AS proper_b,
+         ((d1 = 0 AND ax1 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+                  AND ay1 BETWEEN least(by1, by2) AND greatest(by1, by2))
+          OR (d2 = 0 AND ax2 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+                     AND ay2 BETWEEN least(by1, by2) AND greatest(by1, by2))
+          OR (d3 = 0 AND bx1 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+                     AND by1 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+          OR (d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+                     AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+         ) AS touch_b
+  FROM dd)
+SELECT a_id, b_id,
+       CAST(CASE WHEN proper_b THEN 1 ELSE 0 END AS BIGINT) AS proper
+FROM cls WHERE proper_b OR touch_b
+"""
+
+
+def q_dag_layers(spark, sf_dir):
+    """DAG topological layers (graph.dag_layers): longest-path depth per
+    node over a deterministic 6-level dependency graph derived from
+    doc_ids (edges only go level l -> l+1, so acyclicity is by
+    construction and the true depth is <= 5 — but a node's LAYER is its
+    longest incoming chain, 0 for the many mid-level nodes nothing
+    points at, which the fixture exercises). Oracle = the max-plus
+    Bellman iteration unrolled as 6 chained CTEs (the kmeans_geo
+    pattern)."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    m = max(n // 6, 1)
+    base = docs.select("doc_id").where(F.col("doc_id") < 6 * m)
+    nodes = base.select(F.col("doc_id").alias("id"))
+    lvl = F.col("doc_id") % 6
+    grp = F.expr("doc_id div 6")
+    e1 = (base.where(lvl < 5)
+          .select(F.col("doc_id").alias("src"),
+                  (6 * ((grp * 31 + 7) % m) + lvl + 1).alias("dst")))
+    e2 = (base.where((lvl < 5) & (F.col("doc_id") % 2 == 0))
+          .select(F.col("doc_id").alias("src"),
+                  (6 * ((grp * 17 + 3) % m) + lvl + 1).alias("dst")))
+    return gr.dag_layers(nodes, e1.unionByName(e2), max_rounds=8)
+
+
+def _dag_layers_sql() -> str:
+    rounds = []
+    for k in range(1, 6):
+        rounds.append(f"""
+l{k} AS (
+  SELECT nd.id, coalesce(max(q.layer + 1), 0) AS layer
+  FROM nd LEFT JOIN (
+    SELECT e.dst, p.layer FROM edg e JOIN l{k - 1} p ON p.id = e.src) q
+    ON q.dst = nd.id
+  GROUP BY nd.id)""")
+    return f"""
+WITH cnt AS (SELECT count(*) // 6 AS m FROM documents),
+nd AS (SELECT doc_id AS id FROM documents, cnt WHERE doc_id < 6 * m),
+edg AS (
+  SELECT doc_id AS src,
+         6 * (((doc_id // 6) * 31 + 7) % m) + doc_id % 6 + 1 AS dst
+  FROM documents, cnt WHERE doc_id < 6 * m AND doc_id % 6 < 5
+  UNION ALL
+  SELECT doc_id,
+         6 * (((doc_id // 6) * 17 + 3) % m) + doc_id % 6 + 1
+  FROM documents, cnt
+  WHERE doc_id < 6 * m AND doc_id % 6 < 5 AND doc_id % 2 = 0),
+l0 AS (SELECT id, CAST(0 AS BIGINT) AS layer FROM nd),
+{",".join(rounds)}
+SELECT id, CAST(layer AS BIGINT) AS layer FROM l5
+"""
+
+
+SQL_DAG_LAYERS = _dag_layers_sql()
+
+
+def q_contour_cases(spark, sf_dir):
+    """Marching-squares contour classification (raster.contour_cases) of
+    the z=11 occupancy raster at iso-level 1: per 2x2 block the 4-bit
+    case id and segment count, computed by a map-side bit-weight scatter
+    + one sum agg over ONLY the set pixels. Oracle recomputes set pixels
+    and classifies blocks via four LEFT JOIN corner probes — an
+    independent join-based formulation of the same case table."""
+    from ..operators import raster as ra
+
+    pts = _points_df(spark, sf_dir)
+    r = ra.rasterize_points(pts, zoom=11, tile_px=16)
+    out = ra.contour_cases(r, thr=1, tile_px=16)
+    return out.select(F.col("bx").alias("cell_x"),
+                      F.col("by").alias("cell_y"),
+                      "case_id", "n_segments")
+
+
+SQL_CONTOUR_CASES = f"""
+WITH {POINTS_CTE},
+g AS (
+  SELECT
+    ((CAST(floor({MX_SQL} * 32768.0) AS BIGINT) % 32768 + 32768) % 32768)
+        AS gx,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(CAST(floor({MY_SQL} * 32768.0) AS BIGINT), 32767)) AS gy
+  FROM pts),
+c AS (SELECT gx, gy FROM g GROUP BY gx, gy HAVING count(*) >= 1),
+blocks AS (
+  SELECT DISTINCT c.gx - o.dx AS cell_x, c.gy - o.dy AS cell_y
+  FROM c, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) o(dx, dy)),
+cl AS (
+  SELECT b.cell_x, b.cell_y,
+         CASE WHEN p00.gx IS NOT NULL THEN 1 ELSE 0 END
+       + CASE WHEN p10.gx IS NOT NULL THEN 2 ELSE 0 END
+       + CASE WHEN p01.gx IS NOT NULL THEN 4 ELSE 0 END
+       + CASE WHEN p11.gx IS NOT NULL THEN 8 ELSE 0 END AS case_id
+  FROM blocks b
+  LEFT JOIN c p00 ON p00.gx = b.cell_x     AND p00.gy = b.cell_y
+  LEFT JOIN c p10 ON p10.gx = b.cell_x + 1 AND p10.gy = b.cell_y
+  LEFT JOIN c p01 ON p01.gx = b.cell_x     AND p01.gy = b.cell_y + 1
+  LEFT JOIN c p11 ON p11.gx = b.cell_x + 1 AND p11.gy = b.cell_y + 1)
+SELECT cell_x, cell_y, CAST(case_id AS BIGINT) AS case_id,
+       CAST(CASE WHEN case_id IN (6, 9) THEN 2 ELSE 1 END AS BIGINT)
+           AS n_segments
+FROM cl WHERE case_id <> 15
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -7765,6 +7937,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "morans_i": q_morans_i,
     "rolling_activity": q_rolling_activity,
     "html_depth": q_html_depth,
+    "segment_intersections": q_segment_intersections,
+    "dag_layers": q_dag_layers,
+    "contour_cases": q_contour_cases,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -7954,6 +8129,9 @@ ORACLES: dict[str, str] = {
     "morans_i": SQL_MORANS_I,
     "rolling_activity": SQL_ROLLING_ACTIVITY,
     "html_depth": SQL_HTML_DEPTH,
+    "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
+    "dag_layers": SQL_DAG_LAYERS,
+    "contour_cases": SQL_CONTOUR_CASES,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

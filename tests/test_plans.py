@@ -533,3 +533,31 @@ def test_wave26_query_scans_prune_and_stay_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "specifiedwindowframe(RangeFrame, -6" in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_wave27_query_scans_prune_and_stay_jvm(spark):
+    """Wave 27: scans read only doc_id (all three fixtures derive from
+    it); segment_intersections must pair through the cell equi-join —
+    never a cartesian/nested-loop brute force (that is the ORACLE's
+    job); dag_layers runs through eager checkpoints, so only its
+    python-free property is assertable here."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    for name in ("segment_intersections", "contour_cases"):
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == {"doc_id"}, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    plan = (eq.QUERIES["segment_intersections"](spark,
+                                                "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lay = eq.QUERIES["dag_layers"](spark, "/root/testdata/sf0.001")
+    assert "EvalPython" not in (
+        lay._jdf.queryExecution().executedPlan().toString())
