@@ -214,7 +214,8 @@ def main():
                   "ngram_novelty", "wand_topk", "morans_i",
                   "rolling_activity", "html_depth",
                   "segment_intersections", "dag_layers",
-                  "contour_cases"]:
+                  "contour_cases", "morton_bbox_scan", "golden_record",
+                  "lag_autocorr"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -963,3 +963,44 @@ def shingle_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
         F.col("n_first").cast("bigint").alias("n_first"),
         F.expr("CAST((1000000 * n_first) DIV n_shingles AS BIGINT)")
         .alias("novelty_ppm"))
+
+
+def golden_record(members: DataFrame, cluster_col: str,
+                  fields: "list[str]") -> DataFrame:
+    """Golden-record consensus merge: after pairs -> clusters -> keep
+    list, the OTHER thing an entity-resolution pipeline ships is the
+    merged record itself — per cluster and per FIELD, the value the
+    most members agree on (majority vote; ties break to the smallest
+    value, so the result is deterministic under any partitioning).
+    ``dedup_keep_list`` keeps one member ROW; this merges column-wise,
+    which beats any single row when members are partially null or
+    disagree field-by-field.
+
+    Output is LONG FORM — (cluster, field, value, n_votes), one row per
+    cluster x field with at least one non-null vote — so the schema is
+    stable for any field list (values vote as strings; the caller casts
+    back on read, the documented melt contract).
+
+    Plan: one map-side explode melts the fields (F rows per member),
+    ONE count aggregation keyed by (cluster, field, value), one
+    max_by-style window over that aggregate relation (small: distinct
+    values per cluster-field, not members). Partial aggregation does
+    the heavy lifting; no per-field pass over the corpus.
+    """
+    from pyspark.sql import Window
+
+    pairs = F.array(*[
+        F.struct(F.lit(f).alias("field"),
+                 F.col(f).cast("string").alias("value"))
+        for f in fields])
+    melted = (members.select(F.col(cluster_col).alias("cluster"),
+                             F.explode(pairs).alias("kv"))
+              .select("cluster", "kv.field", "kv.value")
+              .where(F.col("value").isNotNull()))
+    votes = (melted.groupBy("cluster", "field", "value")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes")))
+    w = Window.partitionBy("cluster", "field").orderBy(
+        F.col("n_votes").desc(), F.col("value").asc())
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("cluster", "field", "value", "n_votes"))

@@ -366,3 +366,69 @@ def chi2_flags(df: DataFrame, row_col: str, col_col: str,
                     F.lit(n_total).cast("bigint").alias("n"),
                     (dev * dev > F.lit(int(threshold)) * F.lit(n_total)
                      * F.col("r") * F.col("c")).alias("flagged")))
+
+
+def lag_autocorrelation(events: DataFrame, key_col: str = "event_type",
+                        ts_col: str = "ts", lag_days: int = 7) -> DataFrame:
+    """Per-key lag-k autocorrelation of DAILY activity — the seasonality
+    detector (lag 7 = weekly rhythm) a traffic pipeline reports next to
+    ``trend_slope`` and ``anomalous_bins``. The 1-D sibling of
+    ``morans_i``'s integer-moment discipline.
+
+    The series is the count per calendar day over the key's OWN
+    [min_day, max_day] span with missing days as true zeros (a gap IS
+    a signal for autocorrelation — skipping empty days would splice
+    the series and fake correlation across the gap). With n = span
+    days, S = total events: d_i = n*c_i - S is exact int64, and
+
+        r = n * sum(d_i * d_{i+k}) / ((n - k) adjusted? -- no:
+        r_milli = round(1000 * num / den),  num = sum_i d_i * d_{i+k},
+        den = sum_i d_i^2
+
+    num/den/n/S are all associative integer aggregates (merge-order
+    free); only the final scalar ratio is a double, computed in one
+    fixed op order (the morans_i pattern). r_milli is NULL when den = 0
+    (a constant series has no autocorrelation).
+
+    Plan: one groupBy for per-key span/totals, one map-side sequence
+    explode materializing the grid (span rows per key — bounded by the
+    calendar, never by event volume), one left join for counts, one
+    self-equi-join on (key, day + k) for the lag pairs, two partial
+    aggs. Zero Python, zero windows.
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    daily = (events.select(F.col(key_col).alias("k"), day.alias("d"))
+             .groupBy("k", "d")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    span = daily.groupBy("k").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1"),
+        F.sum("c").cast("bigint").alias("s"))
+    grid = (span.select("k", "s",
+                        (F.col("d1") - F.col("d0") + 1).alias("n"),
+                        F.explode(F.sequence("d0", "d1")).alias("d")))
+    cd = (grid.join(daily, ["k", "d"], "left")
+          .select("k", "n", "s", "d",
+                  (F.col("n") * F.coalesce(F.col("c"), F.lit(0))
+                   - F.col("s")).alias("dev")))
+    lagged = cd.select(F.col("k").alias("k2"),
+                       (F.col("d") - F.lit(int(lag_days))).alias("d2"),
+                       F.col("dev").alias("dev2"))
+    pairs = cd.join(lagged, (F.col("k") == F.col("k2"))
+                    & (F.col("d") == F.col("d2")))
+    num = pairs.groupBy("k").agg(
+        F.sum(F.col("dev") * F.col("dev2")).cast("bigint").alias("num"))
+    den = cd.groupBy("k").agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den"))
+    out = den.join(num, "k", "left")
+    r = F.when(
+        (F.col("den") > 0) & F.col("num").isNotNull(),
+        F.floor(F.col("num").cast("double") / F.col("den").cast("double")
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return out.select(F.col("k").alias(key_col),
+                      F.col("n_days").cast("bigint").alias("n_days"),
+                      F.coalesce(F.col("num"), F.lit(0)).cast("bigint")
+                      .alias("num"),
+                      F.col("den").cast("bigint").alias("den"),
+                      r.alias("r_milli"))

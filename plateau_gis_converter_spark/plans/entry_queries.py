@@ -7749,6 +7749,111 @@ FROM cl WHERE case_id <> 15
 """
 
 
+def q_morton_bbox_scan(spark, sf_dir):
+    """Z-order range scan (zorder.morton_bbox_scan): the query bbox is
+    compiled on the driver into maximal Morton-code ranges (IVF-centroid
+    pattern — bounded, zero table data), applied as an OR-of-BETWEEN
+    coarse predicate over each row's interleaved-bit code, then the
+    exact coordinate refine. The oracle is the PLAIN bbox filter — the
+    gate proves the decomposition covers every bbox cell and the refine
+    drops boundary-cell overhang (pruning losslessness, the
+    decontaminate_bloom pattern for spatial keys)."""
+    from ..operators import zorder as zo
+
+    pts = _points_df(spark, sf_dir)
+    df = pts.select("doc_id",
+                    F.col("lng_udeg").cast("bigint").alias("x"),
+                    F.col("lat_udeg").cast("bigint").alias("y"))
+    out = zo.morton_bbox_scan(df, "x", "y",
+                              139_720_000, 139_780_000,
+                              35_600_000, 35_700_000)
+    return out.select("doc_id", "x", "y")
+
+
+SQL_MORTON_BBOX_SCAN = f"""
+WITH {POINTS_CTE}
+SELECT doc_id, lng_udeg AS x, lat_udeg AS y
+FROM pts
+WHERE lng_udeg BETWEEN 139720000 AND 139780000
+  AND lat_udeg BETWEEN 35600000 AND 35700000
+"""
+
+
+def q_golden_record(spark, sf_dir):
+    """Golden-record consensus merge (dedup.golden_record): entities =
+    doc_id % 97 buckets; per entity and per field (lang, source, and the
+    n_chars kilo-band) the majority value with deterministic min-value
+    tie-break, long-form output. Oracle melts the same fields via UNION
+    ALL and replays the vote as a window rank."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.select(
+        (F.col("doc_id") % 97).alias("entity"), "lang", "source",
+        F.expr("n_chars div 1000").alias("band"))
+    out = dd.golden_record(members, "entity", ["lang", "source", "band"])
+    return out.select(F.col("cluster").alias("entity"),
+                      "field", "value", "n_votes")
+
+
+SQL_GOLDEN_RECORD = """
+WITH m AS (
+  SELECT doc_id % 97 AS entity, 'lang' AS field, lang AS value
+  FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id % 97, 'source', source
+  FROM documents WHERE source IS NOT NULL
+  UNION ALL
+  SELECT doc_id % 97, 'band', CAST(n_chars // 1000 AS VARCHAR)
+  FROM documents WHERE n_chars IS NOT NULL),
+v AS (SELECT entity, field, value, CAST(count(*) AS BIGINT) AS n_votes
+      FROM m GROUP BY 1, 2, 3)
+SELECT entity, field, value, n_votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY entity, field
+                               ORDER BY n_votes DESC, value) AS rn
+  FROM v) WHERE rn = 1
+"""
+
+
+def q_lag_autocorr(spark, sf_dir):
+    """Weekly-rhythm detector (stats.lag_autocorrelation): lag-7
+    autocorrelation of daily counts per event type over each key's own
+    calendar span with missing days as TRUE ZEROS (sequence-explode
+    grid), integer n-scaled moments (the morans_i discipline in 1-D),
+    one fixed-order scalar double for r_milli."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    return st.lag_autocorrelation(ev, lag_days=7)
+
+
+SQL_LAG_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1, sum(c) AS s
+       FROM daily GROUP BY 1),
+grid AS (SELECT k, s, d1 - d0 + 1 AS n, d0 + u.i AS d
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+cd AS (SELECT g.k, g.n, g.s, g.d,
+              g.n * coalesce(dl.c, 0) - g.s AS dev
+       FROM grid g LEFT JOIN daily dl ON dl.k = g.k AND dl.d = g.d),
+nm AS (SELECT a.k, CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+       FROM cd a JOIN cd b ON a.k = b.k AND b.d = a.d - 7 GROUP BY 1),
+dn AS (SELECT k, CAST(max(n) AS BIGINT) AS n_days,
+              CAST(sum(dev * dev) AS BIGINT) AS den
+       FROM cd GROUP BY 1)
+SELECT dn.k AS event_type, n_days,
+       CAST(coalesce(num, 0) AS BIGINT) AS num, den,
+       CASE WHEN den > 0 AND num IS NOT NULL THEN
+         CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                    * 1000.0 + 0.5) AS BIGINT)
+       END AS r_milli
+FROM dn LEFT JOIN nm ON nm.k = dn.k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -7940,6 +8045,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_intersections": q_segment_intersections,
     "dag_layers": q_dag_layers,
     "contour_cases": q_contour_cases,
+    "morton_bbox_scan": q_morton_bbox_scan,
+    "golden_record": q_golden_record,
+    "lag_autocorr": q_lag_autocorr,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -8132,6 +8240,9 @@ ORACLES: dict[str, str] = {
     "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
     "dag_layers": SQL_DAG_LAYERS,
     "contour_cases": SQL_CONTOUR_CASES,
+    "morton_bbox_scan": SQL_MORTON_BBOX_SCAN,
+    "golden_record": SQL_GOLDEN_RECORD,
+    "lag_autocorr": SQL_LAG_AUTOCORR,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

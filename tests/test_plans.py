@@ -561,3 +561,30 @@ def test_wave27_query_scans_prune_and_stay_jvm(spark):
     lay = eq.QUERIES["dag_layers"](spark, "/root/testdata/sf0.001")
     assert "EvalPython" not in (
         lay._jdf.queryExecution().executedPlan().toString())
+
+
+def test_wave28_query_scans_prune_and_stay_jvm(spark):
+    """Wave 28: pruned scans, zero Python; the Morton coarse predicate
+    must appear ABOVE the scan as a codegen filter (bit math folded
+    into whole-stage codegen, no join for the range set)."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "morton_bbox_scan": {"doc_id"},
+        "golden_record": {"doc_id", "lang", "source", "n_chars"},
+        "lag_autocorr": {"event_type", "ts"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    plan = (eq.QUERIES["morton_bbox_scan"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, "range set must be a predicate, not a join"
+    assert "shiftleft" in plan or "shiftright" in plan
