@@ -7854,6 +7854,116 @@ FROM dn LEFT JOIN nm ON nm.k = dn.k
 """
 
 
+# Wave 29 — CIDR longest-prefix routing fixture: nested prefixes exercise
+# every cascade branch (a /5 supernet over a /6 over a /8 over a /15; a
+# /8 -> /9 -> /18 chain; a /8 -> /16 -> /24 chain; four first octets
+# deliberately uncovered so the unrouted LEFT path provably fires).
+# Shared config between engines (the PSL-gate pattern); the ORACLE
+# re-derives matching from RANGE CONTAINMENT + max-plen — an independent
+# formulation of the rule, so a shift/key bug on the Spark side fails.
+_CIDR_PREFIXES: list[tuple[int, int, int, int, int, str]] = [
+    (1, 0, 0, 0, 8, "net-a"),
+    (1, 128, 0, 0, 9, "net-a-hi"),
+    (1, 128, 64, 0, 18, "net-a-deep"),
+    (2, 0, 0, 0, 7, "net-b"),
+    (5, 0, 0, 0, 8, "net-c"),
+    (5, 37, 0, 0, 16, "net-c-16"),
+    (5, 37, 129, 0, 24, "net-c-24"),
+    (8, 0, 0, 0, 5, "net-wide"),
+    (12, 0, 0, 0, 6, "net-mid"),
+    (14, 0, 0, 0, 8, "net-deep8"),
+    (14, 214, 0, 0, 15, "net-deep15"),
+]
+
+# deterministic server IP per doc: 32-bit md5 slice, first octet folded
+# into 1..16 so every prefix branch (and the unrouted gaps) gets traffic
+_CIDR_H = ("CAST(conv(substring(md5(concat('ip', CAST(doc_id AS STRING))),"
+           " 1, 8), 16, 10) AS BIGINT)")
+
+
+def q_cidr_lpm(spark, sf_dir):
+    """CIDR longest-prefix-match enrichment (network.lpm_join): every
+    doc's deterministic server IP routed to its most-specific covering
+    prefix via one broadcast hash probe per prefix length, folded
+    longest-first (the PSL per-label cascade in the bit domain — zero
+    shuffle, zero fan-out). Oracle: range-containment join (ip BETWEEN
+    lo AND hi) + max-plen window — independent matching semantics."""
+    from ..operators import network as nw
+
+    docs = _t(spark, sf_dir, "documents")
+    ips = docs.selectExpr(
+        "doc_id",
+        f"(1 + (({_CIDR_H}) div 16777216) % 16) * 16777216"
+        f" + ({_CIDR_H}) % 16777216 AS ip")
+    pfx = spark.createDataFrame(
+        [(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4, plen, label)
+         for o1, o2, o3, o4, plen, label in _CIDR_PREFIXES],
+        "net bigint, plen int, label string")
+    out = nw.lpm_join(ips, pfx, "ip", ["label"])
+    return out.select(
+        "doc_id", "ip",
+        F.coalesce(F.col("matched_plen").cast("bigint"), F.lit(-1))
+        .alias("plen"),
+        F.coalesce(F.col("label"), F.lit("unrouted")).alias("label"))
+
+
+_CIDR_H_SQL = ("CAST(concat('0x', substr(md5(concat('ip',"
+               " CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)")
+
+SQL_CIDR_LPM = f"""
+WITH ips AS (
+  SELECT doc_id,
+         (1 + (({_CIDR_H_SQL}) // 16777216) % 16) * 16777216
+           + ({_CIDR_H_SQL}) % 16777216 AS ip
+  FROM documents),
+pfx AS (SELECT * FROM (VALUES
+  {", ".join(f"({o1 * 16777216 + o2 * 65536 + o3 * 256 + o4}, {plen},"
+             f" '{label}')"
+             for o1, o2, o3, o4, plen, label in _CIDR_PREFIXES)}
+) AS t(net, plen, label)),
+rng AS (SELECT net AS lo,
+               net + (CAST(1 AS BIGINT) << (32 - plen)) - 1 AS hi,
+               plen, label
+        FROM pfx),
+m AS (SELECT i.doc_id, r.plen, r.label,
+             row_number() OVER (PARTITION BY i.doc_id
+                                ORDER BY r.plen DESC) AS rn
+      FROM ips i JOIN rng r ON i.ip BETWEEN r.lo AND r.hi)
+SELECT i.doc_id, i.ip,
+       CAST(coalesce(m.plen, -1) AS BIGINT) AS plen,
+       coalesce(m.label, 'unrouted') AS label
+FROM ips i LEFT JOIN m ON m.doc_id = i.doc_id AND m.rn = 1
+"""
+
+
+def q_bitmap_overlap(spark, sf_dir):
+    """Exact audience overlap via packed bitmaps (bitmap.segment_overlap):
+    every event-type pair's exact shared/total distinct-user counts from
+    64-bit-word bitmap relations (bit_or partial agg -> word-aligned AND
+    + popcount), never a per-pair COUNT(DISTINCT) rescan. Oracle: the
+    naive distinct-pair self-join the bitmaps replace."""
+    from ..operators import bitmap as bmp
+
+    ev = _t(spark, sf_dir, "events")
+    return bmp.segment_overlap(ev, "event_type", "user_id")
+
+
+SQL_BITMAP_OVERLAP = """
+WITH d AS (SELECT DISTINCT event_type AS seg, user_id AS m
+           FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             AND user_id >= 0),
+s AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+i AS (SELECT a.seg AS sa, b.seg AS sb, CAST(count(*) AS BIGINT) AS c
+      FROM d a JOIN d b ON a.m = b.m AND a.seg < b.seg GROUP BY 1, 2)
+SELECT sa.seg AS seg_a, sb.seg AS seg_b, sa.n AS n_a, sb.n AS n_b,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS n_common,
+       sa.n + sb.n - CAST(coalesce(i.c, 0) AS BIGINT) AS n_union
+FROM s sa JOIN s sb ON sa.seg < sb.seg
+LEFT JOIN i ON i.sa = sa.seg AND i.sb = sb.seg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -8048,6 +8158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "morton_bbox_scan": q_morton_bbox_scan,
     "golden_record": q_golden_record,
     "lag_autocorr": q_lag_autocorr,
+    "cidr_lpm": q_cidr_lpm,
+    "bitmap_overlap": q_bitmap_overlap,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -8243,6 +8355,8 @@ ORACLES: dict[str, str] = {
     "morton_bbox_scan": SQL_MORTON_BBOX_SCAN,
     "golden_record": SQL_GOLDEN_RECORD,
     "lag_autocorr": SQL_LAG_AUTOCORR,
+    "cidr_lpm": SQL_CIDR_LPM,
+    "bitmap_overlap": SQL_BITMAP_OVERLAP,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -588,3 +588,29 @@ def test_wave28_query_scans_prune_and_stay_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan, "range set must be a predicate, not a join"
     assert "shiftleft" in plan or "shiftright" in plan
+
+
+def test_wave29_query_scans_prune_and_stay_jvm(spark):
+    """Wave 29: cidr_lpm must route the fact through BROADCAST hash
+    probes only (the per-plen cascade never shuffles or fans out the
+    fact); bitmap_overlap's only fact pass is the bitmap build."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "cidr_lpm": {"doc_id"},
+        "bitmap_overlap": {"event_type", "user_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    plan = (eq.QUERIES["cidr_lpm"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "LPM cascade must not shuffle"
