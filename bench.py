@@ -215,7 +215,8 @@ def main():
                   "rolling_activity", "html_depth",
                   "segment_intersections", "dag_layers",
                   "contour_cases", "morton_bbox_scan", "golden_record",
-                  "lag_autocorr", "cidr_lpm", "bitmap_overlap"]:
+                  "lag_autocorr", "cidr_lpm", "bitmap_overlap",
+                  "snap_points", "trimmed_stats"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

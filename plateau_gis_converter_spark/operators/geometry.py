@@ -235,3 +235,110 @@ def segment_intersections(a: DataFrame, b: DataFrame,
                     F.when(proper, F.lit(1)).otherwise(F.lit(0))
                     .cast("bigint").alias("proper"))
             .distinct())
+
+
+def snap_points_to_segments(points: DataFrame, segments: DataFrame,
+                            radius_udeg: int,
+                            cell_udeg: int | None = None) -> DataFrame:
+    """Map-matching snap: each point's NEAREST segment within a radius
+    (GPS trace -> road network, address point -> street centerline).
+    The point-to-line companion of `segment_intersections`, and the
+    third member of the covering-cell family (point-in-polygon join,
+    line-line join, now point-to-line distance join).
+
+    Inputs: points (pt_id, x, y), segments (seg_id, x1, y1, x2, y2) —
+    integer µdeg. Output: (pt_id, seg_id, d2) for each point with >= 1
+    segment within ``radius_udeg``: the arg-min segment (ties by
+    smallest seg_id) and the squared distance.
+
+    Candidates: points scatter to their ONE covering cell; segments
+    scatter to every cell of their bbox EXPANDED by the radius.
+    LOSSLESS (the gate proves it vs a brute-force all-pairs oracle):
+    euclid(P, seg) <= r implies per-axis chebyshev(P, bbox(seg)) <= r,
+    so an in-radius pair always shares the point's cell.
+
+    Exact arithmetic: the three-case squared point-segment distance —
+    t = dot(AP,AB)/|AB|^2 clamped — is decided entirely in int64 using
+    the single-fraction forms (before-A: |AP|^2; past-B: |BP|^2;
+    interior: cross(AB,AP)^2 / |AB|^2), and the radius test cross^2 <=
+    r^2*|AB|^2 cross-multiplies the denominator away. Zero-length
+    segments degrade to the point distance through the dot<=0 branch
+    (dot = den = 0). d2 itself is ONE double division of exact int64s
+    (identical bits on any IEEE engine — the computed-double rule), and
+    the arg-min is a partial-aggregable min(struct(d2, seg_id)) — no
+    window over the candidate relation.
+
+    Overflow discipline: |cross| <= 2 * AP_max * extent_max where
+    AP_max <= extent_max + radius + 2*cell (candidates share a cell).
+    The plan-time guard raises when cross^2 could exceed int64 — use
+    shorter segment pieces (real road networks are piecewise short) or
+    a local coordinate frame.
+    """
+    r = int(radius_udeg)
+    if r <= 0:
+        raise ValueError(f"radius_udeg must be positive, got {r}")
+    c = int(cell_udeg) if cell_udeg is not None else r
+    if c <= 0:
+        raise ValueError(f"cell_udeg must be positive, got {c}")
+    ext_row = segments.agg(F.max(F.greatest(
+        F.abs(F.col("x2") - F.col("x1")),
+        F.abs(F.col("y2") - F.col("y1")))).alias("ext")).collect()[0]
+    ext = int(ext_row["ext"] or 0)
+    ap_max = ext + r + 2 * c
+    if 2 * ap_max * max(ext, 1) >= (1 << 31):
+        raise ValueError(
+            f"segment extent {ext} with radius {r} risks int64 overflow "
+            f"in the cross product (2*{ap_max}*{ext} >= 2^31); split "
+            "segments into shorter pieces or shrink the radius")
+    shift = 1 << 31
+
+    seg_cells = (segments.select(
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        F.col("x1").cast("bigint").alias("sx1"),
+        F.col("y1").cast("bigint").alias("sy1"),
+        F.col("x2").cast("bigint").alias("sx2"),
+        F.col("y2").cast("bigint").alias("sy2"))
+        .select("*",
+                F.explode(F.expr(
+                    f"sequence((least(sx1, sx2) - {r} + {shift}L) div {c}L,"
+                    f" (greatest(sx1, sx2) + {r} + {shift}L) div {c}L)"))
+                .alias("cx"),
+                F.expr(
+                    f"sequence((least(sy1, sy2) - {r} + {shift}L) div {c}L,"
+                    f" (greatest(sy1, sy2) + {r} + {shift}L) div {c}L)")
+                .alias("cys"))
+        .select("seg_id", "sx1", "sy1", "sx2", "sy2", "cx",
+                F.explode("cys").alias("cy")))
+    pt_cells = points.select(
+        F.col("pt_id").cast("bigint").alias("pt_id"),
+        F.col("x").cast("bigint").alias("px"),
+        F.col("y").cast("bigint").alias("py"),
+        F.expr(f"(CAST(x AS BIGINT) + {shift}L) div {c}L").alias("cx"),
+        F.expr(f"(CAST(y AS BIGINT) + {shift}L) div {c}L").alias("cy"))
+
+    cand = pt_cells.join(seg_cells, ["cx", "cy"]).drop("cx", "cy")
+    apx = F.col("px") - F.col("sx1")
+    apy = F.col("py") - F.col("sy1")
+    abx = F.col("sx2") - F.col("sx1")
+    aby = F.col("sy2") - F.col("sy1")
+    dot = apx * abx + apy * aby
+    den = abx * abx + aby * aby
+    ap2 = apx * apx + apy * apy
+    bp2 = ((F.col("px") - F.col("sx2")) * (F.col("px") - F.col("sx2"))
+           + (F.col("py") - F.col("sy2")) * (F.col("py") - F.col("sy2")))
+    cross = apx * aby - apy * abx
+    r2 = F.lit(r * r)
+    within = (F.when(dot <= 0, ap2 <= r2)
+              .when(dot >= den, bp2 <= r2)
+              .otherwise(cross * cross <= r2 * den))
+    d2 = (F.when(dot <= 0, ap2.cast("double"))
+          .when(dot >= den, bp2.cast("double"))
+          .otherwise((cross * cross).cast("double") / den.cast("double")))
+    # each (pt, seg) candidate appears exactly once — the point scatters
+    # to ONE cell, so no dedup pass is needed before the arg-min
+    hits = cand.where(within).select("pt_id", "seg_id", d2.alias("d2"))
+    best = (hits.groupBy("pt_id")
+            .agg(F.min(F.struct("d2", "seg_id")).alias("m"))
+            .select("pt_id", F.col("m.seg_id").alias("seg_id"),
+                    F.col("m.d2").alias("d2")))
+    return best

@@ -7964,6 +7964,122 @@ LEFT JOIN i ON i.sa = sa.seg AND i.sb = sb.seg
 """
 
 
+# Wave 30 — deterministic street-grid fixture for the map-matching snap:
+# short (10 km .. no, 10_000 µdeg ≈ 1 km) horizontal/vertical pieces
+# scattered over the point extent by integer LCG arithmetic both engines
+# state verbatim. Pieces are SHORT on purpose: the operator's overflow
+# guard requires bounded extents (real road networks are piecewise
+# short for the same reason).
+_SEG_X1 = "139560000 + ((doc_id * 7919) % 36) * 10000"
+_SEG_Y1 = "35520000 + ((doc_id * 104729) % 30) * 10000"
+
+
+def q_snap_points(spark, sf_dir):
+    """Map-matching snap (geometry.snap_points_to_segments): every page
+    point within 3000 µdeg of the synthetic street grid gets its
+    NEAREST segment (exact three-case integer point-segment distance;
+    arg-min as a partial-aggregable min(struct), no row window). The
+    oracle brute-forces all points x all segments with the identical
+    integer predicate and a window arg-min — one gate proves the
+    covering-cell candidate recall is lossless AND the distance math
+    matches bit-for-bit."""
+    from ..operators import geometry as gm
+
+    pts = _points_df(spark, sf_dir).select(
+        F.col("doc_id").alias("pt_id"),
+        F.col("lng_udeg").alias("x"), F.col("lat_udeg").alias("y"))
+    docs = _t(spark, sf_dir, "documents")
+    segs = docs.selectExpr(
+        "doc_id AS seg_id",
+        f"CAST({_SEG_X1} AS BIGINT) AS x1",
+        f"CAST({_SEG_Y1} AS BIGINT) AS y1",
+        f"CAST({_SEG_X1} AS BIGINT) + (1 - doc_id % 2) * 10000 AS x2",
+        f"CAST({_SEG_Y1} AS BIGINT) + (doc_id % 2) * 10000 AS y2")
+    return gm.snap_points_to_segments(pts, segs, radius_udeg=3000)
+
+
+SQL_SNAP_POINTS = f"""
+WITH {POINTS_CTE},
+segs AS (
+  SELECT doc_id AS seg_id,
+         CAST({_SEG_X1} AS BIGINT) AS x1,
+         CAST({_SEG_Y1} AS BIGINT) AS y1,
+         CAST({_SEG_X1} AS BIGINT) + (1 - doc_id % 2) * 10000 AS x2,
+         CAST({_SEG_Y1} AS BIGINT) + (doc_id % 2) * 10000 AS y2
+  FROM documents),
+cand AS (
+  SELECT p.doc_id AS pt_id, s.seg_id,
+         p.lng_udeg - s.x1 AS apx, p.lat_udeg - s.y1 AS apy,
+         s.x2 - s.x1 AS abx, s.y2 - s.y1 AS aby,
+         p.lng_udeg - s.x2 AS bpx, p.lat_udeg - s.y2 AS bpy
+  FROM pts p, segs s
+  -- chebyshev prefilter: a NECESSARY condition of euclid <= r (keeps
+  -- the far-pair cross products inside int64; not the cell index)
+  WHERE p.lng_udeg BETWEEN least(s.x1, s.x2) - 3000
+                       AND greatest(s.x1, s.x2) + 3000
+    AND p.lat_udeg BETWEEN least(s.y1, s.y2) - 3000
+                       AND greatest(s.y1, s.y2) + 3000),
+d AS (
+  SELECT pt_id, seg_id,
+         apx * abx + apy * aby AS dot,
+         abx * abx + aby * aby AS den,
+         apx * apx + apy * apy AS ap2,
+         bpx * bpx + bpy * bpy AS bp2,
+         apx * aby - apy * abx AS crs
+  FROM cand),
+hits AS (
+  SELECT pt_id, seg_id,
+         CASE WHEN dot <= 0 THEN CAST(ap2 AS DOUBLE)
+              WHEN dot >= den THEN CAST(bp2 AS DOUBLE)
+              ELSE CAST(crs * crs AS DOUBLE) / CAST(den AS DOUBLE)
+         END AS d2
+  FROM d
+  WHERE CASE WHEN dot <= 0 THEN ap2 <= 9000000
+             WHEN dot >= den THEN bp2 <= 9000000
+             ELSE crs * crs <= 9000000 * den END),
+best AS (
+  SELECT pt_id, seg_id, d2,
+         row_number() OVER (PARTITION BY pt_id
+                            ORDER BY d2, seg_id) AS rn
+  FROM hits)
+SELECT pt_id, seg_id, d2 FROM best WHERE rn = 1
+"""
+
+
+def q_trimmed_stats(spark, sf_dir):
+    """Robust per-type value stats (stats.trimmed_group_stats): 10%
+    two-sided trimmed mean of the cent-quantized event value — computed
+    over the (group, value) COUNT relation (no row-level window; any
+    tie order keeps the same value multiset). Oracle: per-ROW
+    row_number trimming, the formulation the operator avoids."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("v_cents"))
+    return st.trimmed_group_stats(ev, "event_type", "v_cents",
+                                  trim_ppm=100_000)
+
+
+SQL_TRIMMED_STATS = f"""
+WITH r AS (SELECT event_type, {_cents_sql('value')} AS v FROM events),
+rk AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY v)
+                  AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM r),
+f AS (SELECT event_type, v, n, n * 100000 // 1000000 AS k
+      FROM rk
+      WHERE rn > n * 100000 // 1000000
+        AND rn <= n - n * 100000 // 1000000)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(k) AS BIGINT) AS n_trim,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(v) AS BIGINT) AS sum_kept,
+       CAST(1000 * sum(v) // count(*) AS BIGINT) AS mean_milli
+FROM f GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -8160,6 +8276,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_autocorr": q_lag_autocorr,
     "cidr_lpm": q_cidr_lpm,
     "bitmap_overlap": q_bitmap_overlap,
+    "snap_points": q_snap_points,
+    "trimmed_stats": q_trimmed_stats,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -8357,6 +8475,8 @@ ORACLES: dict[str, str] = {
     "lag_autocorr": SQL_LAG_AUTOCORR,
     "cidr_lpm": SQL_CIDR_LPM,
     "bitmap_overlap": SQL_BITMAP_OVERLAP,
+    "snap_points": SQL_SNAP_POINTS,
+    "trimmed_stats": SQL_TRIMMED_STATS,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

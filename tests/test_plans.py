@@ -614,3 +614,29 @@ def test_wave29_query_scans_prune_and_stay_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "LPM cascade must not shuffle"
+
+
+def test_wave30_query_scans_prune_and_stay_jvm(spark):
+    """Wave 30: snap_points pairs through the covering-cell equi-join
+    (never a cartesian — that is the oracle's job); trimmed_stats
+    windows only the (group, value) COUNT relation."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "snap_points": {"doc_id"},
+        "trimmed_stats": {"event_type", "value"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    plan = (eq.QUERIES["snap_points"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
