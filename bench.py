@@ -216,7 +216,8 @@ def main():
                   "segment_intersections", "dag_layers",
                   "contour_cases", "morton_bbox_scan", "golden_record",
                   "lag_autocorr", "cidr_lpm", "bitmap_overlap",
-                  "snap_points", "trimmed_stats"]:
+                  "snap_points", "trimmed_stats",
+                  "od_matrix", "resource_alloc", "mann_kendall"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -442,6 +442,43 @@ def cocitation_pairs(edges: DataFrame, min_count: int = 2,
             .where(F.col("n_common") >= min_count))
 
 
+def resource_allocation_pairs(edges: DataFrame, min_count: int = 2,
+                              max_fanout: int | None = None) -> DataFrame:
+    """Resource-Allocation link-prediction score (Zhou, Lu & Zhang, EPJ B
+    2009): for each co-cited page pair, every common source s contributes
+    1/out_degree(s) — a hub citing 500 pages says almost nothing about any
+    pair it creates, while a 2-link page is a strong signal. The
+    degree-weighted refinement of ``cocitation_pairs``' raw count, and the
+    integer-exact sibling of Adamic-Adar (1/ln(deg) needs a float ln whose
+    last-ulp rounding differs across engines; 1/deg quantizes exactly:
+    ``weight = 10^6 div out_degree`` is the same BIGINT in Spark and
+    DuckDB, so the summed score is associative and merge-order free).
+
+    Shape: one degree partial-agg, one self-equi-join keyed by src carrying
+    the per-src weight, one partial-agg sum per (a, b) — identical shuffle
+    profile to ``cocitation_pairs`` including the ``max_fanout`` hub guard
+    (which here also bounds the SMALLEST weight a surviving hub can emit).
+
+    Returns (page_a, page_b, n_common, ra_e6) with page_a < page_b and
+    n_common >= min_count; ra_e6 = sum over common sources of
+    (1_000_000 div out_degree(source)).
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("f"))
+    if max_fanout is not None:
+        deg = deg.where(F.col("f") <= max_fanout)
+    ew = e.join(deg, "src").select(
+        "src", "dst", F.expr(f"{BASE_PPM} div f").alias("w"))
+    a, b = ew.alias("a"), ew.alias("b")
+    return (a.join(b, (F.col("a.src") == F.col("b.src"))
+                   & (F.col("a.dst") < F.col("b.dst")))
+            .groupBy(F.col("a.dst").alias("page_a"),
+                     F.col("b.dst").alias("page_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.sum(F.col("a.w")).cast("bigint").alias("ra_e6"))
+            .where(F.col("n_common") >= min_count))
+
+
 def label_propagation(edges: DataFrame, rounds: int = 3,
                       src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Synchronous label propagation community detection (Raghavan et

@@ -319,6 +319,40 @@ def stay_points(track: DataFrame, min_events: int = 2,
                     "n_events", "duration_us"))
 
 
+def od_matrix(track: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts", tiebreak_col: str = "event_id",
+              cell_cols: tuple[str, str] = ("cx", "cy"),
+              drop_stationary: bool = True) -> DataFrame:
+    """Origin-destination flow matrix over a located event stream: each
+    user's consecutive event pair contributes one trip from the earlier
+    event's cell to the later one's — the mobility aggregate behind
+    commute matrices, inter-ward flow maps, and the geo×web question
+    "which district do readers of district X move to next?".
+
+    Same single-Exchange shape as ``stay_points``/``session_transitions``:
+    one window keyed by user ordered by (ts, tiebreak) produces the lag
+    cell, then one partial-agg count keyed by the OD cell pair. The
+    per-user window is bounded by that user's event count, never by
+    corpus size; the output is bounded by occupied-cell-pairs, not events.
+    ``drop_stationary`` removes same-cell pairs (dwell, not movement —
+    ``stay_points`` is the operator for those).
+
+    Output: (o_cx, o_cy, d_cx, d_cy, n_trips).
+    """
+    cxc, cyc = cell_cols
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    hops = (track.select(
+        F.lag(cxc).over(w).alias("o_cx"),
+        F.lag(cyc).over(w).alias("o_cy"),
+        F.col(cxc).alias("d_cx"), F.col(cyc).alias("d_cy"))
+        .where(F.col("o_cx").isNotNull()))
+    if drop_stationary:
+        hops = hops.where((F.col("o_cx") != F.col("d_cx"))
+                          | (F.col("o_cy") != F.col("d_cy")))
+    return (hops.groupBy("o_cx", "o_cy", "d_cx", "d_cy")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_trips")))
+
+
 def daily_state_locf(events: DataFrame, key_col: str = "user_id",
                      ts_col: str = "ts", state_col: str = "event_type",
                      order_cols: Sequence[str] = ("ts", "event_id")

@@ -8080,6 +8080,146 @@ FROM f GROUP BY 1
 """
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows (temporal.od_matrix): each user's
+    consecutive located events contribute one trip between 120k-µdeg
+    grid cells (the stay_points grid, so dwells vs moves partition the
+    same trajectory); stationary pairs dropped. Oracle re-derives the
+    hops with the same per-user lag window."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    lng, lat = geo.point_udeg_cols(F.col("event_id"))
+    track = (ev.select("user_id", "ts", "event_id", lng, lat)
+             .withColumn("cx", F.floor(F.col("lng_udeg") / 120000)
+                         .cast("bigint"))
+             .withColumn("cy", F.floor(F.col("lat_udeg") / 120000)
+                         .cast("bigint")))
+    return tp.od_matrix(track)
+
+
+SQL_OD_MATRIX = f"""
+WITH trk AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor({_EV_LNG_SQL} / 120000.0) AS BIGINT) AS cx,
+         CAST(floor({_EV_LAT_SQL} / 120000.0) AS BIGINT) AS cy
+  FROM events WHERE user_id IS NOT NULL),
+hops AS (
+  SELECT lag(cx) OVER w AS o_cx, lag(cy) OVER w AS o_cy,
+         cx AS d_cx, cy AS d_cy
+  FROM trk WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT o_cx, o_cy, d_cx, d_cy, CAST(count(*) AS BIGINT) AS n_trips
+FROM hops
+WHERE o_cx IS NOT NULL AND (o_cx <> d_cx OR o_cy <> d_cy)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_resource_alloc(spark, sf_dir):
+    """Resource-Allocation link prediction (graph.
+    resource_allocation_pairs): co-cited pairs scored by the sum of
+    1e6 div out_degree(source) over common sources — the integer-exact
+    Adamic-Adar sibling (1/deg instead of 1/ln(deg): no float ln whose
+    last ulp differs across engines). Same deterministic link graph as
+    the cocitation gate; oracle = brute-force weighted self-join."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    return gr.resource_allocation_pairs(edges, min_count=2)
+
+
+SQL_RESOURCE_ALLOC = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+dw AS (SELECT src, 1000000 // count(*) AS w FROM e GROUP BY 1),
+ew AS (SELECT e.src, e.dst, dw.w FROM e JOIN dw USING (src))
+SELECT a.dst AS page_a, b.dst AS page_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(a.w) AS BIGINT) AS ra_e6
+FROM ew a JOIN ew b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Distribution-free trend test (stats.mann_kendall): per-key S
+    statistic + tie-corrected 18·Var(S) + 95% trend flag over daily
+    counts on each key's own zero-filled calendar span. The natural
+    event types are stationary (trend 0); two derived keys keep events
+    with a deterministic day-ramped modulus filter — ramp_up's keep
+    fraction grows ~6.7%/day, ramp_down's shrinks — so +1, -1 AND 0
+    all provably fire. Oracle re-derives the grid, the pairwise sign
+    sum, and the integer significance test independently."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    evd = ev.select("event_type", "ts", "event_id", d.alias("d"))
+    mm = evd.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    evm = evd.crossJoin(F.broadcast(mm))
+    base = evm.select(F.col("event_type").alias("k"), "ts")
+    up = (evm.where((F.col("event_id") % 60)
+                    < 2 * (F.col("d") - F.col("dmin")))
+          .select(F.lit("ramp_up").alias("k"), "ts"))
+    down = (evm.where((F.col("event_id") % 60)
+                      < 2 * (F.col("dmax") - F.col("d")))
+            .select(F.lit("ramp_down").alias("k"), "ts"))
+    return st.mann_kendall(base.unionAll(up).unionAll(down), key_col="k")
+
+
+SQL_MANN_KENDALL = """
+WITH mm AS (SELECT min(epoch_us(ts) // 86400000000) AS dmin,
+                   max(epoch_us(ts) // 86400000000) AS dmax FROM events),
+src AS (
+  SELECT event_type AS k, ts FROM events
+  UNION ALL
+  SELECT 'ramp_up', ts FROM events, mm
+  WHERE event_id % 60 < 2 * (epoch_us(ts) // 86400000000 - dmin)
+  UNION ALL
+  SELECT 'ramp_down', ts FROM events, mm
+  WHERE event_id % 60 < 2 * (dmax - epoch_us(ts) // 86400000000)),
+daily AS (SELECT k, epoch_us(ts) // 86400000000 AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM src GROUP BY 1, 2),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT sp.k, d1 - d0 + 1 AS n, d0 + u.i AS d
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+cd AS (SELECT g.k, g.n, g.d, coalesce(dl.c, 0) AS c
+       FROM grid g LEFT JOIN daily dl ON dl.k = g.k AND dl.d = g.d),
+s AS (SELECT a.k,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_stat
+      FROM cd a JOIN cd b ON a.k = b.k AND b.d > a.d GROUP BY 1),
+tg AS (SELECT k, n, c, CAST(count(*) AS BIGINT) AS t
+       FROM cd GROUP BY 1, 2, 3),
+v AS (SELECT k, CAST(max(n) AS BIGINT) AS n_days,
+             CAST(max(n) * (max(n) - 1) * (2 * max(n) + 5)
+                  - sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS var18
+      FROM tg GROUP BY 1)
+SELECT v.k, n_days, s_stat, var18,
+       CAST(CASE WHEN s_stat <> 0
+                  AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                      > 38416 * var18
+                 THEN CASE WHEN s_stat > 0 THEN 1 ELSE -1 END
+            ELSE 0 END AS BIGINT) AS trend
+FROM v JOIN s USING (k)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -8278,6 +8418,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitmap_overlap": q_bitmap_overlap,
     "snap_points": q_snap_points,
     "trimmed_stats": q_trimmed_stats,
+    "od_matrix": q_od_matrix,
+    "resource_alloc": q_resource_alloc,
+    "mann_kendall": q_mann_kendall,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -8477,6 +8620,9 @@ ORACLES: dict[str, str] = {
     "bitmap_overlap": SQL_BITMAP_OVERLAP,
     "snap_points": SQL_SNAP_POINTS,
     "trimmed_stats": SQL_TRIMMED_STATS,
+    "od_matrix": SQL_OD_MATRIX,
+    "resource_alloc": SQL_RESOURCE_ALLOC,
+    "mann_kendall": SQL_MANN_KENDALL,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -640,3 +640,31 @@ def test_wave30_query_scans_prune_and_stay_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wave31_query_scans_prune_and_stay_jvm(spark):
+    """Wave 31: od_matrix windows only (user, ts, event_id);
+    resource_alloc joins through the weighted edge relation with no
+    cartesian; mann_kendall's pairwise sum joins the CALENDAR grid,
+    never the fact table."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "od_matrix": {"user_id", "ts", "event_id"},
+        "resource_alloc": {"doc_id"},
+        "mann_kendall": {"event_type", "ts", "event_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    for name in ("resource_alloc", "mann_kendall"):
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
