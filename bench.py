@@ -217,7 +217,8 @@ def main():
                   "contour_cases", "morton_bbox_scan", "golden_record",
                   "lag_autocorr", "cidr_lpm", "bitmap_overlap",
                   "snap_points", "trimmed_stats",
-                  "od_matrix", "resource_alloc", "mann_kendall"]:
+                  "od_matrix", "resource_alloc", "mann_kendall",
+                  "clustering_coef", "pettitt_shift", "ams_f2"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

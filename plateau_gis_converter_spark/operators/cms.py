@@ -122,3 +122,59 @@ def cms_estimate(registers: DataFrame, keys: DataFrame, col: str,
             .groupBy("key")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
                  .alias("est")))
+
+
+def ams_f2_registers(df: DataFrame, col: str, n_reg: int = 32,
+                     weight_col: str | None = None) -> DataFrame:
+    """AMS "tug-of-war" sketch registers (Alon, Matias & Szegedy, STOC
+    1996) for the second frequency moment F2 = sum_key f(key)^2 — the
+    SELF-join size of the stream keyed by ``col``, which is what a
+    planner needs to size a self-join or gauge key skew before choosing
+    a strategy (``cms_inner_product`` answers the two-RELATION version;
+    this is the one-relation diagnostic). Sketch family #6 next to CMS /
+    HLL / Misra-Gries / log-histogram / KMV.
+
+    Register r holds  Z_r = sum over rows of s_r(key) * w,  with the
+    Rademacher sign s_r(key) = 1 - 2*(md5(key || ':ams' || r) % 2) —
+    fully deterministic, so registers are INTEGERS compared bit-for-bit
+    across engines, and the sum is associative (partial-agg / shard-merge
+    order free; merge two shards' sketches by elementwise register sum
+    = ``ams_merge``). E[Z_r^2] = F2 exactly; Var(Z_r^2) <= 2*F2^2, so
+    the mean over n_reg registers lands within ~sqrt(2/n_reg) relative
+    error (pytest pins the tolerance).
+
+    One explode (n_reg cells per row) + ONE partial-agg groupBy bounded
+    at n_reg output rows regardless of corpus size. Registers that see
+    no rows are omitted (their Z is 0; readers coalesce).
+
+    Output: (reg, z).
+    """
+    if n_reg < 1:
+        raise ValueError(f"need n_reg >= 1, got {n_reg}")
+    c = F.col(col)
+    w = (F.col(weight_col).cast("bigint") if weight_col is not None
+         else F.lit(1).cast("bigint"))
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("bigint").alias("reg"),
+                 (1 - 2 * (_hash60(c, f":ams{r}") % 2)).alias("s"))
+        for r in range(n_reg)])
+    return (df.where(c.isNotNull())
+            .select(F.explode(cells).alias("cell"), w.alias("w"))
+            .groupBy(F.col("cell.reg").alias("reg"))
+            .agg(F.sum(F.col("cell.s") * F.col("w")).cast("bigint")
+                 .alias("z")))
+
+
+def ams_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Registers of the union stream: elementwise sum (linear sketch)."""
+    return (a.unionAll(b).groupBy("reg")
+            .agg(F.sum("z").cast("bigint").alias("z")))
+
+
+def ams_f2_estimate(registers: DataFrame, n_reg: int) -> DataFrame:
+    """F2 point estimate: mean of Z_r^2 over ALL n_reg registers
+    (absent rows are true zeros), emitted as the exact integer
+    sum(z^2) div n_reg — deterministic and merge-order free."""
+    return registers.agg(
+        F.expr(f"sum(z * z) div {int(n_reg)}").cast("bigint")
+        .alias("f2_est"))

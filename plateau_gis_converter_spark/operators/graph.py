@@ -582,6 +582,48 @@ def triangle_listing(edges: DataFrame) -> DataFrame:
                       ids[2].cast("bigint").alias("tc"))
 
 
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the simple undirected
+    graph (Watts & Strogatz 1998): the fraction of a node's neighbor
+    pairs that are themselves linked — the page-level cohesion signal
+    that separates organic topical hubs (high cc) from link farms
+    stitched across unrelated pages (near-zero cc), read alongside
+    ``triangle_listing``'s spam-cluster counts.
+
+    Pure composition: triangles from the degree-ordered orientation
+    (hub-safe O(sqrt(m)) wedge fan-out — see ``triangle_listing``), one
+    explode to per-vertex incidence counts, one degree partial-agg, one
+    equi-join. cc is emitted integer-exact in ppm:
+
+        cc_ppm = 2_000_000 * n_tri div (degree * (degree - 1))
+
+    NULL for degree < 2 (undefined — no neighbor pair exists).
+
+    Output: (id, degree, n_tri, cc_ppm).
+    """
+    a, b = F.col("src"), F.col("dst")
+    und = (edges.where(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("id"))
+           .unionAll(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("degree")))
+    tri = triangle_listing(edges)
+    per_node = (tri.select(F.explode(F.array("ta", "tb", "tc"))
+                           .alias("id"))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri")))
+    out = deg.join(per_node, "id", "left")
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+    cc = F.when(F.col("degree") >= 2,
+                F.expr("2000000 * n_tri0 div (degree * (degree - 1))"))
+    return (out.withColumn("n_tri0", n_tri)
+            .select(F.col("id").cast("bigint").alias("id"), "degree",
+                    F.col("n_tri0").alias("n_tri"),
+                    cc.cast("bigint").alias("cc_ppm")))
+
+
 def k_core(edges: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
     """k-core decomposition membership: iteratively peel nodes with
     degree < k until a fixpoint — the densely-interlinked subgraph

@@ -554,3 +554,77 @@ def mann_kendall(events: DataFrame, key_col: str = "event_type",
                       F.col("n_days").cast("bigint").alias("n_days"),
                       "s_stat", F.col("var18").cast("bigint").alias("var18"),
                       trend.alias("trend"))
+
+
+def pettitt_shift(events: DataFrame, key_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Per-key Pettitt change-point test over DAILY activity (Pettitt
+    1979) — the change-point companion of ``mann_kendall``: MK asks "is
+    there a monotone trend", Pettitt asks "did the level SHIFT, and on
+    which day" — rank-based, so a single outlier day cannot fake a
+    shift the way it drags a mean-split test.
+
+    Series = zero-filled daily counts on the key's own calendar span
+    (the ``lag_autocorrelation`` grid). For each split day t,
+
+        U_t = sum over i <= t < j of sign(c_i - c_j)
+
+    computed via the exact recurrence U_t = U_{t-1} + V_t with
+    V_t = sum over j != t of sign(c_t - c_j): one grid self-join per
+    key (span^2 rows, bounded by the CALENDAR), one cumulative window
+    over the span-sized relation. K = max |U_t| over t in [d0, d1);
+    the change day is the smallest maximizing t (deterministic), both
+    picked by ONE max(struct) partial agg — no row windows over the
+    fact, no driver roundtrip. Significance at 95% is the approximate
+    p = 2 exp(-6 K^2 / (n^3 + n^2)) < 0.05, decided in pure int64:
+
+        6_000_000 * K^2 > 3_688_879 * (n^3 + n^2)
+        (3_688_879 = ceil-free 10^6 * ln(2 / 0.05); both sides i64 for
+        spans up to ~60 years of days).
+
+    Output: (key, n_days, u_stat, k_stat, change_day, shifted) —
+    u_stat signed (positive = level stepped DOWN after change_day,
+    counts before exceed counts after), change_day = last day of the
+    pre-change regime, shifted = 0/1.
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    daily = (events.select(F.col(key_col).alias("k"), day.alias("d"))
+             .groupBy("k", "d")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    span = daily.groupBy("k").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (span.select(
+        "k", (F.col("d1") - F.col("d0") + 1).alias("n"), "d1",
+        F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["k", "d"], "left")
+        .select("k", "n", "d1", "d",
+                F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")))
+    other = grid.select(F.col("k").alias("k2"), F.col("d").alias("d2"),
+                        F.col("c").alias("c2"))
+    sgn = (F.when(F.col("c") > F.col("c2"), 1)
+           .when(F.col("c") < F.col("c2"), -1).otherwise(0))
+    v = (grid.join(other, (F.col("k") == F.col("k2"))
+                   & (F.col("d") != F.col("d2")))
+         .groupBy("k", "n", "d1", "d")
+         .agg(F.sum(sgn).cast("bigint").alias("v")))
+    wcum = (Window.partitionBy("k").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    u = (v.withColumn("u", F.sum("v").over(wcum))
+         .where(F.col("d") < F.col("d1")))  # U_n == 0 is not a split
+    best = (u.groupBy("k")
+            .agg(F.max("n").alias("n_days"),
+                 F.max(F.struct(F.abs(F.col("u")).alias("a"),
+                                (-F.col("d")).alias("nd"),
+                                F.col("u").alias("u"))).alias("m")))
+    shifted = (F.lit(6_000_000) * F.col("m.a") * F.col("m.a")
+               > F.lit(3_688_879)
+               * (F.col("n_days") * F.col("n_days") * F.col("n_days")
+                  + F.col("n_days") * F.col("n_days")))
+    return best.select(
+        F.col("k").alias(key_col),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("m.u").cast("bigint").alias("u_stat"),
+        F.col("m.a").cast("bigint").alias("k_stat"),
+        (-F.col("m.nd")).cast("bigint").alias("change_day"),
+        F.when(shifted, 1).otherwise(0).cast("bigint").alias("shifted"))

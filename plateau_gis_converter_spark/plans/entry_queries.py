@@ -8220,6 +8220,142 @@ FROM v JOIN s USING (k)
 """
 
 
+def q_clustering_coef(spark, sf_dir):
+    """Local clustering coefficients (graph.clustering_coefficients):
+    per-page cohesion ppm = 2e6 * triangles div (deg * (deg-1)) over the
+    deterministic link graph — triangles via the hub-safe degree-ordered
+    orientation. Oracle closes wedges directly (neighbor-pair join
+    against the canonical edge set), an independent formulation of the
+    same count."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    return gr.clustering_coefficients(edges)
+
+
+SQL_CLUSTERING_COEF = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e GROUP BY 1, 2),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1),
+tr AS (SELECT x.a AS id, CAST(count(*) AS BIGINT) AS t
+       FROM sym x
+       JOIN sym y ON x.a = y.a AND x.b < y.b
+       JOIN und z ON z.a = x.b AND z.b = y.b
+       GROUP BY 1)
+SELECT CAST(d.id AS BIGINT) AS id, d.degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN degree >= 2
+                 THEN 2000000 * coalesce(t, 0) // (degree * (degree - 1))
+            END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tr USING (id)
+"""
+
+
+def q_pettitt_shift(spark, sf_dir):
+    """Change-point detection (stats.pettitt_shift): rank-based Pettitt
+    U statistic over zero-filled daily counts — the natural event types
+    are level-stable; a derived step key keeps 1-in-8 events in the
+    first half of the span and 1-in-2 in the second, a provable level
+    shift, so both shifted branches fire. The operator computes U via
+    the V-recurrence + cumsum; the oracle computes U_t from the
+    DEFINITION (sum over pairs i <= t < j) — an independent
+    formulation whose agreement proves the recurrence."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    evd = ev.select("event_type", "ts", "event_id", d.alias("d"))
+    mm = evd.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    evm = evd.crossJoin(F.broadcast(mm))
+    base = evm.select(F.col("event_type").alias("k"), "ts")
+    step = (evm.where(
+        F.when(2 * (F.col("d") - F.col("dmin"))
+               >= F.col("dmax") - F.col("dmin"),
+               (F.col("event_id") % 2) == 0)
+        .otherwise((F.col("event_id") % 8) == 0))
+        .select(F.lit("step_up").alias("k"), "ts"))
+    return st.pettitt_shift(base.unionAll(step), key_col="k")
+
+
+SQL_PETTITT_SHIFT = """
+WITH mm AS (SELECT min(epoch_us(ts) // 86400000000) AS dmin,
+                   max(epoch_us(ts) // 86400000000) AS dmax FROM events),
+src AS (
+  SELECT event_type AS k, ts FROM events
+  UNION ALL
+  SELECT 'step_up', ts FROM events, mm
+  WHERE CASE WHEN 2 * (epoch_us(ts) // 86400000000 - dmin) >= dmax - dmin
+             THEN event_id % 2 = 0 ELSE event_id % 8 = 0 END),
+daily AS (SELECT k, epoch_us(ts) // 86400000000 AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM src GROUP BY 1, 2),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT sp.k, d0 + u.i AS d
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+cd AS (SELECT g.k, g.d, coalesce(dl.c, 0) AS c
+       FROM grid g LEFT JOIN daily dl ON dl.k = g.k AND dl.d = g.d),
+u AS (SELECT t.k, t.d,
+             CAST(sum(CASE WHEN a.c > b.c THEN 1
+                           WHEN a.c < b.c THEN -1 ELSE 0 END) AS BIGINT)
+                 AS u
+      FROM cd t
+      JOIN cd a ON a.k = t.k AND a.d <= t.d
+      JOIN cd b ON b.k = t.k AND b.d > t.d
+      GROUP BY 1, 2),
+pick AS (SELECT k, d, u, abs(u) AS a FROM u
+         QUALIFY row_number() OVER (PARTITION BY k
+                                    ORDER BY abs(u) DESC, d) = 1)
+SELECT p.k, CAST(sp.d1 - sp.d0 + 1 AS BIGINT) AS n_days,
+       p.u AS u_stat, p.a AS k_stat, CAST(p.d AS BIGINT) AS change_day,
+       CAST(CASE WHEN 6000000 * p.a * p.a
+                      > 3688879 * ((sp.d1 - sp.d0 + 1)
+                                   * (sp.d1 - sp.d0 + 1)
+                                   * (sp.d1 - sp.d0 + 1)
+                                   + (sp.d1 - sp.d0 + 1)
+                                   * (sp.d1 - sp.d0 + 1))
+                 THEN 1 ELSE 0 END AS BIGINT) AS shifted
+FROM pick p JOIN sp ON sp.k = p.k
+"""
+
+
+def q_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch (cms.ams_f2_registers): 32 integer
+    registers of md5-Rademacher-signed user_id counts — the self-join-
+    size / key-skew diagnostic, sketch family #6. Bit-for-bit register
+    gate (the cms_registers pattern); oracle recomputes each register's
+    sign sum with the same md5-salt arithmetic."""
+    from ..operators import cms
+
+    ev = _t(spark, sf_dir, "events")
+    return cms.ams_f2_registers(ev, "user_id", n_reg=32)
+
+
+SQL_AMS_F2 = """
+SELECT CAST(r.i AS BIGINT) AS reg,
+       CAST(sum(1 - 2 * (CAST(concat('0x',
+                substr(md5(CAST(user_id AS VARCHAR) || ':ams' || r.i),
+                       1, 15)) AS BIGINT) % 2)) AS BIGINT) AS z
+FROM events, UNNEST(range(32)) AS r(i)
+WHERE user_id IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -8421,6 +8557,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "od_matrix": q_od_matrix,
     "resource_alloc": q_resource_alloc,
     "mann_kendall": q_mann_kendall,
+    "clustering_coef": q_clustering_coef,
+    "pettitt_shift": q_pettitt_shift,
+    "ams_f2": q_ams_f2,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -8623,6 +8762,9 @@ ORACLES: dict[str, str] = {
     "od_matrix": SQL_OD_MATRIX,
     "resource_alloc": SQL_RESOURCE_ALLOC,
     "mann_kendall": SQL_MANN_KENDALL,
+    "clustering_coef": SQL_CLUSTERING_COEF,
+    "pettitt_shift": SQL_PETTITT_SHIFT,
+    "ams_f2": SQL_AMS_F2,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -668,3 +668,31 @@ def test_wave31_query_scans_prune_and_stay_jvm(spark):
         plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
+
+
+def test_wave32_query_scans_prune_and_stay_jvm(spark):
+    """Wave 32: clustering_coef routes triangles through the
+    degree-ordered orientation (hash equi-joins only, never a
+    cartesian); pettitt_shift's pairwise work touches only the
+    calendar grid; ams_f2 is one explode + one partial agg."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "clustering_coef": {"doc_id"},
+        "pettitt_shift": {"event_type", "ts", "event_id"},
+        "ams_f2": {"user_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    for name in ("clustering_coef", "ams_f2"):
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
