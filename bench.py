@@ -218,7 +218,8 @@ def main():
                   "lag_autocorr", "cidr_lpm", "bitmap_overlap",
                   "snap_points", "trimmed_stats",
                   "od_matrix", "resource_alloc", "mann_kendall",
-                  "clustering_coef", "pettitt_shift", "ams_f2"]:
+                  "clustering_coef", "pettitt_shift", "ams_f2",
+                  "anchor_terms", "spearman_corr", "sitemap_parse"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -165,3 +165,61 @@ def resolve_redirects(redirects: DataFrame, src_col: str = "src",
         .alias("hops"),
         F.when(F.col("rs").isNull(), F.lit("ok")).otherwise(F.lit("cycle"))
         .alias("status"))
+
+
+# anchor INNER text: href + the text node up to the closing tag.  Kept
+# lookaround-free so Java regex (Spark) and RE2 (DuckDB oracle) agree;
+# nested markup inside <a> is out of scope for the fixture corpus (a
+# production extractor runs after boilerplate.strip_tags).
+ANCHOR_TEXT_RE = (r"""(?is)<a\s[^>]*href\s*=\s*["']([^"'#]+)["']"""
+                  r"""[^>]*>([^<]*)</a\s*>""")
+
+
+def anchor_term_counts(pages: DataFrame, html_col: str = "html",
+                       url_col: str = "url", top_k: int = 3) -> DataFrame:
+    """Per-target anchor-text term profile — the classic web-IR signal
+    (anchor text describes the TARGET better than the target's own
+    words; Brin & Page 1998 §2.2, and the strongest single feature in
+    early TREC web tracks): tokenize every anchor's inner text, resolve
+    its href against the source page, count terms per destination url,
+    keep each destination's ``top_k`` terms (count desc, term asc — a
+    deterministic total order).
+
+    Shape: map-side regex extract + explode (no Python), ONE partial-agg
+    count keyed by (dst, term), then a window over the AGGREGATED
+    relation — bounded by distinct terms per destination, never by
+    anchor volume (the tfidf_terms discipline; a hot destination with
+    10^6 in-links still contributes one row per distinct term to the
+    window).
+
+    Output: (dst_url, term, n, rank) with rank in 1..top_k.
+    """
+    from pyspark.sql import Window
+
+    scheme = F.regexp_extract(F.col(url_col),
+                              r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(F.col(url_col),
+                              r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1)
+    hrefs = F.regexp_extract_all(F.col(html_col),
+                                 F.lit(ANCHOR_TEXT_RE), 1)
+    texts = F.regexp_extract_all(F.col(html_col),
+                                 F.lit(ANCHOR_TEXT_RE), 2)
+    pairs = pages.select(
+        scheme.alias("_scheme"), origin.alias("_origin"),
+        F.explode(F.arrays_zip(hrefs.alias("href"),
+                               texts.alias("txt"))).alias("a"))
+    dst = resolve_href(F.col("a.href"), F.col("_scheme"),
+                       F.col("_origin"))
+    terms = (pairs.withColumn("dst_url", dst)
+             .where(F.col("dst_url").isNotNull())
+             .select("dst_url",
+                     F.explode(F.filter(
+                         F.split(F.lower(F.col("a.txt")), "[^a-z0-9]+"),
+                         lambda t: t != "")).alias("term")))
+    counts = (terms.groupBy("dst_url", "term")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = Window.partitionBy("dst_url").orderBy(
+        F.col("n").desc(), F.col("term"))
+    return (counts.withColumn("rank", F.row_number().over(w)
+                              .cast("bigint"))
+            .where(F.col("rank") <= int(top_k)))

@@ -628,3 +628,70 @@ def pettitt_shift(events: DataFrame, key_col: str = "event_type",
         F.col("m.a").cast("bigint").alias("k_stat"),
         (-F.col("m.nd")).cast("bigint").alias("change_day"),
         F.when(shifted, 1).otherwise(0).cast("bigint").alias("shifted"))
+
+
+def spearman_group_corr(df: DataFrame, group_col: str, x_col: str,
+                        y_col: str) -> DataFrame:
+    """Per-group Spearman rank correlation between two integer columns —
+    the robust monotone-association measure (does quality rise with
+    document length? does fetch latency track page size?) that ignores
+    outliers and nonlinearity where Pearson is dragged by both.
+
+    Exactness: ranks are DOUBLED average ranks (2*avg keeps ties
+    integer: for value v, r2 = 2*|{u < v}| + tie_count + 1), derived
+    from the (group, value) COUNT relation — one partial agg per column
+    + a cumulative window over the small distinct-value relation, then
+    two equi-joins back to the fact (the ``value_quantiles``/
+    ``trimmed_group_stats`` discipline: NO row-level window over the
+    fact). All five moments (n, Sx, Sy, Sxy, Sxx, Syy) are associative
+    integer sums; only the final ratio is a double in one fixed op
+    order:
+
+        r_milli = floor(num / sqrt(den1_d * den2_d) * 1000 + 0.5)
+        num  = n*Sxy - Sx*Sy,  den1 = n*Sxx - Sx^2,  den2 likewise.
+
+    i64 bound: n * (2n)^2 <= 2^63 requires n <= ~1.3e6 rows per group;
+    larger groups emit NULL r_milli (overflow-poisoned moments are
+    never reported) — per-key daily/monthly series are thousands of
+    points, far inside the bound.
+
+    Output: (group, n, num, den1, den2, r_milli); r_milli NULL when a
+    side is constant (den = 0) or the group exceeds the exact bound.
+    """
+    g = F.col(group_col)
+    base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(g.alias("g"), F.col(x_col).cast("bigint").alias("x"),
+                    F.col(y_col).cast("bigint").alias("y")))
+
+    def doubled(col: str, out: str) -> DataFrame:
+        counts = (base.groupBy("g", col)
+                  .agg(F.count(F.lit(1)).alias("c")))
+        wc = (Window.partitionBy("g").orderBy(col)
+              .rowsBetween(Window.unboundedPreceding, 0))
+        return (counts.withColumn("cum", F.sum("c").over(wc))
+                .select("g", col,
+                        (2 * F.col("cum") - F.col("c") + 1).alias(out)))
+
+    ranked = (base.join(doubled("x", "r2x"), ["g", "x"])
+              .join(doubled("y", "r2y"), ["g", "y"]))
+    m = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r2x").cast("bigint").alias("sx"),
+        F.sum("r2y").cast("bigint").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("bigint").alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when((F.col("den1") > 0) & (F.col("den2") > 0)
+               & (F.col("n") <= 1_300_000),
+               F.floor(F.col("num").cast("double")
+                       / F.sqrt(F.col("den1").cast("double")
+                                * F.col("den2").cast("double"))
+                       * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return (m.withColumn("num", num.cast("bigint"))
+            .withColumn("den1", den1.cast("bigint"))
+            .withColumn("den2", den2.cast("bigint"))
+            .select(F.col("g").alias(group_col), "n", "num", "den1",
+                    "den2", r.alias("r_milli")))

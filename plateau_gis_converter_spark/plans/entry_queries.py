@@ -8356,6 +8356,219 @@ GROUP BY 1
 """
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text target profiles (links.anchor_term_counts): per-
+    destination top-3 anchor terms over pages carrying absolute,
+    root-relative (uppercase, single-quoted), fragment-only (never
+    extracted) and mailto (resolved to NULL, dropped) anchors with
+    punctuated inner text. Oracle re-derives extraction with DuckDB's
+    zipped parallel unnest + an independent window rank."""
+    from ..operators import links as lk
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://site"), (did % 10).cast("string"),
+                   F.lit(".example.com/page/"), did.cast("string"))
+    page = F.concat(
+        F.lit('<html><a href="https://hub.example.com/t/'),
+        (did % 7).cast("string"),
+        F.lit('">w'), ((did * 3) % 17).cast("string"),
+        F.lit(" w"), ((did * 5) % 17).cast("string"),
+        F.lit("</a><A HREF='/local/"), (did % 5).cast("string"),
+        F.lit("'>w"), ((did * 7) % 17).cast("string"),
+        F.lit('!</A><a href="#skip">w99</a>'
+              '<a href="mailto:x@y.z">w98</a></html>'))
+    pages = docs.select(url.alias("url"), page.alias("html"))
+    return lk.anchor_term_counts(pages, top_k=3)
+
+
+SQL_ANCHOR_TERMS = """
+WITH pages AS (
+  SELECT
+    'https://site' || CAST(doc_id % 10 AS VARCHAR)
+      || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+    '<html><a href="https://hub.example.com/t/'
+      || CAST(doc_id % 7 AS VARCHAR)
+      || '">w' || CAST((doc_id * 3) % 17 AS VARCHAR)
+      || ' w' || CAST((doc_id * 5) % 17 AS VARCHAR)
+      || '</a><A HREF=''/local/' || CAST(doc_id % 5 AS VARCHAR)
+      || '''>w' || CAST((doc_id * 7) % 17 AS VARCHAR)
+      || '!</A><a href="#skip">w99</a>'
+      || '<a href="mailto:x@y.z">w98</a></html>' AS html
+  FROM documents),
+anch AS (
+  SELECT url,
+    unnest(regexp_extract_all(html,
+      '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"''#]+)["''][^>]*>([^<]*)</a\\s*>',
+      1)) AS href,
+    unnest(regexp_extract_all(html,
+      '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"''#]+)["''][^>]*>([^<]*)</a\\s*>',
+      2)) AS txt
+  FROM pages),
+res AS (
+  SELECT CASE
+           WHEN regexp_matches(href, '(?i)^https?://') THEN href
+           WHEN href LIKE '//%' THEN
+             regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)
+             || ':' || href
+           WHEN href LIKE '/%' THEN
+             regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1)
+             || href
+         END AS dst_url, txt
+  FROM anch),
+terms AS (
+  SELECT dst_url,
+         unnest(regexp_split_to_array(lower(txt), '[^a-z0-9]+')) AS term
+  FROM res WHERE dst_url IS NOT NULL),
+counts AS (
+  SELECT dst_url, term, CAST(count(*) AS BIGINT) AS n
+  FROM terms WHERE term <> '' GROUP BY 1, 2)
+SELECT dst_url, term, n,
+       CAST(row_number() OVER (PARTITION BY dst_url
+                               ORDER BY n DESC, term) AS BIGINT) AS rank
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY dst_url
+                           ORDER BY n DESC, term) <= 3
+"""
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (stats.spearman_group_corr): per
+    event type between cent-quantized value and the event's microsecond
+    timestamp, plus two derived keys pinning the spec — mono_up (y = x,
+    r exactly +1000 even under ties) and mono_down (y = -x, -1000).
+    The operator ranks through the (group, value) COUNT relation; the
+    oracle ranks each ROW via rank() + tie-count windows — independent
+    mechanics for the same doubled average rank."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    base = (ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+            .select(F.col("event_type").alias("k"),
+                    cents.alias("x"),
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                    .alias("y")))
+    up = (ev.where(F.col("value").isNotNull())
+          .select(F.lit("mono_up").alias("k"), cents.alias("x"),
+                  cents.alias("y")))
+    down = (ev.where(F.col("value").isNotNull())
+            .select(F.lit("mono_down").alias("k"), cents.alias("x"),
+                    (-cents).alias("y")))
+    return st.spearman_group_corr(base.unionAll(up).unionAll(down),
+                                  "k", "x", "y")
+
+
+SQL_SPEARMAN_CORR = f"""
+WITH base AS (
+  SELECT event_type AS k, {_cents_sql('value')} AS x,
+         epoch_us(ts) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  UNION ALL
+  SELECT 'mono_up', {_cents_sql('value')}, {_cents_sql('value')}
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT 'mono_down', {_cents_sql('value')}, -{_cents_sql('value')}
+  FROM events WHERE value IS NOT NULL),
+rk AS (
+  SELECT k,
+         2 * rank() OVER (PARTITION BY k ORDER BY x)
+           + count(*) OVER (PARTITION BY k, x) - 1 AS r2x,
+         2 * rank() OVER (PARTITION BY k ORDER BY y)
+           + count(*) OVER (PARTITION BY k, y) - 1 AS r2y
+  FROM base),
+m AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+         CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
+         CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+         CAST(sum(r2y * r2y) AS BIGINT) AS syy
+  FROM rk GROUP BY 1)
+SELECT k, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den1,
+       CAST(n * syy - sy * sy AS BIGINT) AS den2,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  AND n <= 1300000
+                 THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE))
+                            * 1000.0 + 0.5)
+            END AS BIGINT) AS r_milli
+FROM m
+"""
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap protocol parsing (frontier.sitemap_entries): per-document
+    synthetic sitemaps carry one full <url> block (loc + lastmod +
+    priority), one minimal block (defaults: NULL lastmod, priority 500)
+    and one malformed block with no <loc> (dropped per protocol).
+    Oracle re-derives blocks/fields with DuckDB RE2 regexes and the
+    shared priority quantization."""
+    from ..operators import frontier as fr
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sm_url = F.concat(F.lit("https://s"), (did % 10).cast("string"),
+                      F.lit(".example.com/sitemap_"), did.cast("string"),
+                      F.lit(".xml"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://s'),
+        (did % 10).cast("string"),
+        F.lit(".example.com/p/"), did.cast("string"),
+        F.lit(" </loc><lastmod>2024-01-"),
+        F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url>\n<url>\n<loc>https://s"),
+        (did % 10).cast("string"),
+        F.lit(".example.com/alt/"), did.cast("string"),
+        F.lit("</loc>\n</url><url><priority>0.9</priority></url>"
+              "</urlset>"))
+    sitemaps = docs.select(sm_url.alias("sitemap_url"), xml.alias("xml"))
+    return fr.sitemap_entries(sitemaps)
+
+
+SQL_SITEMAP_PARSE = """
+WITH sm AS (
+  SELECT
+    'https://s' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/sitemap_'
+      || CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url,
+    '<?xml version="1.0"?><urlset><url><loc> https://s'
+      || CAST(doc_id % 10 AS VARCHAR) || '.example.com/p/'
+      || CAST(doc_id AS VARCHAR) || ' </loc><lastmod>2024-01-'
+      || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+      || '</lastmod><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+      || '</priority></url>' || chr(10) || '<url>' || chr(10)
+      || '<loc>https://s' || CAST(doc_id % 10 AS VARCHAR)
+      || '.example.com/alt/' || CAST(doc_id AS VARCHAR)
+      || '</loc>' || chr(10)
+      || '</url><url><priority>0.9</priority></url></urlset>' AS xml
+  FROM documents),
+blk AS (
+  SELECT sitemap_url,
+         unnest(regexp_extract_all(xml, '(?is)<url\\s*>.*?</url\\s*>', 0))
+             AS b
+  FROM sm),
+fld AS (
+  SELECT sitemap_url,
+    regexp_extract(b, '(?is)<loc\\s*>\\s*([^<\\s][^<]*?)\\s*</loc\\s*>', 1)
+        AS loc,
+    regexp_extract(b,
+        '(?is)<lastmod\\s*>\\s*([^<\\s][^<]*?)\\s*</lastmod\\s*>', 1)
+        AS lastmod,
+    regexp_extract(b, '(?is)<priority\\s*>\\s*([0-9.]+)\\s*</priority\\s*>',
+        1) AS prio
+  FROM blk)
+SELECT sitemap_url, loc,
+       nullif(lastmod, '') AS lastmod,
+       CAST(CASE WHEN prio <> ''
+                 THEN floor(CAST(prio AS DOUBLE) * 1000.0 + 0.5)
+                 ELSE 500 END AS BIGINT) AS priority_pm
+FROM fld WHERE loc <> ''
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -8560,6 +8773,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_coef": q_clustering_coef,
     "pettitt_shift": q_pettitt_shift,
     "ams_f2": q_ams_f2,
+    "anchor_terms": q_anchor_terms,
+    "spearman_corr": q_spearman_corr,
+    "sitemap_parse": q_sitemap_parse,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -8765,6 +8981,9 @@ ORACLES: dict[str, str] = {
     "clustering_coef": SQL_CLUSTERING_COEF,
     "pettitt_shift": SQL_PETTITT_SHIFT,
     "ams_f2": SQL_AMS_F2,
+    "anchor_terms": SQL_ANCHOR_TERMS,
+    "spearman_corr": SQL_SPEARMAN_CORR,
+    "sitemap_parse": SQL_SITEMAP_PARSE,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

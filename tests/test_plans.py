@@ -696,3 +696,27 @@ def test_wave32_query_scans_prune_and_stay_jvm(spark):
         plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
+
+
+def test_wave33_query_scans_prune_and_stay_jvm(spark):
+    """Wave 33: anchor_terms/sitemap_parse are map-side regex pipelines
+    reading only doc_id (the fixture synthesizes pages in-plan);
+    spearman_corr windows only the (group, value) COUNT relations."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "anchor_terms": {"doc_id"},
+        "spearman_corr": {"event_type", "ts", "value"},
+        "sitemap_parse": {"doc_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
