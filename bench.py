@@ -219,7 +219,8 @@ def main():
                   "snap_points", "trimmed_stats",
                   "od_matrix", "resource_alloc", "mann_kendall",
                   "clustering_coef", "pettitt_shift", "ams_f2",
-                  "anchor_terms", "spearman_corr", "sitemap_parse"]:
+                  "anchor_terms", "spearman_corr", "sitemap_parse",
+                  "wkt_parse", "hyperball_r2", "theil_sen"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

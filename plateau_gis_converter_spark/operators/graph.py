@@ -1006,3 +1006,46 @@ def dag_layers(nodes: DataFrame, edges: DataFrame,
         f"dag_layers did not converge in {max_rounds} rounds — the graph "
         f"has a cycle, or a chain deeper than the budget (raise "
         f"max_rounds)")
+
+
+def hyperball_registers(nodes: DataFrame, edges: DataFrame,
+                        radius: int = 2, p: int = 6) -> DataFrame:
+    """HyperBall / HyperANF neighborhood-function registers (Boldi,
+    Rosa & Vigna, WWW 2011; Palmer et al.'s ANF made mergeable): per
+    node, the HLL sketch of the ball B(v, radius) = every page
+    reachable in <= radius hops — THE technique that measured the
+    Facebook graph's four degrees of separation. Per-node ball sizes at
+    small radius are a crawl-frontier influence/coverage signal a
+    trillion-edge graph can never compute exactly (ball materialization
+    is quadratic); HLL registers make the iteration linear.
+
+    Relational form: registers live as the sparse (id, bucket, r)
+    relation (<= n * 2^p rows). Round k folds every node's successors'
+    registers into its own by elementwise max — union + ONE partial-agg
+    groupBy per round, exactly the mergeability identity
+    HLL(A ∪ B) = max(HLL(A), HLL(B)) that makes the algorithm correct;
+    ``radius`` rounds of shuffles keyed by node id, O(1) driver rows.
+    Registers are INTEGERS (the house 60-bit md5 hash), so the gate
+    compares them bit-for-bit; estimates read via
+    ``cardinality.hll_estimate`` / ``hll_estimate_grouped``.
+
+    Output: (id, bucket, r) — the sketch of B(id, radius), self
+    included.
+    """
+    from . import cardinality as cd
+
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    ids = nodes.select(F.col("id"))
+    regs = cd.hll_registers_grouped(
+        ids.select("id", F.col("id").alias("member")),
+        "member", ["id"], p=p)
+    e = edges.select(F.col("src").alias("id"), F.col("dst"))
+    for _ in range(int(radius)):
+        nbr = (e.join(regs.select(F.col("id").alias("dst"), "bucket",
+                                  "r"), "dst")
+               .select("id", "bucket", "r"))
+        regs = (regs.unionAll(nbr)
+                .groupBy("id", "bucket")
+                .agg(F.max("r").cast("bigint").alias("r")))
+    return regs

@@ -695,3 +695,65 @@ def spearman_group_corr(df: DataFrame, group_col: str, x_col: str,
             .withColumn("den2", den2.cast("bigint"))
             .select(F.col("g").alias(group_col), "n", "num", "den1",
                     "den2", r.alias("r_milli")))
+
+
+def theil_sen_slope(events: DataFrame, key_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-key Theil-Sen robust trend slope over DAILY activity (Theil
+    1950, Sen 1968): the MEDIAN of all pairwise day-slopes — up to ~29%
+    of the days can be corrupt (outages, bot storms) before the
+    estimate moves, where the OLS ``trend_slope`` is dragged by a
+    single spike. Completes the robust-trend trio: mann_kendall (is
+    there a trend), pettitt_shift (where did the level break),
+    theil_sen (how steep, robustly).
+
+    Series = zero-filled daily counts on the key's own span (the
+    shared calendar-grid discipline). Every pair i < j yields the
+    RATIONAL slope (c_j - c_i) / (d_j - d_i); pairs are ordered by the
+    computed-double quotient (one fixed op order — identical in both
+    engines since the operands are exact int64) with (d_i, d_j) as the
+    deterministic tiebreak, and the LOWER median (rank (m+1) div 2) is
+    selected per key. The window ranks span^2/2 rows per key — bounded
+    by the CALENDAR, never event volume. The median pair's exact
+    integer numerator/denominator ship alongside the milli-quantized
+    quotient.
+
+    Output: (key, n_days, n_pairs, med_num, med_den, slope_milli).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    daily = (events.select(F.col(key_col).alias("k"), day.alias("d"))
+             .groupBy("k", "d")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    span = daily.groupBy("k").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (span.select(
+        "k", (F.col("d1") - F.col("d0") + 1).alias("n"),
+        F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["k", "d"], "left")
+        .select("k", "n", "d",
+                F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")))
+    later = grid.select(F.col("k").alias("k2"), F.col("d").alias("d2"),
+                        F.col("c").alias("c2"))
+    pairs = (grid.join(later, (F.col("k") == F.col("k2"))
+                       & (F.col("d2") > F.col("d")))
+             .select("k", "n", "d", "d2",
+                     (F.col("c2") - F.col("c")).alias("num"),
+                     (F.col("d2") - F.col("d")).alias("den")))
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    w = Window.partitionBy("k").orderBy(slope.asc(), F.col("d").asc(),
+                                        F.col("d2").asc())
+    ranked = (pairs
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("m", F.count(F.lit(1))
+                          .over(Window.partitionBy("k"))))
+    med = ranked.where(F.col("rn") == F.expr("(m + 1) div 2"))
+    s_milli = F.floor(F.col("num").cast("double")
+                      / F.col("den").cast("double")
+                      * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+    return med.select(F.col("k").alias(key_col),
+                      F.col("n").cast("bigint").alias("n_days"),
+                      F.col("m").cast("bigint").alias("n_pairs"),
+                      F.col("num").cast("bigint").alias("med_num"),
+                      F.col("den").cast("bigint").alias("med_den"),
+                      s_milli.alias("slope_milli"))

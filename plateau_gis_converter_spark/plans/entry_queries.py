@@ -8569,6 +8569,209 @@ FROM fld WHERE loc <> ''
 """
 
 
+def q_wkt_parse(spark, sf_dir):
+    """WKT ingestion bridge (geometry.wkt_vertices): POINT / LINESTRING
+    (with a Z ordinate to ignore) / POLYGON-with-hole text parsed into
+    the integer µdeg vertex relation the geometry operators consume.
+    Oracle re-derives rings/vertices via list indexing over the same
+    lookaround-free regexes and the shared quantization."""
+    from ..operators import geometry as gm
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def frac(mult):
+        return F.lpad(((did * mult) % 1000).cast("string"), 3, "0")
+
+    a, b, c = frac(7), frac(13), frac(29)
+    point = F.concat(F.lit("POINT (139."), a, F.lit(" 35."), b,
+                     F.lit(")"))
+    line = F.concat(F.lit("LINESTRING (139."), a, F.lit(" 35."), b,
+                    F.lit(" 10.5, 139."), b, F.lit(" 35."), c,
+                    F.lit(", 139."), c, F.lit(" 35."), a, F.lit(")"))
+    poly = F.concat(
+        F.lit("POLYGON ((139."), a, F.lit(" 35."), a,
+        F.lit(", 139."), b, F.lit(" 35."), a,
+        F.lit(", 139."), b, F.lit(" 35."), b,
+        F.lit(", 139."), a, F.lit(" 35."), a,
+        F.lit("), (139."), c, F.lit(" 35."), c,
+        F.lit(", 139."), c, F.lit(" 35."), a,
+        F.lit(", 139."), a, F.lit(" 35."), c,
+        F.lit(", 139."), c, F.lit(" 35."), c, F.lit("))"))
+    wkt = (F.when(did % 3 == 0, point)
+           .when(did % 3 == 1, line).otherwise(poly))
+    geoms = docs.select(did.alias("geom_id"), wkt.alias("wkt"))
+    return gm.wkt_vertices(geoms)
+
+
+SQL_WKT_PARSE = """
+WITH w AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 3 = 0 THEN
+        'POINT (139.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+        || ')'
+      WHEN doc_id % 3 = 1 THEN
+        'LINESTRING (139.'
+        || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+        || ' 10.5, 139.'
+        || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || ', 139.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ')'
+      ELSE
+        'POLYGON ((139.'
+        || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ', 139.' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ', 139.' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+        || ', 139.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || '), (139.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || ', 139.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ', 139.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || ', 139.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || ' 35.' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0')
+        || '))'
+    END AS wkt
+  FROM documents),
+t AS (SELECT doc_id,
+             upper(regexp_extract(wkt, '^\\s*([A-Za-z]+)', 1)) AS gtype,
+             regexp_extract_all(wkt, '\\(([^()]+)\\)', 1) AS rings
+      FROM w),
+r AS (SELECT doc_id, gtype, CAST(ri.i AS BIGINT) AS ring,
+             rings[ri.i + 1] AS txt
+      FROM t, UNNEST(range(len(rings))) ri(i)),
+p AS (SELECT doc_id, gtype, ring, CAST(pi.i AS BIGINT) AS idx,
+             trim(string_split(txt, ',')[pi.i + 1]) AS pt
+      FROM r, UNNEST(range(len(string_split(txt, ',')))) pi(i)),
+s AS (SELECT doc_id, gtype, ring, idx,
+             regexp_split_to_array(pt, '\\s+') AS toks FROM p)
+SELECT doc_id AS geom_id, gtype, ring, idx,
+       CAST(floor(CAST(toks[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS x_udeg,
+       CAST(floor(CAST(toks[2] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS y_udeg
+FROM s
+"""
+
+
+def q_hyperball_r2(spark, sf_dir):
+    """HyperBall neighborhood function (graph.hyperball_registers):
+    per-page HLL registers of the radius-2 out-ball over the
+    deterministic link graph — radius rounds of union + elementwise-max
+    partial aggs, the HyperANF linearization of a quadratic ball
+    materialization. Registers compared bit-for-bit; the oracle derives
+    the ball by 2-hop CLOSURE (self ∪ e ∪ e·e) and sketches the member
+    set directly — set-based vs iterative-max, independent mechanics."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return gr.hyperball_registers(nodes, edges, radius=2, p=6)
+
+
+SQL_HYPERBALL_R2 = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+ball AS (
+  SELECT doc_id AS v, doc_id AS u FROM documents
+  UNION SELECT src, dst FROM e
+  UNION SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+h AS (SELECT v, CAST(concat('0x', substr(md5(CAST(u AS VARCHAR) || 'hll'),
+             1, 15)) AS BIGINT) AS hv
+      FROM ball),
+br AS (SELECT v, hv // {1 << 54} AS bucket, hv % {1 << 54} AS rest FROM h)
+SELECT CAST(v AS BIGINT) AS id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rest = 0 THEN 55
+                     ELSE 54 - (length(bin(rest)) - 1) END) AS BIGINT) AS r
+FROM br GROUP BY 1, 2
+"""
+
+
+def q_theil_sen(spark, sf_dir):
+    """Robust trend slope (stats.theil_sen_slope): per-key lower median
+    of all pairwise daily slopes over the same ramp-extended event
+    series as the mann_kendall gate (so up / down / flat medians all
+    appear). Median selection orders by the computed-double quotient of
+    exact int64 operands — identical in both engines — with the day
+    pair as deterministic tiebreak; oracle re-ranks independently."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    evd = ev.select("event_type", "ts", "event_id", d.alias("d"))
+    mm = evd.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    evm = evd.crossJoin(F.broadcast(mm))
+    base = evm.select(F.col("event_type").alias("k"), "ts")
+    up = (evm.where((F.col("event_id") % 60)
+                    < 2 * (F.col("d") - F.col("dmin")))
+          .select(F.lit("ramp_up").alias("k"), "ts"))
+    down = (evm.where((F.col("event_id") % 60)
+                      < 2 * (F.col("dmax") - F.col("d")))
+            .select(F.lit("ramp_down").alias("k"), "ts"))
+    return st.theil_sen_slope(base.unionAll(up).unionAll(down),
+                              key_col="k")
+
+
+SQL_THEIL_SEN = """
+WITH mm AS (SELECT min(epoch_us(ts) // 86400000000) AS dmin,
+                   max(epoch_us(ts) // 86400000000) AS dmax FROM events),
+src AS (
+  SELECT event_type AS k, ts FROM events
+  UNION ALL
+  SELECT 'ramp_up', ts FROM events, mm
+  WHERE event_id % 60 < 2 * (epoch_us(ts) // 86400000000 - dmin)
+  UNION ALL
+  SELECT 'ramp_down', ts FROM events, mm
+  WHERE event_id % 60 < 2 * (dmax - epoch_us(ts) // 86400000000)),
+daily AS (SELECT k, epoch_us(ts) // 86400000000 AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM src GROUP BY 1, 2),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT sp.k, d0 + u.i AS d
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+cd AS (SELECT g.k, g.d, coalesce(dl.c, 0) AS c
+       FROM grid g LEFT JOIN daily dl ON dl.k = g.k AND dl.d = g.d),
+pr AS (SELECT a.k, a.d AS da, b.d AS db,
+              b.c - a.c AS num, b.d - a.d AS den
+       FROM cd a JOIN cd b ON a.k = b.k AND b.d > a.d),
+rk AS (SELECT k, da, db, num, den,
+              row_number() OVER (
+                PARTITION BY k
+                ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) ASC,
+                         da, db) AS rn,
+              count(*) OVER (PARTITION BY k) AS m
+       FROM pr)
+SELECT rk.k, CAST(sp.d1 - sp.d0 + 1 AS BIGINT) AS n_days,
+       CAST(m AS BIGINT) AS n_pairs,
+       CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den,
+       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000.0
+                  + 0.5) AS BIGINT) AS slope_milli
+FROM rk JOIN sp ON sp.k = rk.k
+WHERE rn = (m + 1) // 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -8776,6 +8979,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_terms": q_anchor_terms,
     "spearman_corr": q_spearman_corr,
     "sitemap_parse": q_sitemap_parse,
+    "wkt_parse": q_wkt_parse,
+    "hyperball_r2": q_hyperball_r2,
+    "theil_sen": q_theil_sen,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -8984,6 +9190,9 @@ ORACLES: dict[str, str] = {
     "anchor_terms": SQL_ANCHOR_TERMS,
     "spearman_corr": SQL_SPEARMAN_CORR,
     "sitemap_parse": SQL_SITEMAP_PARSE,
+    "wkt_parse": SQL_WKT_PARSE,
+    "hyperball_r2": SQL_HYPERBALL_R2,
+    "theil_sen": SQL_THEIL_SEN,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

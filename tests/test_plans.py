@@ -720,3 +720,34 @@ def test_wave33_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave34_query_scans_prune_and_stay_jvm(spark):
+    """Wave 34: wkt_parse is a map-side regex/split pipeline;
+    hyperball's rounds are union + partial-agg max only; theil_sen
+    windows only the calendar-pair relation."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "wkt_parse": {"doc_id"},
+        "hyperball_r2": {"doc_id"},
+        "theil_sen": {"event_type", "ts", "event_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+    plan = (eq.QUERIES["wkt_parse"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the only Exchange allowed is _t()'s round-robin split spreading
+    # (a local-fixture artifact); the parse itself must not shuffle
+    import re as _re
+    keyed = [x for x in _re.findall(r"Exchange (\w+)", plan)
+             if x != "RoundRobinPartitioning"]
+    assert keyed == [], f"wkt parse shuffles: {keyed}"
