@@ -220,7 +220,8 @@ def main():
                   "od_matrix", "resource_alloc", "mann_kendall",
                   "clustering_coef", "pettitt_shift", "ams_f2",
                   "anchor_terms", "spearman_corr", "sitemap_parse",
-                  "wkt_parse", "hyperball_r2", "theil_sen"]:
+                  "wkt_parse", "hyperball_r2", "theil_sen",
+                  "quadkey_tiles", "ring_thin", "pareto_front"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -203,3 +203,27 @@ def geohash_udeg(lng_udeg: Column, lat_udeg: Column,
                 .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
         for c in range(chars)]
     return F.concat(*parts)
+
+
+def quadkey_col(z: int, x: Column, y: Column) -> Column:
+    """Bing Maps / Azure quadkey for tile (z, x, y): the base-4 string
+    whose i-th character interleaves bit (z-i) of x and y — the tile
+    addressing every Microsoft imagery/vector service and a number of
+    tile caches key by. A parent tile's quadkey is a strict PREFIX of
+    all its descendants (pytest-pinned), which is what makes quadkeys
+    the natural key for prefix-range pyramid scans in a plain string
+    index.
+
+    Pure Catalyst: z fixed-length concat of shift/mask digit lookups —
+    no Python, no join; the engine-shared formulation also runs
+    verbatim in the DuckDB oracle.
+    """
+    if not 1 <= z <= 30:
+        raise ValueError(f"z must be in [1, 30], got {z}")
+    chars = F.array(F.lit("0"), F.lit("1"), F.lit("2"), F.lit("3"))
+    digits = []
+    for i in range(1, z + 1):
+        d = ((F.shiftrightunsigned(x, z - i) % 2)
+             + 2 * (F.shiftrightunsigned(y, z - i) % 2))
+        digits.append(F.element_at(chars, (d + 1).cast("int")))
+    return F.concat(*digits)

@@ -397,3 +397,77 @@ def wkt_vertices(df: DataFrame, wkt_col: str = "wkt",
                     F.col("ring").cast("bigint").alias("ring"),
                     F.col("idx").cast("bigint").alias("idx"),
                     "x_udeg", "y_udeg"))
+
+
+def thin_ring_vertices(vertices: DataFrame, area2_min: int,
+                       poly_col: str = "poly_id",
+                       ring_col: str = "ring", idx_col: str = "idx",
+                       x_col: str = "x_udeg",
+                       y_col: str = "y_udeg") -> DataFrame:
+    """One-pass Visvalingam-Whyatt vertex thinning over closed rings —
+    map generalization for lower-zoom tiles (the MVT sink's
+    ring-simplification sibling, but area-driven instead of
+    grid-truncation-driven): a vertex whose triangle with its ring
+    neighbors spans less than ``area2_min`` (TWICE the area, µdeg²,
+    exact |cross| int64) is visual noise at the target zoom and drops.
+
+    This is deliberately the SINGLE-pass variant (areas measured on the
+    ORIGINAL ring, all drops simultaneous) — deterministic, relational,
+    and order-free, where true iterative VW re-measures after every
+    removal (a sequential per-ring loop; run the pass k times for a
+    k-step approximation). Degeneracy guard: a ring whose kept count
+    would fall below 3 keeps ALL its vertices (a window count over the
+    ring key — same discipline as the MVT tiny-polygon skip, which
+    drops instead because a sub-pixel ring has no lower zoom to serve).
+
+    Shape: neighbors via two (i±1 mod n) equi-joins on the ring key
+    (one Exchange), cross product in int64 after the
+    ``ring_area2_centroid`` local-origin shift (same overflow
+    discipline), one window count for the guard. Exact for ring
+    extents under ~2^21 µdeg.
+
+    Output: the kept vertex rows (same columns), plus ``area2_tri``.
+    """
+    if area2_min < 0:
+        raise ValueError(f"area2_min must be >= 0, got {area2_min}")
+    wr = Window.partitionBy("p", "g")
+    v = (vertices.select(
+        F.col(poly_col).alias("p"), F.col(ring_col).alias("g"),
+        F.col(idx_col).cast("bigint").alias("i"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"))
+        .withColumn("n", F.count(F.lit(1)).over(wr))
+        .withColumn("x0", F.min("x").over(wr))
+        .withColumn("y0", F.min("y").over(wr))
+        .withColumn("xl", F.col("x") - F.col("x0"))
+        .withColumn("yl", F.col("y") - F.col("y0")))
+    prv = v.select(F.col("p").alias("p1"), F.col("g").alias("g1"),
+                   F.col("i").alias("ip"), F.col("xl").alias("xp"),
+                   F.col("yl").alias("yp"))
+    nxt = v.select(F.col("p").alias("p2"), F.col("g").alias("g2"),
+                   F.col("i").alias("inx"), F.col("xl").alias("xn"),
+                   F.col("yl").alias("yn"))
+    j = (v.join(prv, (F.col("p") == F.col("p1"))
+                & (F.col("g") == F.col("g1"))
+                & (F.col("ip") == (F.col("i") - 1 + F.col("n"))
+                   % F.col("n")))
+         .join(nxt, (F.col("p") == F.col("p2"))
+               & (F.col("g") == F.col("g2"))
+               & (F.col("inx") == (F.col("i") + 1) % F.col("n"))))
+    cross = ((F.col("xl") - F.col("xp")) * (F.col("yn") - F.col("yp"))
+             - (F.col("xn") - F.col("xp")) * (F.col("yl") - F.col("yp")))
+    flagged = (j.select("p", "g", "i", "x", "y", "n",
+                        F.abs(cross).alias("area2_tri"))
+               .withColumn("keep",
+                           (F.col("area2_tri") >= int(area2_min))
+                           .cast("int")))
+    guard = (flagged
+             .withColumn("n_keep", F.sum("keep").over(
+                 Window.partitionBy("p", "g")))
+             .where((F.col("keep") == 1) | (F.col("n_keep") < 3)))
+    return guard.select(F.col("p").alias(poly_col),
+                        F.col("g").alias(ring_col),
+                        F.col("i").alias(idx_col),
+                        F.col("x").alias(x_col), F.col("y").alias(y_col),
+                        F.col("area2_tri").cast("bigint")
+                        .alias("area2_tri"))

@@ -757,3 +757,40 @@ def theil_sen_slope(events: DataFrame, key_col: str = "event_type",
                       F.col("num").cast("bigint").alias("med_num"),
                       F.col("den").cast("bigint").alias("med_den"),
                       s_milli.alias("slope_milli"))
+
+
+def pareto_front(df: DataFrame, group_col: str, x_col: str,
+                 y_col: str) -> DataFrame:
+    """Per-group 2-D skyline (Borzsonyi, Kossmann & Stocker, ICDE
+    2001): the rows not DOMINATED in (x, y), both maximized — a point
+    q dominates p when q.x >= p.x, q.y >= p.y and q is strictly better
+    on at least one axis. The multi-objective shortlist operator:
+    "documents no other document beats on BOTH quality and freshness",
+    crawl candidates on (authority, staleness), ANN candidates on
+    (similarity, diversity). Duplicate frontier points all survive
+    (neither strictly beats the other).
+
+    Scale shape — never the quadratic self-join (that is the ORACLE's
+    formulation): within a group only the max-y rows of each distinct
+    x can survive, so the frontier test runs on the (group, x) AGG
+    relation: one partial-agg max(y) per (g, x), one running-max
+    window ordered by x DESC over that small relation (a point's x
+    group survives iff its max-y strictly exceeds every higher-x
+    group's max-y), then one equi-join back to the fact. Minimize an
+    axis by negating it.
+
+    Output: the input rows on the frontier (all columns preserved).
+    """
+    g, x, y = F.col(group_col), F.col(x_col), F.col(y_col)
+    mx = (df.where(x.isNotNull() & y.isNotNull())
+          .groupBy(g.alias("__g"), x.alias("__x"))
+          .agg(F.max(y).alias("__mx")))
+    w = (Window.partitionBy("__g").orderBy(F.col("__x").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    keep = (mx.withColumn("__pre", F.max("__mx").over(w))
+            .where(F.col("__pre").isNull()
+                   | (F.col("__mx") > F.col("__pre"))))
+    return (df.join(keep,
+                    (g == F.col("__g")) & (x == F.col("__x"))
+                    & (y == F.col("__mx")))
+            .drop("__g", "__x", "__mx", "__pre"))

@@ -8772,6 +8772,141 @@ WHERE rn = (m + 1) // 2
 """
 
 
+def q_quadkey_tiles(spark, sf_dir):
+    """Bing/Azure quadkey interop (functions/geo.quadkey_col): the z12
+    tile of every page as the base-4 quadkey string (parent = prefix —
+    pytest-pinned), alongside x/y. Engine-shared digit formula; zero
+    shuffle."""
+    pts = _points_df(spark, sf_dir)
+    tiles = geo.with_point_tiles(pts, F.lit(12))
+    return tiles.select(
+        "doc_id", F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        geo.quadkey_col(12, F.col("x"), F.col("y")).alias("qk"))
+
+
+_QK_TX, _QK_TY = _tile_xy_sql("12")
+_QK_DIGITS = " || ".join(
+    f"substr('0123', CAST((x // {1 << (12 - i)}) % 2 "
+    f"+ 2 * ((y // {1 << (12 - i)}) % 2) AS INT) + 1, 1)"
+    for i in range(1, 13))
+SQL_QUADKEY_TILES = f"""
+WITH {POINTS_CTE},
+t AS (SELECT doc_id, {_QK_TX} AS x, {_QK_TY} AS y FROM pts)
+SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       {_QK_DIGITS} AS qk
+FROM t
+"""
+
+
+def q_ring_thin(spark, sf_dir):
+    """Map generalization (geometry.thin_ring_vertices): one-pass
+    Visvalingam thinning of per-document octagon rings — big corners
+    survive, 3-µdeg mid-edge bumps drop at the 100k-µdeg² threshold,
+    every 5th document's 500-µdeg bumps survive, and every 11th
+    document's micro-ring fires the keep-all degeneracy guard. Oracle
+    re-derives neighbors and the raw-coordinate cross product with its
+    own modular self-joins."""
+    from ..operators import geometry as gm
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lng, lat = geo.point_udeg_cols(did)
+    r = (F.when(did % 11 == 0, 4).otherwise(2000)
+         .cast("bigint"))
+    b = (F.when(did % 11 == 0, 2)
+         .when(did % 5 == 0, 500).otherwise(3).cast("bigint"))
+    base = docs.select(did.alias("poly_id"), lng.alias("cx"),
+                       lat.alias("cy"), r.alias("r"), b.alias("b"))
+    cxs = [F.col("cx") - F.col("r"), F.col("cx"),
+           F.col("cx") + F.col("r"), F.col("cx") + F.col("r")
+           + F.col("b"), F.col("cx") + F.col("r"), F.col("cx"),
+           F.col("cx") - F.col("r"),
+           F.col("cx") - F.col("r") - F.col("b")]
+    cys = [F.col("cy") - F.col("r"), F.col("cy") - F.col("r")
+           - F.col("b"), F.col("cy") - F.col("r"), F.col("cy"),
+           F.col("cy") + F.col("r"), F.col("cy") + F.col("r")
+           + F.col("b"), F.col("cy") + F.col("r"), F.col("cy")]
+    verts = F.array(*[F.struct(cxs[j].alias("x"), cys[j].alias("y"))
+                      for j in range(8)])
+    ring = base.select(
+        "poly_id", F.lit(0).cast("bigint").alias("ring"),
+        F.posexplode(verts).alias("idx", "v")).select(
+        "poly_id", "ring", F.col("idx").cast("bigint").alias("idx"),
+        F.col("v.x").alias("x_udeg"), F.col("v.y").alias("y_udeg"))
+    return gm.thin_ring_vertices(ring, area2_min=100_000)
+
+
+SQL_RING_THIN = f"""
+WITH base AS (
+  SELECT doc_id AS poly_id,
+         {_POINTS_SQL_LNG} AS cx, {_POINTS_SQL_LAT} AS cy,
+         CASE WHEN doc_id % 11 = 0 THEN 4 ELSE 2000 END AS r,
+         CASE WHEN doc_id % 11 = 0 THEN 2
+              WHEN doc_id % 5 = 0 THEN 500 ELSE 3 END AS b
+  FROM documents),
+v AS (
+  SELECT poly_id, CAST(0 AS BIGINT) AS ring, CAST(u.i AS BIGINT) AS idx,
+         CAST(CASE u.i
+           WHEN 0 THEN cx - r  WHEN 1 THEN cx
+           WHEN 2 THEN cx + r  WHEN 3 THEN cx + r + b
+           WHEN 4 THEN cx + r  WHEN 5 THEN cx
+           WHEN 6 THEN cx - r  ELSE cx - r - b END AS BIGINT) AS x,
+         CAST(CASE u.i
+           WHEN 0 THEN cy - r  WHEN 1 THEN cy - r - b
+           WHEN 2 THEN cy - r  WHEN 3 THEN cy
+           WHEN 4 THEN cy + r  WHEN 5 THEN cy + r + b
+           WHEN 6 THEN cy + r  ELSE cy END AS BIGINT) AS y
+  FROM base, UNNEST(range(8)) AS u(i)),
+tri AS (
+  SELECT c.poly_id, c.ring, c.idx, c.x, c.y,
+         abs((c.x - p.x) * (n.y - p.y)
+             - (n.x - p.x) * (c.y - p.y)) AS area2_tri
+  FROM v c
+  JOIN v p ON p.poly_id = c.poly_id AND p.idx = (c.idx + 7) % 8
+  JOIN v n ON n.poly_id = c.poly_id AND n.idx = (c.idx + 1) % 8),
+flg AS (
+  SELECT *,
+         sum(CASE WHEN area2_tri >= 100000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY poly_id) AS n_keep
+  FROM tri)
+SELECT poly_id, ring, idx, x AS x_udeg, y AS y_udeg,
+       CAST(area2_tri AS BIGINT) AS area2_tri
+FROM flg
+WHERE area2_tri >= 100000 OR n_keep < 3
+"""
+
+
+def q_pareto_front(spark, sf_dir):
+    """2-D skyline (stats.pareto_front): per language, documents no
+    other document beats on BOTH length and the derived score — the
+    multi-objective shortlist. The operator runs the windowed
+    (group, x)-relation algorithm; the ORACLE is the quadratic
+    NOT-EXISTS dominance self-join the operator exists to avoid —
+    independent formulations of the same set."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    d = (docs.where(F.col("lang").isNotNull())
+         .select("lang", "doc_id",
+                 F.col("n_chars").cast("bigint").alias("x"),
+                 ((F.col("doc_id") * 37) % 1000).alias("y")))
+    return st.pareto_front(d, "lang", "x", "y")
+
+
+SQL_PARETO_FRONT = """
+WITH d AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS x,
+         CAST((doc_id * 37) % 1000 AS BIGINT) AS y
+  FROM documents WHERE lang IS NOT NULL)
+SELECT lang, doc_id, x, y FROM d p
+WHERE NOT EXISTS (
+  SELECT 1 FROM d q
+  WHERE q.lang = p.lang AND q.x >= p.x AND q.y >= p.y
+    AND (q.x > p.x OR q.y > p.y))
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -8982,6 +9117,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wkt_parse": q_wkt_parse,
     "hyperball_r2": q_hyperball_r2,
     "theil_sen": q_theil_sen,
+    "quadkey_tiles": q_quadkey_tiles,
+    "ring_thin": q_ring_thin,
+    "pareto_front": q_pareto_front,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -9193,6 +9331,9 @@ ORACLES: dict[str, str] = {
     "wkt_parse": SQL_WKT_PARSE,
     "hyperball_r2": SQL_HYPERBALL_R2,
     "theil_sen": SQL_THEIL_SEN,
+    "quadkey_tiles": SQL_QUADKEY_TILES,
+    "ring_thin": SQL_RING_THIN,
+    "pareto_front": SQL_PARETO_FRONT,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

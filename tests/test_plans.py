@@ -751,3 +751,33 @@ def test_wave34_query_scans_prune_and_stay_jvm(spark):
     keyed = [x for x in _re.findall(r"Exchange (\w+)", plan)
              if x != "RoundRobinPartitioning"]
     assert keyed == [], f"wkt parse shuffles: {keyed}"
+
+
+def test_wave35_query_scans_prune_and_stay_jvm(spark):
+    """Wave 35: quadkey is a pure map-side digit fold; ring_thin pairs
+    via modular equi-joins; pareto_front windows only the (group, x)
+    AGG relation — never the quadratic dominance join (the oracle's
+    formulation)."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "quadkey_tiles": {"doc_id"},
+        "ring_thin": {"doc_id"},
+        "pareto_front": {"doc_id", "lang", "n_chars"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
+    plan = (eq.QUERIES["quadkey_tiles"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
+             if x != "RoundRobinPartitioning"]
+    assert keyed == [], f"quadkey shuffles: {keyed}"
