@@ -221,7 +221,9 @@ def main():
                   "clustering_coef", "pettitt_shift", "ams_f2",
                   "anchor_terms", "spearman_corr", "sitemap_parse",
                   "wkt_parse", "hyperball_r2", "theil_sen",
-                  "quadkey_tiles", "ring_thin", "pareto_front"]:
+                  "quadkey_tiles", "ring_thin", "pareto_front",
+                  "negative_samples", "prefix_completions",
+                  "snippet_extract"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -348,3 +348,69 @@ def maxscore_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                               F.row_number().over(w_rank).cast("bigint"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score_micro"))
+
+
+def prefix_completions(queries: DataFrame, query_col: str = "q",
+                       min_len: int = 1, max_len: int = 10,
+                       top_k: int = 3) -> DataFrame:
+    """Autocomplete index: for every character prefix (lengths
+    ``min_len``..``max_len``) of every query string, the ``top_k``
+    completions by frequency (count desc, query asc — a deterministic
+    total order). The suggest-as-you-type aggregation every search box
+    runs over its query log.
+
+    Shape: ONE partial-agg count per distinct query first (the fact
+    table is touched once), then a bounded map-side prefix explode
+    (<= max_len rows per DISTINCT query — never per log row) and one
+    window over the per-prefix relation. A hot prefix like "t" ranks
+    its distinct completions, not the raw log.
+
+    Output: (prefix, q, n, rank) with rank 1..top_k.
+    """
+    if not 1 <= min_len <= max_len:
+        raise ValueError(f"need 1 <= min_len <= max_len, "
+                         f"got {min_len}..{max_len}")
+    q = F.col(query_col)
+    counts = (queries.where(q.isNotNull() & (F.length(q) >= min_len))
+              .groupBy(q.alias("q"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    prefixes = F.expr(
+        f"transform(sequence({int(min_len)}, "
+        f"least(char_length(q), {int(max_len)})), "
+        f"i -> substr(q, 1, i))")
+    pref = counts.select(F.explode(prefixes).alias("prefix"), "q", "n")
+    w = Window.partitionBy("prefix").orderBy(F.col("n").desc(),
+                                             F.col("q"))
+    return (pref.withColumn("rank", F.row_number().over(w)
+                            .cast("bigint"))
+            .where(F.col("rank") <= int(top_k)))
+
+
+def snippet_extract(docs: DataFrame, term: str, context: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keyword-in-context (KWIC) snippet extraction: every
+    non-overlapping occurrence of ``term`` with up to ``context``
+    characters either side — the search-results highlighter, and the
+    concordance view corpus linguists audit matches with.
+
+    Map-side only: one regexp_extract_all + posexplode, zero shuffle.
+    Both engines share the identical greedy leftmost-first pattern
+    (Java regex and RE2 agree on leftmost-first semantics for this
+    lookaround-free shape); the term is regex-escaped, so any literal
+    query string is safe.
+
+    Output: (doc_id, idx, snippet) — idx numbers occurrences in
+    document order.
+    """
+    import re as _re
+
+    if context < 0:
+        raise ValueError(f"context must be >= 0, got {context}")
+    pat = (f"(.{{0,{int(context)}}}{_re.escape(term)}"
+           f".{{0,{int(context)}}})")
+    snips = F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+    return (docs.select(F.col(id_col),
+                        F.posexplode(snips).alias("idx", "snippet"))
+            .select(id_col, F.col("idx").cast("bigint").alias("idx"),
+                    "snippet"))

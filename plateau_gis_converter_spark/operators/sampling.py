@@ -17,7 +17,7 @@ train/val/test splits (disjoint bucket ranges).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 1_000_000
@@ -275,3 +275,55 @@ def kmv_set_ops(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
                         .otherwise(F.expr(
                             f"_both * union_est div {kk}").cast("bigint")))
             .select("g_a", "g_b", "union_est", "inter_est"))
+
+
+def negative_samples(positives: DataFrame, k: int, n_docs: int,
+                     query_col: str = "query_id",
+                     doc_col: str = "doc_id",
+                     overdraw: int = 4,
+                     stride: int = 2_654_435_761) -> DataFrame:
+    """Deterministic hash-ring negative sampling for contrastive
+    training pairs (the DPR / sentence-transformers recipe: every
+    (query, positive) needs k "random" negatives, reproducibly): for
+    each query, candidates are generated DIRECTLY on a hash ring —
+    cand_j = (md5_60(query) + j * stride) mod n_docs for j = 0 ..
+    k+overdraw-1 — positives are removed by ONE anti-join, and the
+    first k survivors by ring order are the negatives.
+
+    The point of the ring: never a per-query scan of the corpus. The
+    naive "rank all docs per query and exclude" plan is
+    |queries| x |corpus| (dead at 10^9 x 10^12); this is
+    O(|queries| * (k + overdraw)) rows total, generated map-side.
+    ``overdraw`` absorbs ring duplicates and positive collisions — a
+    query with more than ``overdraw`` collisions emits fewer than k
+    negatives (deterministically; raise overdraw for dense positive
+    sets). Contract: the corpus id space is dense 0..n_docs-1 (the
+    standard pre-step of any embedding-table pipeline).
+
+    Output: (query_id, rank, neg_id) with rank 1..k in ring order.
+    """
+    if k < 1 or overdraw < 0:
+        raise ValueError(f"need k >= 1 and overdraw >= 0, "
+                         f"got k={k} overdraw={overdraw}")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("q").cast("string"), F.lit(":neg"))), 1, 15),
+        16, 10).cast("bigint")
+    cands = (positives.select(F.col(query_col).alias("q")).distinct()
+             .select("q", h.alias("h"),
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(int(k + overdraw) - 1)))
+                     .alias("j"))
+             .select("q", "j",
+                     ((F.col("h") + F.col("j") * F.lit(int(stride)))
+                      % F.lit(int(n_docs))).alias("cand")))
+    dedup = (cands.groupBy("q", "cand")
+             .agg(F.min("j").alias("j")))
+    pos = positives.select(F.col(query_col).alias("q"),
+                           F.col(doc_col).alias("cand"))
+    neg = dedup.join(pos, ["q", "cand"], "left_anti")
+    w = Window.partitionBy("q").orderBy("j", "cand")
+    return (neg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(F.col("q").alias(query_col),
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.col("cand").cast("bigint").alias("neg_id")))

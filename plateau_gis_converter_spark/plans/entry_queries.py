@@ -8907,6 +8907,96 @@ WHERE NOT EXISTS (
 """
 
 
+def q_negative_samples(spark, sf_dir):
+    """Contrastive negative sampling (sampling.negative_samples): 5
+    hash-ring negatives per query over 37 deterministic query groups
+    (positives = the group's own documents) — candidates generated
+    directly on the ring, NEVER a per-query corpus scan; positives
+    removed by one anti-join. Oracle mirrors the ring arithmetic and
+    re-derives exclusion/ranking with NOT EXISTS + an independent
+    window."""
+    from ..operators import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    positives = docs.select((F.col("doc_id") % 37).alias("query_id"),
+                            "doc_id")
+    return sp.negative_samples(positives, k=5, n_docs=n)
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+pos AS (SELECT doc_id % 37 AS q, doc_id AS d FROM documents),
+qs AS (SELECT DISTINCT q FROM pos),
+h AS (SELECT q, CAST(concat('0x', substr(md5(CAST(q AS VARCHAR)
+             || ':neg'), 1, 15)) AS BIGINT) AS h
+      FROM qs),
+cand AS (SELECT q, CAST(j.i AS BIGINT) AS j,
+                (h + j.i * 2654435761) % nn.n AS cand
+         FROM h, nn, UNNEST(range(9)) AS j(i)),
+dd AS (SELECT q, cand, min(j) AS j FROM cand GROUP BY 1, 2),
+neg AS (SELECT * FROM dd
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.q = dd.q AND pos.d = dd.cand))
+SELECT q AS query_id,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       CAST(cand AS BIGINT) AS neg_id
+FROM neg
+WINDOW w AS (PARTITION BY q ORDER BY j, cand)
+QUALIFY row_number() OVER w <= 5
+"""
+
+
+def q_prefix_completions(spark, sf_dir):
+    """Autocomplete index (retrieval.prefix_completions): top-3
+    completions per character prefix (1..8) of each document's leading
+    bigram — distinct queries counted once before the bounded prefix
+    explode. Oracle re-derives with UNNEST(range)+substr and an
+    independent window."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    q = F.regexp_extract(F.col("text"), r"^(\w+ \w+)", 1)
+    return rt.prefix_completions(docs.select(q.alias("q")),
+                                 min_len=1, max_len=8, top_k=3)
+
+
+SQL_PREFIX_COMPLETIONS = """
+WITH q0 AS (SELECT regexp_extract(text, '^(\\w+ \\w+)', 1) AS q
+            FROM documents),
+c AS (SELECT q, CAST(count(*) AS BIGINT) AS n
+      FROM q0 WHERE q IS NOT NULL AND length(q) >= 1 GROUP BY 1),
+p AS (SELECT substr(q, 1, CAST(u.i AS INT)) AS prefix, q, n
+      FROM c, UNNEST(range(1, least(length(q), 8) + 1)) AS u(i))
+SELECT prefix, q, n, CAST(row_number() OVER w AS BIGINT) AS rank
+FROM p
+WINDOW w AS (PARTITION BY prefix ORDER BY n DESC, q)
+QUALIFY row_number() OVER w <= 3
+"""
+
+
+def q_snippet_extract(spark, sf_dir):
+    """KWIC snippets (retrieval.snippet_extract): every non-overlapping
+    'customer' occurrence with 12 chars of context — the search-results
+    highlighter as one map-side regexp_extract_all + posexplode (zero
+    shuffle, plan-asserted). Oracle shares the greedy leftmost-first
+    pattern and indexes occurrences via range(len)."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    return rt.snippet_extract(docs, term="customer", context=12)
+
+
+SQL_SNIPPET_EXTRACT = """
+WITH s AS (SELECT doc_id,
+                  regexp_extract_all(text,
+                      '(.{0,12}customer.{0,12})', 1) AS sn
+           FROM documents)
+SELECT doc_id, CAST(u.i AS BIGINT) AS idx, sn[u.i + 1] AS snippet
+FROM s, UNNEST(range(len(sn))) AS u(i)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -9120,6 +9210,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadkey_tiles": q_quadkey_tiles,
     "ring_thin": q_ring_thin,
     "pareto_front": q_pareto_front,
+    "negative_samples": q_negative_samples,
+    "prefix_completions": q_prefix_completions,
+    "snippet_extract": q_snippet_extract,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -9334,6 +9427,9 @@ ORACLES: dict[str, str] = {
     "quadkey_tiles": SQL_QUADKEY_TILES,
     "ring_thin": SQL_RING_THIN,
     "pareto_front": SQL_PARETO_FRONT,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "prefix_completions": SQL_PREFIX_COMPLETIONS,
+    "snippet_extract": SQL_SNIPPET_EXTRACT,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -781,3 +781,32 @@ def test_wave35_query_scans_prune_and_stay_jvm(spark):
     keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
              if x != "RoundRobinPartitioning"]
     assert keyed == [], f"quadkey shuffles: {keyed}"
+
+
+def test_wave36_query_scans_prune_and_stay_jvm(spark):
+    """Wave 36: negative_samples generates candidates on the ring (no
+    corpus-side join fan-out); prefix_completions explodes only the
+    DISTINCT-query relation; snippet_extract is map-only."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "negative_samples": {"doc_id"},
+        "prefix_completions": {"text"},
+        "snippet_extract": {"doc_id", "text"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
+    plan = (eq.QUERIES["snippet_extract"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
+             if x != "RoundRobinPartitioning"]
+    assert keyed == [], f"snippet extract shuffles: {keyed}"
