@@ -223,7 +223,9 @@ def main():
                   "wkt_parse", "hyperball_r2", "theil_sen",
                   "quadkey_tiles", "ring_thin", "pareto_front",
                   "negative_samples", "prefix_completions",
-                  "snippet_extract"]:
+                  "snippet_extract",
+                  "soundex_blocking", "covisit_pairs",
+                  "rolling_distinct"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -1004,3 +1004,58 @@ def golden_record(members: DataFrame, cluster_col: str,
     return (votes.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("cluster", "field", "value", "n_votes"))
+
+
+# American Soundex letter codes with H/W removed up front (the H/W rule:
+# same-code consonants separated by h/w collapse; separated by vowels
+# they do not — deletion before the adjacent-run collapse implements
+# exactly that).  Vowels+Y code to '0' so they break runs, then drop.
+_SOUNDEX_FROM = "ABCDEFGIJKLMNOPQRSTUVXYZ"
+_SOUNDEX_TO = "012301202245501262301202"
+
+
+def soundex_col(name: Column) -> Column:
+    """American Soundex code (Russell/Odell, as specified by the US
+    National Archives) as a pure Catalyst expression — the classic
+    phonetic blocking key for entity resolution: 'Smith'/'Smyth' and
+    'Ashcraft'/'Ashcroft' land in the same block, so the ER pipeline
+    (``er_match_scores``) compares candidate pairs instead of the
+    quadratic corpus.
+
+    Spark HAS a built-in ``soundex`` — the point of this expression is
+    that the IDENTICAL arithmetic runs in the DuckDB oracle (no
+    soundex there), with the pytest pinning parity against Spark's
+    builtin on the canonical Archives examples (Ashcraft→A261 is the
+    h/w rule; Tymczak→T522 the vowel-separation rule; Pfister→P236 the
+    first-letter collapse). Run-collapse uses 3 replace passes per
+    digit (handles runs up to 8 — beyond any real name) because RE2
+    has no backreferences for the regex form.
+
+    Contract: alphabetic names (the caller strips punctuation);
+    NULL-safe.
+    """
+    u = F.upper(F.trim(name))
+    first = F.substring(u, 1, 1)
+    digits = F.translate(F.translate(u, "HW", ""),
+                         _SOUNDEX_FROM, _SOUNDEX_TO)
+    collapsed = digits
+    for _ in range(3):
+        for d in "0123456":
+            collapsed = F.replace(collapsed, F.lit(d + d), F.lit(d))
+    # drop the first letter's own code — unless the first letter was
+    # h/w (already deleted: position 1 belongs to the SECOND letter)
+    tail_src = F.when(first.isin("H", "W"), collapsed) \
+        .otherwise(F.substring(collapsed, 2, 64))
+    tail = F.translate(tail_src, "0", "")
+    return F.when(name.isNull(), F.lit(None)).otherwise(
+        F.substring(F.rpad(F.concat(first, tail), 4, "0"), 1, 4))
+
+
+def soundex_blocking_keys(df: DataFrame, name_col: str = "name",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, name, sdx): the phonetic blocking relation — group by
+    ``sdx`` and pair within blocks (the ``sorted_neighborhood_pairs``
+    discipline) to feed ``er_match_scores``/``edit_distance_pairs``
+    with candidates instead of all-pairs."""
+    return df.select(F.col(id_col), F.col(name_col).alias("name"),
+                     soundex_col(F.col(name_col)).alias("sdx"))

@@ -508,3 +508,86 @@ def rolling_daily_stats(events: DataFrame, key_col: str = "event_type",
     return out.withColumn(
         "mean_milli_win",
         F.expr("v_milli_win div n_win").cast("bigint"))
+
+
+def covisit_pairs(events: DataFrame, gap_us: int = 1800_000_000,
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  item_col: str = "event_type",
+                  tiebreak_col: str = "event_id",
+                  min_sessions: int = 1) -> DataFrame:
+    """Session co-visitation counts — the item-item collaborative-
+    filtering primitive ("users who viewed X in a session also viewed
+    Y"): unordered item pairs with the number of DISTINCT sessions
+    containing both. The set-cooccurrence complement of
+    ``session_transitions`` (which counts ordered ADJACENT steps) and
+    ``collocations`` (token adjacency): co-visitation sees X and Y
+    together even with twenty clicks between them.
+
+    Sessions are the same gap rule as the sessionize gate; items
+    dedupe per session BEFORE pairing, so the per-session fan-out is
+    bounded by distinct items in the session (squared) — the
+    cocitation hub hazard keyed by session instead of source, with the
+    session gap itself acting as the natural fan-out cap. One session
+    window + one distinct + one self-equi-join keyed by session + one
+    partial-agg count.
+
+    Output: (item_a, item_b, n_sessions) with item_a < item_b.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = t_us - F.lag(t_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sess = events.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("item"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"))
+    items = sess.select("u", "sid", "item").distinct()
+    a = items.select("u", "sid", F.col("item").alias("item_a"))
+    b = items.select(F.col("u").alias("u2"), F.col("sid").alias("sid2"),
+                     F.col("item").alias("item_b"))
+    pairs = a.join(b, (F.col("u") == F.col("u2"))
+                   & (F.col("sid") == F.col("sid2"))
+                   & (F.col("item_a") < F.col("item_b")))
+    return (pairs.groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+            .where(F.col("n_sessions") >= int(min_sessions)))
+
+
+def rolling_distinct(events: DataFrame, key_col: str = "event_type",
+                     ts_col: str = "ts", user_col: str = "user_id",
+                     window_days: int = 7) -> DataFrame:
+    """EXACT rolling N-day distinct users per key and day — the "7-day
+    active users" metric, computed exactly where a naive plan cannot:
+    distinct counts do not sum across days, and window COUNT(DISTINCT)
+    is unsupported / a per-row set union in most engines.
+
+    The cover trick: a user active on day t is counted in every window
+    ENDING t .. t+N-1, so (key, user, active-day) rows — already
+    deduplicated, ONE partial agg over the fact — explode to at most N
+    covered end-days each (map-side, bounded fan-out), a second
+    distinct collapses multi-active users per window, and one count
+    finishes. Total work is O(distinct(key, user, day) * N), never a
+    per-day rescan; emitted days are clipped to the key's own observed
+    span (no trailing ghost windows).
+
+    Output: (key, day, n_users) — day is the window END (epoch day).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    act = (events.where(F.col(user_col).isNotNull())
+           .select(F.col(key_col).alias("k"),
+                   F.col(user_col).alias("usr"), day.alias("d"))
+           .distinct())
+    span = act.groupBy("k").agg(F.max("d").alias("dmax"))
+    cover = (act.select(
+        "k", "usr",
+        F.explode(F.sequence(
+            F.col("d"), F.col("d") + F.lit(int(window_days) - 1)))
+        .alias("day"))
+        .distinct())
+    return (cover.join(span, "k")
+            .where(F.col("day") <= F.col("dmax"))
+            .groupBy(F.col("k").alias(key_col), "day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))

@@ -8997,6 +8997,123 @@ FROM s, UNNEST(range(len(sn))) AS u(i)
 """
 
 
+_SDX_NAMES = ["Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+              "Pfister", "Honeyman", "Smith", "Smyth", "Schmidt",
+              "Johnson", "Jonson"]
+
+
+def q_soundex_blocking(spark, sf_dir):
+    """Phonetic ER blocking (dedup.soundex_col): American Soundex keys
+    over a name column drawn from the canonical Archives examples —
+    Smith/Smyth, Ashcraft/Ashcroft (h/w rule), Tymczak (vowel
+    separation), Pfister (first-letter collapse) land in shared blocks.
+    The identical translate/replace arithmetic runs in the oracle;
+    pytest separately pins parity with Spark's BUILTIN soundex."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    name = F.element_at(F.array(*[F.lit(n) for n in _SDX_NAMES]),
+                        (did % 12 + 1).cast("int"))
+    return dd.soundex_blocking_keys(
+        docs.select("doc_id", name.alias("name")))
+
+
+def _soundex_sql_chain() -> str:
+    from ..operators.dedup import _SOUNDEX_FROM, _SOUNDEX_TO
+
+    collapsed = "digits"
+    for _ in range(3):
+        for d in "0123456":
+            collapsed = f"replace({collapsed}, '{d + d}', '{d}')"
+    names = ", ".join(f"'{n}'" for n in _SDX_NAMES)
+    return f"""
+WITH names AS (
+  SELECT doc_id, ([{names}])[CAST(doc_id % 12 + 1 AS INT)] AS name
+  FROM documents),
+n1 AS (SELECT doc_id, name, upper(trim(name)) AS u FROM names),
+n2 AS (SELECT doc_id, name, substr(u, 1, 1) AS first,
+              translate(translate(u, 'HW', ''),
+                        '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}') AS digits
+       FROM n1),
+n3 AS (SELECT doc_id, name, first, {collapsed} AS collapsed FROM n2),
+n4 AS (SELECT doc_id, name, first,
+              CASE WHEN first IN ('H', 'W') THEN collapsed
+                   ELSE substr(collapsed, 2, 64) END AS tail_src
+       FROM n3)
+SELECT doc_id, name,
+       substr(rpad(first || translate(tail_src, '0', ''), 4, '0'),
+              1, 4) AS sdx
+FROM n4
+"""
+
+
+SQL_SOUNDEX_BLOCKING = _soundex_sql_chain()
+
+
+def q_covisit_pairs(spark, sf_dir):
+    """Session co-visitation (temporal.covisit_pairs): unordered event-
+    type pairs by the number of distinct sessions containing both (gap
+    rule shared with the sessionize gate), the item-item collaborative
+    filtering primitive. Oracle re-derives sessions with split
+    brk/cumsum CTEs and the distinct-pair self-join."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    return tp.covisit_pairs(ev, min_sessions=2)
+
+
+SQL_COVISIT_PAIRS = """
+WITH ev AS (SELECT user_id AS u, event_type AS item, ts, event_id
+            FROM events WHERE user_id IS NOT NULL),
+brk AS (SELECT u, item, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS b
+        FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, event_id)),
+sess AS (SELECT u, item,
+                sum(b) OVER (PARTITION BY u ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+         FROM brk),
+items AS (SELECT DISTINCT u, sid, item FROM sess)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM items a
+JOIN items b ON a.u = b.u AND a.sid = b.sid AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def q_rolling_distinct(spark, sf_dir):
+    """Exact rolling 7-day active users (temporal.rolling_distinct):
+    the cover-explode formulation (active day -> at most 7 covered
+    window ends, two distincts, one count) vs the oracle's day-grid x
+    BETWEEN count(DISTINCT) — the quadratic-rescan formulation the
+    operator exists to avoid."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events")
+    return tp.rolling_distinct(ev, key_col="event_type",
+                               window_days=7)
+
+
+SQL_ROLLING_DISTINCT = """
+WITH act AS (SELECT DISTINCT event_type AS k, user_id AS usr,
+                    epoch_us(ts) // 86400000000 AS d
+             FROM events WHERE user_id IS NOT NULL),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM act GROUP BY 1),
+days AS (SELECT sp.k, d0 + u.i AS day
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i))
+SELECT d.k AS event_type, CAST(d.day AS BIGINT) AS day,
+       CAST(count(DISTINCT a.usr) AS BIGINT) AS n_users
+FROM days d
+JOIN act a ON a.k = d.k AND a.d BETWEEN d.day - 6 AND d.day
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -9213,6 +9330,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_samples": q_negative_samples,
     "prefix_completions": q_prefix_completions,
     "snippet_extract": q_snippet_extract,
+    "soundex_blocking": q_soundex_blocking,
+    "covisit_pairs": q_covisit_pairs,
+    "rolling_distinct": q_rolling_distinct,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -9430,6 +9550,9 @@ ORACLES: dict[str, str] = {
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "prefix_completions": SQL_PREFIX_COMPLETIONS,
     "snippet_extract": SQL_SNIPPET_EXTRACT,
+    "soundex_blocking": SQL_SOUNDEX_BLOCKING,
+    "covisit_pairs": SQL_COVISIT_PAIRS,
+    "rolling_distinct": SQL_ROLLING_DISTINCT,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

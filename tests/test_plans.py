@@ -810,3 +810,33 @@ def test_wave36_query_scans_prune_and_stay_jvm(spark):
     keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
              if x != "RoundRobinPartitioning"]
     assert keyed == [], f"snippet extract shuffles: {keyed}"
+
+
+def test_wave37_query_scans_prune_and_stay_jvm(spark):
+    """Wave 37: soundex is one map-side translate/replace chain;
+    covisit pairs only the per-session DISTINCT item relation;
+    rolling_distinct's fan-out is the bounded cover explode."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "soundex_blocking": {"doc_id"},
+        "covisit_pairs": {"user_id", "ts", "event_type", "event_id"},
+        "rolling_distinct": {"event_type", "ts", "user_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
+    plan = (eq.QUERIES["soundex_blocking"](spark,
+                                           "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
+             if x != "RoundRobinPartitioning"]
+    assert keyed == [], f"soundex shuffles: {keyed}"
