@@ -225,7 +225,8 @@ def main():
                   "negative_samples", "prefix_completions",
                   "snippet_extract",
                   "soundex_blocking", "covisit_pairs",
-                  "rolling_distinct"]:
+                  "rolling_distinct",
+                  "table_stats", "ring_orient", "pair_eval"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

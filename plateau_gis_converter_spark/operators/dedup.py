@@ -1059,3 +1059,61 @@ def soundex_blocking_keys(df: DataFrame, name_col: str = "name",
     with candidates instead of all-pairs."""
     return df.select(F.col(id_col), F.col(name_col).alias("name"),
                      soundex_col(F.col(name_col)).alias("sdx"))
+
+
+def pair_eval(pred: DataFrame, truth: DataFrame, a_col: str = "doc_a",
+              b_col: str = "doc_b") -> DataFrame:
+    """Pair-level evaluation harness for near-dup / ER candidates:
+    confusion counts and integer-ppm precision / recall / F1 of a
+    PREDICTED pair relation against a TRUTH pair relation — the
+    measurement loop every dedup threshold choice runs (how many real
+    duplicates does simhash@k catch, at what false-pair cost?).
+
+    Both relations are canonicalized (unordered pairs, distinct), then
+    ONE full-outer equi-join on the pair key + one global aggregate —
+    no driver collect; at 10^9 pairs this is a single co-keyed shuffle.
+    F1 stays integer: with P and R in ppm, f1_ppm = 2*P*R div (P+R).
+
+    Output (one row): (n_pred, n_truth, tp, fp, fn, precision_ppm,
+    recall_ppm, f1_ppm); ratios NULL when their denominator is 0.
+    """
+    def canon(df: DataFrame, tag: str) -> DataFrame:
+        a, b = F.col(a_col), F.col(b_col)
+        return (df.select(F.least(a, b).alias("pa"),
+                          F.greatest(a, b).alias("pb"))
+                .distinct()
+                .withColumn(tag, F.lit(1)))
+
+    m = canon(pred, "in_p").join(canon(truth, "in_t"),
+                                 ["pa", "pb"], "full_outer")
+    agg = m.agg(
+        F.sum(F.coalesce(F.col("in_p"), F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce(F.col("in_t"), F.lit(0))).alias("n_truth"),
+        F.sum(F.when(F.col("in_p").isNotNull()
+                     & F.col("in_t").isNotNull(), 1).otherwise(0))
+        .alias("tp"),
+        F.sum(F.when(F.col("in_p").isNotNull()
+                     & F.col("in_t").isNull(), 1).otherwise(0))
+        .alias("fp"),
+        F.sum(F.when(F.col("in_p").isNull()
+                     & F.col("in_t").isNotNull(), 1).otherwise(0))
+        .alias("fn"))
+    p = F.when(F.col("n_pred") > 0,
+               F.expr("1000000 * tp div n_pred"))
+    r = F.when(F.col("n_truth") > 0,
+               F.expr("1000000 * tp div n_truth"))
+    out = (agg.withColumn("precision_ppm", p.cast("bigint"))
+           .withColumn("recall_ppm", r.cast("bigint")))
+    f1 = F.when(
+        F.col("precision_ppm").isNotNull()
+        & F.col("recall_ppm").isNotNull()
+        & (F.col("precision_ppm") + F.col("recall_ppm") > 0),
+        F.expr("2 * precision_ppm * recall_ppm "
+               "div (precision_ppm + recall_ppm)"))
+    return out.select(
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        "precision_ppm", "recall_ppm", f1.cast("bigint").alias("f1_ppm"))

@@ -471,3 +471,56 @@ def thin_ring_vertices(vertices: DataFrame, area2_min: int,
                         F.col("x").alias(x_col), F.col("y").alias(y_col),
                         F.col("area2_tri").cast("bigint")
                         .alias("area2_tri"))
+
+
+def orient_rings(vertices: DataFrame, poly_col: str = "poly_id",
+                 ring_col: str = "ring", idx_col: str = "idx",
+                 x_col: str = "x_udeg",
+                 y_col: str = "y_udeg") -> DataFrame:
+    """Normalize ring winding to the OGC/GeoJSON convention — exterior
+    rings (ring 0) counter-clockwise, interior rings clockwise — by
+    computing each ring's signed shoelace area and re-indexing the
+    rings that wind the wrong way (idx' = (n - idx) mod n reverses the
+    cycle keeping vertex 0 first). The normalization pass between
+    ``wkt_vertices`` (WKT carries NO orientation guarantee) and every
+    consumer that assumes a winding: ``ring_area2_centroid`` (requires
+    CCW for positive area), the MVT slicer's front-face cull, earcut.
+
+    Same relational shape and local-origin overflow discipline as
+    ``ring_area2_centroid``: one (i+1 mod n) equi-join for the cross
+    sum, one partial agg per ring, one join back — degenerate rings
+    (area exactly 0) pass through unflipped.
+
+    Output: (poly, ring, idx, x, y, flipped).
+    """
+    wr = Window.partitionBy("p", "g")
+    v = (vertices.select(
+        F.col(poly_col).alias("p"), F.col(ring_col).alias("g"),
+        F.col(idx_col).cast("bigint").alias("i"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"))
+        .withColumn("n", F.count(F.lit(1)).over(wr))
+        .withColumn("xl", F.col("x") - F.min("x").over(wr))
+        .withColumn("yl", F.col("y") - F.min("y").over(wr)))
+    nxt = v.select(F.col("p").alias("p2"), F.col("g").alias("g2"),
+                   F.col("i").alias("i2"),
+                   F.col("xl").alias("x2"), F.col("yl").alias("y2"))
+    cross = F.col("xl") * F.col("y2") - F.col("x2") * F.col("yl")
+    area = (v.join(nxt, (F.col("p") == F.col("p2"))
+                   & (F.col("g") == F.col("g2"))
+                   & (F.col("i2") == (F.col("i") + 1) % F.col("n")))
+            .groupBy("p", "g")
+            .agg(F.sum(cross).alias("area2")))
+    flip = (F.when(F.col("g") == 0, F.col("area2") < 0)
+            .otherwise(F.col("area2") > 0))
+    out = (v.join(area, ["p", "g"])
+           .withColumn("flipped", flip)
+           .withColumn("i_new",
+                       F.when(F.col("flipped"),
+                              (F.col("n") - F.col("i")) % F.col("n"))
+                       .otherwise(F.col("i"))))
+    return out.select(F.col("p").alias(poly_col),
+                      F.col("g").alias(ring_col),
+                      F.col("i_new").cast("bigint").alias(idx_col),
+                      F.col("x").alias(x_col), F.col("y").alias(y_col),
+                      F.col("flipped").cast("int").alias("flipped"))

@@ -9114,6 +9114,173 @@ GROUP BY 1, 2
 """
 
 
+def q_table_stats(spark, sf_dir):
+    """Catalog column statistics (sources/layout.table_stats): one-pass
+    ANALYZE over four event columns — exact NDV via Spark's Expand,
+    min/max stringified into the uniform stats schema. Oracle is the
+    per-column UNION ALL restatement."""
+    from ..sources import layout as ly
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        _cents("value").alias("v_cents"))
+    return ly.table_stats(ev, ["event_id", "user_id", "event_type",
+                               "v_cents"])
+
+
+def _table_stats_sql() -> str:
+    parts = []
+    for c in ["event_id", "user_id", "event_type", "v_cents"]:
+        parts.append(f"""
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(min({c}) AS VARCHAR) AS vmin,
+       CAST(max({c}) AS VARCHAR) AS vmax
+FROM ev""")
+    return (f"WITH ev AS (SELECT event_id, user_id, event_type, "
+            f"{_cents_sql('value')} AS v_cents FROM events)"
+            + " UNION ALL ".join(parts))
+
+
+SQL_TABLE_STATS = _table_stats_sql()
+
+
+def q_ring_orient(spark, sf_dir):
+    """Winding normalization (geometry.orient_rings): per-document
+    square exteriors and triangle holes built with mixed orientations
+    (exterior reversed when doc_id is odd; hole left CCW — the WRONG
+    hole winding — when doc_id % 3 = 0); the operator re-indexes to
+    OGC convention (exterior CCW, holes CW). Oracle re-derives the
+    shoelace sign and the reversal arithmetic independently."""
+    from ..operators import geometry as gm
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lng, lat = geo.point_udeg_cols(did)
+    base = docs.select(did.alias("poly_id"), lng.alias("cx"),
+                       lat.alias("cy"), (did % 2).alias("m2"),
+                       (did % 3).alias("m3"))
+    sq = [(0, 0), (1000, 0), (1000, 1000), (0, 1000)]
+    tri = [(200, 200), (600, 200), (200, 600)]
+
+    def ring_df(pts, ring_no, rev_when):
+        n = len(pts)
+        elems = []
+        for j, (dx, dy) in enumerate(pts):
+            idx = (F.when(rev_when, F.lit((n - j) % n))
+                   .otherwise(F.lit(j)))
+            elems.append(F.struct(
+                idx.cast("bigint").alias("idx"),
+                (F.col("cx") + dx).alias("x"),
+                (F.col("cy") + dy).alias("y")))
+        return base.select(
+            "poly_id", F.lit(ring_no).cast("bigint").alias("ring"),
+            F.explode(F.array(*elems)).alias("v")).select(
+            "poly_id", "ring", F.col("v.idx").alias("idx"),
+            F.col("v.x").alias("x_udeg"), F.col("v.y").alias("y_udeg"))
+
+    outer = ring_df(sq, 0, F.col("m2") == 1)
+    hole = ring_df(tri, 1, F.col("m3") != 0)
+    return gm.orient_rings(outer.unionAll(hole))
+
+
+SQL_RING_ORIENT = f"""
+WITH base AS (
+  SELECT doc_id AS poly_id, {_POINTS_SQL_LNG} AS cx,
+         {_POINTS_SQL_LAT} AS cy,
+         doc_id % 2 AS m2, doc_id % 3 AS m3
+  FROM documents),
+v AS (
+  SELECT poly_id, CAST(0 AS BIGINT) AS ring,
+         CAST(CASE WHEN m2 = 1 THEN (4 - u.i) % 4 ELSE u.i END
+              AS BIGINT) AS idx,
+         CAST(cx + CASE u.i WHEN 0 THEN 0 WHEN 1 THEN 1000
+                            WHEN 2 THEN 1000 ELSE 0 END AS BIGINT) AS x,
+         CAST(cy + CASE u.i WHEN 0 THEN 0 WHEN 1 THEN 0
+                            WHEN 2 THEN 1000 ELSE 1000 END AS BIGINT) AS y
+  FROM base, UNNEST(range(4)) AS u(i)
+  UNION ALL
+  SELECT poly_id, CAST(1 AS BIGINT),
+         CAST(CASE WHEN m3 <> 0 THEN (3 - u.i) % 3 ELSE u.i END
+              AS BIGINT),
+         CAST(cx + CASE u.i WHEN 0 THEN 200 WHEN 1 THEN 600
+                            ELSE 200 END AS BIGINT),
+         CAST(cy + CASE u.i WHEN 0 THEN 200 WHEN 1 THEN 200
+                            ELSE 600 END AS BIGINT)
+  FROM base, UNNEST(range(3)) AS u(i)),
+sh AS (SELECT poly_id, ring, idx, x, y,
+              count(*) OVER (PARTITION BY poly_id, ring) AS n,
+              x - min(x) OVER (PARTITION BY poly_id, ring) AS xl,
+              y - min(y) OVER (PARTITION BY poly_id, ring) AS yl
+       FROM v),
+ar AS (SELECT a.poly_id, a.ring,
+              CAST(sum(a.xl * b.yl - b.xl * a.yl) AS BIGINT) AS area2
+       FROM sh a JOIN sh b
+         ON b.poly_id = a.poly_id AND b.ring = a.ring
+        AND b.idx = (a.idx + 1) % a.n
+       GROUP BY 1, 2),
+fl AS (SELECT sh.poly_id, sh.ring, sh.idx, sh.x, sh.y, sh.n,
+              CASE WHEN sh.ring = 0 THEN ar.area2 < 0
+                   ELSE ar.area2 > 0 END AS flipped
+       FROM sh JOIN ar ON ar.poly_id = sh.poly_id AND ar.ring = sh.ring)
+SELECT poly_id, ring,
+       CAST(CASE WHEN flipped THEN (n - idx) % n ELSE idx END
+            AS BIGINT) AS idx,
+       x AS x_udeg, y AS y_udeg,
+       CAST(CASE WHEN flipped THEN 1 ELSE 0 END AS INT) AS flipped
+FROM fl
+"""
+
+
+def q_pair_eval(spark, sf_dir):
+    """Dedup evaluation harness (dedup.pair_eval): precision / recall /
+    F1 of simhash@hamming<=6 candidate pairs against exact 3-gram
+    Jaccard>=0.5 truth — the threshold-tuning measurement loop. One
+    full-outer pair join + one aggregate; oracle re-derives both pair
+    relations with its own formulations (brute-force hamming self-join;
+    capped-shingle Jaccard) and counts via independent CASE sums."""
+    from ..operators import dedup as ddp
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = ddp.simhash_near_pairs(docs, max_hamming=6)
+    truth = ddp.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                    max_df=NGRAM_MAX_DF)
+    return ddp.pair_eval(pred, truth)
+
+
+SQL_PAIR_EVAL = f"""
+WITH pred AS (SELECT doc_a, doc_b FROM ({_simhash_near_sql(6)}) sp),
+truth AS (SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD}) st),
+m AS (SELECT p.doc_a IS NOT NULL AS in_p, t.doc_a IS NOT NULL AS in_t
+      FROM pred p FULL OUTER JOIN truth t
+        ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+agg AS (SELECT
+  CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+  CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+  CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT)
+      AS fp,
+  CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT)
+      AS fn
+  FROM m)
+SELECT n_pred, n_truth, tp, fp, fn,
+       CAST(CASE WHEN n_pred > 0 THEN 1000000 * tp // n_pred END
+            AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN n_truth > 0 THEN 1000000 * tp // n_truth END
+            AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_pred > 0 AND n_truth > 0
+                  AND (1000000 * tp // n_pred)
+                      + (1000000 * tp // n_truth) > 0
+                 THEN 2 * (1000000 * tp // n_pred)
+                      * (1000000 * tp // n_truth)
+                      // ((1000000 * tp // n_pred)
+                          + (1000000 * tp // n_truth))
+            END AS BIGINT) AS f1_ppm
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -9333,6 +9500,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soundex_blocking": q_soundex_blocking,
     "covisit_pairs": q_covisit_pairs,
     "rolling_distinct": q_rolling_distinct,
+    "table_stats": q_table_stats,
+    "ring_orient": q_ring_orient,
+    "pair_eval": q_pair_eval,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -9553,6 +9723,9 @@ ORACLES: dict[str, str] = {
     "soundex_blocking": SQL_SOUNDEX_BLOCKING,
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "rolling_distinct": SQL_ROLLING_DISTINCT,
+    "table_stats": SQL_TABLE_STATS,
+    "ring_orient": SQL_RING_ORIENT,
+    "pair_eval": SQL_PAIR_EVAL,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -275,3 +275,44 @@ def merge_on_read(data: DataFrame, pos_deletes: DataFrame,
             cond = cond & (F.col(c) == F.col(f"_e_{c}"))
         out = out.join(broadcast(ed), cond, "left_anti")
     return out
+
+
+def table_stats(df, cols):
+    """ANALYZE-style column statistics in ONE pass: per column the row
+    count, non-null count, exact NDV, and min/max (as strings, so the
+    stats relation has one schema for every column type) — the catalog
+    numbers a cost-based optimizer, a compaction planner
+    (``compaction_plan``), and a MERGE range pruner (``merge_plan``)
+    all read. Iceberg/Delta keep these per file; this is the
+    table-level rollup (ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS).
+
+    Shape: one global aggregate (Spark plans the multiple exact
+    COUNT(DISTINCT)s via a single Expand — still one scan of the
+    fact), then a map-side explode of the 1-row result into the long
+    stats relation. For approximate NDV at extreme cardinalities, feed
+    ``cardinality.hll_registers`` instead; this is the exact path the
+    gate verifies.
+
+    Output: (column, n_rows, n_nonnull, ndv, vmin, vmax).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    cells = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("__n").cast("bigint").alias("n_rows"),
+                 F.col(f"__nn_{c}").cast("bigint").alias("n_nonnull"),
+                 F.col(f"__nd_{c}").cast("bigint").alias("ndv"),
+                 F.col(f"__mn_{c}").alias("vmin"),
+                 F.col(f"__mx_{c}").alias("vmax"))
+        for c in cols])
+    return row.select(F.explode(cells).alias("s")).select("s.*")

@@ -840,3 +840,27 @@ def test_wave37_query_scans_prune_and_stay_jvm(spark):
     keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
              if x != "RoundRobinPartitioning"]
     assert keyed == [], f"soundex shuffles: {keyed}"
+
+
+def test_wave38_query_scans_prune_and_stay_jvm(spark):
+    """Wave 38: table_stats is one Expand aggregate over a pruned scan;
+    ring_orient joins per ring key only; pair_eval is one full-outer
+    pair join + one aggregate."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "table_stats": {"event_id", "user_id", "event_type", "value"},
+        "ring_orient": {"doc_id"},
+        "pair_eval": {"doc_id", "text"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
