@@ -226,7 +226,8 @@ def main():
                   "snippet_extract",
                   "soundex_blocking", "covisit_pairs",
                   "rolling_distinct",
-                  "table_stats", "ring_orient", "pair_eval"]:
+                  "table_stats", "ring_orient", "pair_eval",
+                  "sentence_chunks", "cell_stats", "mi_assoc"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -21,7 +21,7 @@ so the engine adds:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import geo
@@ -131,3 +131,58 @@ def salted_replicated_join(fact: DataFrame, dim: DataFrame, key: str,
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
     return (f2.join(d2.hint("shuffle_hash"), [key, "_salt"])
             .drop("_salt"))
+
+
+def cell_occupancy_stats(points: DataFrame, sizes_udeg: list[int],
+                         x_col: str = "lng_udeg",
+                         y_col: str = "lat_udeg") -> DataFrame:
+    """Grid-index tuning advisor: for each candidate cell size, the
+    occupancy distribution (cell count, max, mean, exact p95) of the
+    point set — the number every covering-cell operator here
+    (spatial_join, distance_band, snap_points, dbscan, segment
+    intersections) needs BEFORE choosing its cell size: too coarse and
+    one cell carries a quadratic hot key, too fine and long objects
+    scatter wide. ``adaptive_cell_split`` fixes hot cells after the
+    fact; this measures the trade before.
+
+    One bounded explode (|sizes| rows per point), ONE partial-agg count
+    per (size, cell), then per-size stats on the small cell relation —
+    p95 exactly via the count-of-counts cumulative rule
+    (``value_quantiles`` discipline), never a row sort.
+
+    Output: (cell_udeg, n_points, n_cells, max_occ, mean_milli,
+    p95_occ).
+    """
+    if not sizes_udeg or any(s < 1 for s in sizes_udeg):
+        raise ValueError(f"sizes_udeg must be positive, got {sizes_udeg}")
+    cells = F.array(*[
+        F.struct(F.lit(int(s)).cast("bigint").alias("sz"),
+                 F.floor(F.col(x_col) / F.lit(int(s))).cast("bigint")
+                 .alias("cx"),
+                 F.floor(F.col(y_col) / F.lit(int(s))).cast("bigint")
+                 .alias("cy"))
+        for s in sizes_udeg])
+    occ = (points.select(F.explode(cells).alias("c"))
+           .groupBy(F.col("c.sz").alias("sz"), F.col("c.cx").alias("cx"),
+                    F.col("c.cy").alias("cy"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("occ")))
+    # count-of-counts: how many cells hold exactly `occ` points
+    coc = occ.groupBy("sz", "occ").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"))
+    wc = (Window.partitionBy("sz").orderBy("occ")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("sz")
+    cum = (coc.withColumn("cum", F.sum("nc").over(wc))
+           .withColumn("n_cells", F.sum("nc").over(wall))
+           .withColumn("n_points",
+                       F.sum(F.col("nc") * F.col("occ")).over(wall))
+           .withColumn("max_occ", F.max("occ").over(wall)))
+    tgt = F.expr("(95 * n_cells + 99) div 100")  # ceil(0.95 * n_cells)
+    p95 = (cum.where(F.col("cum") >= tgt)
+           .groupBy("sz", "n_cells", "n_points", "max_occ")
+           .agg(F.min("occ").alias("p95_occ")))
+    return p95.select(
+        F.col("sz").alias("cell_udeg"), "n_points", "n_cells", "max_occ",
+        F.expr("1000 * n_points div n_cells").cast("bigint")
+        .alias("mean_milli"),
+        F.col("p95_occ").cast("bigint").alias("p95_occ"))

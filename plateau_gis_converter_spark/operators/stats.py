@@ -794,3 +794,45 @@ def pareto_front(df: DataFrame, group_col: str, x_col: str,
                     (g == F.col("__g")) & (x == F.col("__x"))
                     & (y == F.col("__mx")))
             .drop("__g", "__x", "__mx", "__pre"))
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information between two categorical columns in integer
+    micro-nats — the feature-selection score (how much does SOURCE tell
+    you about LANGUAGE? does the crawl tier predict quality bucket?)
+    that, unlike ``chi2_flags``' per-cell test, summarizes the WHOLE
+    association in one number comparable across feature candidates.
+
+    Exactness discipline (the ``token_entropy`` rule): each cell's
+    contribution  c * ln(c * N / (r * s))  is computed as ONE
+    fixed-op-order double and floor-quantized to micro-nats BEFORE the
+    sum, so the aggregate is an associative integer (merge-order free)
+    and both engines agree bit-for-bit; mi_micro_nats = sum DIV N at
+    the end. Zero cells contribute zero (lim x->0 x ln x = 0).
+
+    Shape: one contingency partial agg over the fact, margins via two
+    partial aggs over the CELL relation, two broadcast-sized joins
+    back — never a second fact scan.
+
+    Output (one row): (n, n_cells, mi_sum_micro, mi_micro_nats).
+    """
+    cells = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+             .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    ra = cells.groupBy("a").agg(F.sum("c").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("c").cast("bigint").alias("s"))
+    nn = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    j = (cells.join(ra, "a").join(cb, "b")
+         .crossJoin(F.broadcast(nn)))
+    term = F.floor(
+        F.col("c").cast("double")
+        * F.log(F.col("c").cast("double") * F.col("n").cast("double")
+                / (F.col("r").cast("double") * F.col("s").cast("double")))
+        * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    agg = j.agg(F.max("n").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                F.sum(term).cast("bigint").alias("mi_sum_micro"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"), "n_cells", "mi_sum_micro",
+        F.expr("mi_sum_micro div n").cast("bigint")
+        .alias("mi_micro_nats"))

@@ -8,7 +8,7 @@ defined via regexes that behave identically in Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tokens = maximal runs of word characters; identical regex semantics in
@@ -356,3 +356,49 @@ def readability_milli(docs: DataFrame, text_col: str = "text",
                            - F.expr("CAST((84600 * ((1000 * __v) DIV __w)) "
                                     "DIV 1000 AS BIGINT)"))
                     .alias("fre_milli")))
+
+
+def sentence_chunks(docs: DataFrame, chunk_tokens: int = 64,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sentence-boundary chunking — the RAG / embedding-index
+    preparation step: split each document into sentences (runs of
+    non-terminator characters plus their trailing ``.!?`` — a CONSUMING
+    pattern, because the oracle's RE2 has no lookbehind), then pack
+    consecutive sentences into chunks by a token budget. A sentence
+    lands in chunk floor((cum_tokens - 1) / chunk_tokens) — the
+    end-position bucket rule: greedy, deterministic, never splits a
+    sentence (an over-budget sentence occupies its own bucket span).
+
+    Shape: one regex explode, one per-doc window over the SENTENCE
+    relation (bounded by sentences per doc, not corpus size), one
+    groupBy whose chunk text is rebuilt order-exactly via
+    array_sort(collect_list(struct(sid, s))) — never a bare
+    collect_list (assembly order is not deterministic).
+
+    Output: (doc_id, chunk_id, n_sentences, n_tokens, chunk_text).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    sents = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0))
+        .alias("sid", "raw"))
+        .select("doc_id", "sid", F.trim(F.col("raw")).alias("s"))
+        .where(F.col("s") != ""))
+    ntok = F.size(F.filter(F.split(F.col("s"), r"\s+"),
+                           lambda t: t != ""))
+    w = (Window.partitionBy("doc_id").orderBy("sid")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    packed = (sents.withColumn("nt", ntok.cast("bigint"))
+              .withColumn("cum", F.sum("nt").over(w))
+              .withColumn("chunk_id",
+                          F.expr(f"(cum - 1) div {int(chunk_tokens)}")
+                          .cast("bigint")))
+    parts = F.array_sort(F.collect_list(F.struct("sid", "s")))
+    return (packed.groupBy("doc_id", "chunk_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+                 F.sum("nt").cast("bigint").alias("n_tokens"),
+                 F.array_join(F.transform(parts, lambda x: x["s"]),
+                              " ").alias("chunk_text")))

@@ -9281,6 +9281,125 @@ FROM agg
 """
 
 
+def q_sentence_chunks(spark, sf_dir):
+    """RAG chunking (text.sentence_chunks): documents given
+    deterministic sentence terminators (every 'value' ends a sentence,
+    every 'fast' an exclamation), split on the consuming [^.!?]+[.!?]*
+    pattern and packed into 16-token chunks by the end-position bucket
+    rule. Oracle re-derives with range-indexed unnest + an ORDER
+    BY-string_agg."""
+    from ..operators import text as tx2
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.replace(F.replace(F.col("text"), F.lit("value"),
+                             F.lit("value.")),
+                   F.lit("fast"), F.lit("fast!"))
+    return tx2.sentence_chunks(
+        docs.select("doc_id", t2.alias("text")), chunk_tokens=16)
+
+
+SQL_SENTENCE_CHUNKS = """
+WITH d AS (SELECT doc_id,
+                  replace(replace(text, 'value', 'value.'),
+                          'fast', 'fast!') AS t
+           FROM documents),
+ar AS (SELECT doc_id,
+              regexp_extract_all(t, '[^.!?]+[.!?]*', 0) AS arr
+       FROM d),
+se AS (SELECT doc_id, CAST(u.i AS BIGINT) AS sid,
+              trim(arr[u.i + 1]) AS s
+       FROM ar, UNNEST(range(len(arr))) AS u(i)),
+tk AS (SELECT doc_id, sid, s,
+              CAST(len(list_filter(regexp_split_to_array(s, '\\s+'),
+                                   x -> x <> '')) AS BIGINT) AS nt
+       FROM se WHERE s <> ''),
+cm AS (SELECT doc_id, sid, s, nt,
+              sum(nt) OVER (PARTITION BY doc_id ORDER BY sid
+                            ROWS UNBOUNDED PRECEDING) AS cum
+       FROM tk)
+SELECT doc_id, CAST((cum - 1) // 16 AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       string_agg(s, ' ' ORDER BY sid) AS chunk_text
+FROM cm GROUP BY 1, 2
+"""
+
+
+def q_cell_stats(spark, sf_dir):
+    """Grid-index tuning (skew.cell_occupancy_stats): occupancy
+    distribution of the page points at three candidate cell sizes —
+    exact p95 via the count-of-counts cumulative rule; the oracle ranks
+    raw cells with row_number + a correlated min — independent
+    mechanics for the same order statistic."""
+    from ..operators import skew as sk
+
+    pts = _points_df(spark, sf_dir)
+    return sk.cell_occupancy_stats(pts, [15000, 60000, 240000])
+
+
+SQL_CELL_STATS = f"""
+WITH {POINTS_CTE},
+sz AS (SELECT unnest([15000, 60000, 240000]) AS s),
+oc AS (SELECT s, CAST(floor(lng_udeg / s) AS BIGINT) AS cx,
+              CAST(floor(lat_udeg / s) AS BIGINT) AS cy,
+              CAST(count(*) AS BIGINT) AS occ
+       FROM pts, sz GROUP BY 1, 2, 3),
+st AS (SELECT s, CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(occ) AS BIGINT) AS n_points,
+              CAST(max(occ) AS BIGINT) AS max_occ
+       FROM oc GROUP BY 1),
+rk AS (SELECT s, occ,
+              row_number() OVER (PARTITION BY s ORDER BY occ) AS rn
+       FROM oc)
+SELECT CAST(st.s AS BIGINT) AS cell_udeg, n_points, n_cells, max_occ,
+       CAST(1000 * n_points // n_cells AS BIGINT) AS mean_milli,
+       CAST((SELECT min(occ) FROM rk
+             WHERE rk.s = st.s
+               AND rn >= (95 * st.n_cells + 99) // 100) AS BIGINT)
+           AS p95_occ
+FROM st
+"""
+
+
+def q_mi_assoc(spark, sf_dir):
+    """Mutual information (stats.mutual_information): MI between
+    language and the 200-char length bucket in integer micro-nats —
+    each cell's c·ln(cN/(rs)) quantized BEFORE the sum (the
+    token_entropy discipline) so the aggregate is associative. Oracle
+    mirrors the fixed op order over its own contingency CTEs."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    d = (docs.where(F.col("lang").isNotNull()
+                    & F.col("n_chars").isNotNull())
+         .select(F.col("lang").alias("a"),
+                 F.expr("n_chars div 200").alias("b")))
+    return st.mutual_information(d, "a", "b")
+
+
+SQL_MI_ASSOC = """
+WITH base AS (SELECT lang AS a, n_chars // 200 AS b FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+j AS (SELECT cells.c, ra.r, cb.s, nn.n
+      FROM cells JOIN ra USING (a) JOIN cb USING (b), nn),
+t AS (SELECT CAST(floor(CAST(c AS DOUBLE)
+                 * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+                 * 1000000.0 + 0.5) AS BIGINT) AS term, n
+      FROM j)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(term) AS BIGINT) AS mi_sum_micro,
+       CAST(sum(term) // max(n) AS BIGINT) AS mi_micro_nats
+FROM t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -9503,6 +9622,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_stats": q_table_stats,
     "ring_orient": q_ring_orient,
     "pair_eval": q_pair_eval,
+    "sentence_chunks": q_sentence_chunks,
+    "cell_stats": q_cell_stats,
+    "mi_assoc": q_mi_assoc,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -9726,6 +9848,9 @@ ORACLES: dict[str, str] = {
     "table_stats": SQL_TABLE_STATS,
     "ring_orient": SQL_RING_ORIENT,
     "pair_eval": SQL_PAIR_EVAL,
+    "sentence_chunks": SQL_SENTENCE_CHUNKS,
+    "cell_stats": SQL_CELL_STATS,
+    "mi_assoc": SQL_MI_ASSOC,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

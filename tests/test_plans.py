@@ -864,3 +864,27 @@ def test_wave38_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave39_query_scans_prune_and_stay_jvm(spark):
+    """Wave 39: sentence_chunks windows only the per-doc sentence
+    relation; cell_stats explodes a bounded size list; mi_assoc joins
+    margins back to the CELL relation, never rescanning the fact."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "sentence_chunks": {"doc_id", "text"},
+        "cell_stats": {"doc_id"},
+        "mi_assoc": {"lang", "n_chars"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
