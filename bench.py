@@ -227,7 +227,8 @@ def main():
                   "soundex_blocking", "covisit_pairs",
                   "rolling_distinct",
                   "table_stats", "ring_orient", "pair_eval",
-                  "sentence_chunks", "cell_stats", "mi_assoc"]:
+                  "sentence_chunks", "cell_stats", "mi_assoc",
+                  "json_key_stats", "token_windows", "bootstrap_ci"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -836,3 +836,82 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"), "n_cells", "mi_sum_micro",
         F.expr("mi_sum_micro div n").cast("bigint")
         .alias("mi_micro_nats"))
+
+
+import math as _math
+
+# Poisson(1) CDF thresholds on the 60-bit hash domain: weight w is the
+# smallest k with hash < floor(P(X <= k) * 2^60).  Shared constants
+# with the gate oracle (config parity, like the PSL suffix snapshot).
+POISSON1_T60 = [
+    int(_math.floor(sum(_math.exp(-1) / _math.factorial(i)
+                        for i in range(k + 1)) * (1 << 60)))
+    for k in range(5)
+]
+
+
+def bootstrap_mean_ci(df: DataFrame, value_col: str,
+                      id_col: str = "doc_id",
+                      n_resamples: int = 40,
+                      lo_ppm: int = 25_000,
+                      hi_ppm: int = 975_000) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a mean — THE
+    distributed bootstrap (Chamandy et al., Google 2012): classic
+    resampling needs n draws per replicate (a shuffle per replicate);
+    the Poisson trick gives every row an independent Poisson(1)
+    multiplicity per replicate, so ALL B replicates compute in ONE
+    map-side explode + one partial agg. Here the multiplicities are
+    DETERMINISTIC (md5-derived uniform against the Poisson CDF
+    thresholds), so the interval is reproducible and engine-exact.
+
+    Replicate means are milli-quantized integers (1000 * sum(w*x) div
+    sum(w)); the CI bounds are type-1 quantiles of the B means (rank
+    ceil(q*B) — ties/order deterministic). B is a constant, so the
+    final window runs over B rows.
+
+    Output (one row): (n, mean_milli, n_resamples, lo_milli, hi_milli).
+    """
+    if n_resamples < 2:
+        raise ValueError(f"need n_resamples >= 2, got {n_resamples}")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(value_col).cast("bigint").alias("x")))
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_resamples) - 1)))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(":bs"),
+                       F.col("b").cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+    w = F.when(F.col("h") < POISSON1_T60[0], 0)
+    for k in range(1, 5):
+        w = w.when(F.col("h") < POISSON1_T60[k], k)
+    w = w.otherwise(5)
+    rep = (base.select("id", "x", b.alias("b"))
+           .withColumn("h", h)
+           .withColumn("w", w.cast("bigint"))
+           .groupBy("b")
+           .agg(F.sum(F.col("w") * F.col("x")).cast("bigint").alias("sw"),
+                F.sum("w").cast("bigint").alias("nw")))
+    means = rep.where(F.col("nw") > 0).select(
+        "b", F.expr("1000 * sw div nw").cast("bigint").alias("m"))
+    wr = Window.orderBy("m", "b")
+    ranked = (means.withColumn("rn", F.row_number().over(wr))
+              .withColumn("nb", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    lo_rank = F.greatest(F.lit(1), F.ceil(
+        F.col("nb") * F.lit(int(lo_ppm)) / F.lit(1_000_000)))
+    hi_rank = F.greatest(F.lit(1), F.ceil(
+        F.col("nb") * F.lit(int(hi_ppm)) / F.lit(1_000_000)))
+    bounds = ranked.agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("m"))).alias("hi"),
+        F.max("nb").alias("n_resamples"))
+    full = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("1000 * sum(x) div count(1)").cast("bigint")
+        .alias("mean_milli"))
+    return (full.crossJoin(F.broadcast(bounds))
+            .select("n", "mean_milli",
+                    F.col("n_resamples").cast("bigint")
+                    .alias("n_resamples"),
+                    F.col("lo").cast("bigint").alias("lo_milli"),
+                    F.col("hi").cast("bigint").alias("hi_milli")))

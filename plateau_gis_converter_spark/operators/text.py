@@ -402,3 +402,37 @@ def sentence_chunks(docs: DataFrame, chunk_tokens: int = 64,
                  F.sum("nt").cast("bigint").alias("n_tokens"),
                  F.array_join(F.transform(parts, lambda x: x["s"]),
                               " ").alias("chunk_text")))
+
+
+def token_windows(docs: DataFrame, window: int = 32, stride: int = 16,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding token windows with overlap — the long-document embedding
+    preparation (BERT-style max-length windows with stride, exactly the
+    Hugging Face ``return_overflowing_tokens`` layout) complementing
+    ``sentence_chunks``' boundary-aware packing: fixed geometry, known
+    overlap, no dependence on punctuation.
+
+    Map-side only: one tokenize, one bounded explode (ceil(n/stride)
+    windows per doc), one slice+join per window — zero shuffle. The
+    tail window is kept short (training loaders pad); empty documents
+    emit nothing.
+
+    Output: (doc_id, win_id, start_tok, n_tokens, window_text).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"need window >= 1 and stride >= 1, "
+                         f"got window={window} stride={stride}")
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(F.col(text_col)).alias("tk"))
+    starts = F.sequence(F.lit(0), F.size("tk") - 1, F.lit(int(stride)))
+    win = (toks.where(F.size("tk") > 0)
+           .select("doc_id", "tk", F.posexplode(starts)
+                   .alias("win_id", "start_tok")))
+    piece = F.slice(F.col("tk"), F.col("start_tok") + 1,
+                    F.lit(int(window)))
+    return win.select(
+        "doc_id", F.col("win_id").cast("bigint").alias("win_id"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("window_text"))

@@ -9400,6 +9400,156 @@ FROM t
 """
 
 
+def q_json_key_stats(spark, sf_dir):
+    """JSON schema inference (sources/layout.json_key_stats): per-doc
+    synthetic JSON sidecars with mixed types (int id, string name,
+    float score on 1/3 of docs, bool flag on 1/5, explicit null on
+    1/11) profiled into (key, vtype, n, share_ppm). Spark walks a
+    from_json map; the oracle walks json_keys()/json_extract_string()
+    — independent JSON machinery, shared anchored type-regex ladder."""
+    from ..sources import layout as ly
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    js = F.concat(
+        F.lit('{"id": '), did.cast("string"),
+        F.lit(', "name": "w'), (did % 17).cast("string"), F.lit('"'),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(', "score": '), (did % 7).cast("string"),
+                        F.lit(".5"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(', "flag": '),
+                        F.when(did % 2 == 0, F.lit("true"))
+                        .otherwise(F.lit("false")))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(', "note": null'))
+        .otherwise(F.lit("")),
+        F.lit("}"))
+    return ly.json_key_stats(docs.select(js.alias("props")),
+                             json_col="props")
+
+
+SQL_JSON_KEY_STATS = """
+WITH j AS (
+  SELECT '{"id": ' || CAST(doc_id AS VARCHAR)
+         || ', "name": "w' || CAST(doc_id % 17 AS VARCHAR) || '"'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ', "score": ' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.5' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ', "flag": ' || CASE WHEN doc_id % 2 = 0
+                                           THEN 'true' ELSE 'false' END
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ', "note": null' ELSE '' END
+         || '}' AS js
+  FROM documents),
+k AS (SELECT js, unnest(json_keys(js)) AS key FROM j),
+v AS (SELECT key, json_extract_string(js, '$.' || key) AS val FROM k),
+t AS (SELECT key,
+             CASE WHEN val IS NULL THEN 'null'
+                  WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'int'
+                  WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$')
+                      THEN 'float'
+                  WHEN val IN ('true', 'false') THEN 'bool'
+                  ELSE 'string' END AS vtype
+      FROM v),
+c AS (SELECT key, vtype, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM j)
+SELECT key, vtype, n,
+       CAST(1000000 * sum(n) OVER (PARTITION BY key) // nn.n_rows
+            AS BIGINT) AS share_ppm
+FROM c, nn
+"""
+
+
+def q_token_windows(spark, sf_dir):
+    """Long-document windows (text.token_windows): 12-token windows at
+    stride 8 over the lowercased token stream — the HF overflowing-
+    tokens layout, map-side only. Oracle re-derives with range +
+    list_slice indexing."""
+    from ..operators import text as tx2
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx2.token_windows(docs, window=12, stride=8)
+
+
+SQL_TOKEN_WINDOWS = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)),
+                                           '[^A-Za-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+w AS (SELECT doc_id, CAST(u.i AS BIGINT) AS win_id,
+             CAST(u.i * 8 AS BIGINT) AS start_tok, t
+      FROM tk, UNNEST(range((len(t) + 7) // 8)) AS u(i)
+      WHERE len(t) > 0),
+p AS (SELECT doc_id, win_id, start_tok,
+             list_slice(t, CAST(start_tok + 1 AS INT),
+                        CAST(least(start_tok + 12, len(t)) AS INT))
+                 AS piece
+      FROM w)
+SELECT doc_id, win_id, start_tok,
+       CAST(len(piece) AS BIGINT) AS n_tokens,
+       array_to_string(piece, ' ') AS window_text
+FROM p
+"""
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap (stats.bootstrap_mean_ci): 95% CI for the
+    mean event value via 40 deterministic Poisson(1)-weighted
+    replicates — all replicates in ONE explode + partial agg (the
+    Chamandy distributed-bootstrap shape). Shared CDF threshold
+    constants; the oracle re-derives replicate means and rank bounds
+    with its own windows."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", _cents("value").alias("v_cents"))
+    return st.bootstrap_mean_ci(ev, "v_cents", id_col="event_id",
+                                n_resamples=40)
+
+
+def _bootstrap_sql() -> str:
+    from ..operators.stats import POISSON1_T60 as T
+
+    w_case = (f"CASE WHEN h < {T[0]} THEN 0 WHEN h < {T[1]} THEN 1 "
+              f"WHEN h < {T[2]} THEN 2 WHEN h < {T[3]} THEN 3 "
+              f"WHEN h < {T[4]} THEN 4 ELSE 5 END")
+    return f"""
+WITH base AS (SELECT event_id AS id, {_cents_sql('value')} AS x
+              FROM events WHERE value IS NOT NULL),
+rep AS (SELECT b.i AS b, x,
+               CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)
+                    || ':bs' || CAST(b.i AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM base, UNNEST(range(40)) AS b(i)),
+wm AS (SELECT b, {w_case} AS w, x FROM rep),
+mns AS (SELECT b, CAST(1000 * sum(w * x) // sum(w) AS BIGINT) AS m
+        FROM wm GROUP BY b HAVING sum(w) > 0),
+rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn,
+              count(*) OVER () AS nb
+       FROM mns),
+bounds AS (SELECT
+    max(CASE WHEN rn = greatest(1, ceil(nb * 25000 / 1000000))
+             THEN m END) AS lo,
+    max(CASE WHEN rn = greatest(1, ceil(nb * 975000 / 1000000))
+             THEN m END) AS hi,
+    CAST(max(nb) AS BIGINT) AS n_resamples
+  FROM rk),
+full_s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(1000 * sum(x) // count(*) AS BIGINT) AS mean_milli
+           FROM base)
+SELECT n, mean_milli, n_resamples,
+       CAST(lo AS BIGINT) AS lo_milli, CAST(hi AS BIGINT) AS hi_milli
+FROM full_s, bounds
+"""
+
+
+SQL_BOOTSTRAP_CI = _bootstrap_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -9625,6 +9775,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_chunks": q_sentence_chunks,
     "cell_stats": q_cell_stats,
     "mi_assoc": q_mi_assoc,
+    "json_key_stats": q_json_key_stats,
+    "token_windows": q_token_windows,
+    "bootstrap_ci": q_bootstrap_ci,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -9851,6 +10004,9 @@ ORACLES: dict[str, str] = {
     "sentence_chunks": SQL_SENTENCE_CHUNKS,
     "cell_stats": SQL_CELL_STATS,
     "mi_assoc": SQL_MI_ASSOC,
+    "json_key_stats": SQL_JSON_KEY_STATS,
+    "token_windows": SQL_TOKEN_WINDOWS,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

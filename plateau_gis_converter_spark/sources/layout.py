@@ -316,3 +316,44 @@ def table_stats(df, cols):
                  F.col(f"__mx_{c}").alias("vmax"))
         for c in cols])
     return row.select(F.explode(cells).alias("s")).select("s.*")
+
+
+def json_key_stats(df, json_col: str = "props"):
+    """Schema inference over a JSON-string column: per (key, inferred
+    value type) the occurrence count and per-key presence share — the
+    profiling pass that turns a semi-structured crawl sidecar column
+    into a typed schema proposal (and flags drift: a key that is 99%
+    int and 1% string is a producer bug). Flat-object contract (nested
+    values profile as 'string'); malformed rows parse to NULL and drop.
+
+    Shape: one from_json into map<string,string> + one explode + one
+    partial-agg count per (key, vtype); the total-row scalar joins back
+    via a 1-row broadcast (no second fact scan, no driver action).
+    Type inference is a shared regex ladder (int / float / bool / null
+    / string) so the DuckDB oracle — which walks keys with its OWN
+    json_keys()/json_extract_string() machinery — agrees exactly.
+
+    Output: (key, vtype, n, share_ppm) — share_ppm is the KEY's
+    presence over all rows (1e6 * rows-with-key div total rows).
+    """
+    from pyspark.sql import functions as F
+
+    kv = df.select(F.explode(F.from_json(
+        F.col(json_col), "map<string,string>")).alias("key", "val"))
+    vtype = (F.when(F.col("val").isNull(), "null")
+             .when(F.col("val").rlike(r"^-?[0-9]+$"), "int")
+             .when(F.col("val").rlike(r"^-?[0-9]+\.[0-9]+$"), "float")
+             .when(F.col("val").isin("true", "false"), "bool")
+             .otherwise("string"))
+    cells = (kv.withColumn("vtype", vtype)
+             .groupBy("key", "vtype")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("key")
+    return (cells.withColumn("key_n", F.sum("n").over(wk))
+            .crossJoin(F.broadcast(tot))
+            .select("key", "vtype", "n",
+                    F.expr("1000000 * key_n div n_rows").cast("bigint")
+                    .alias("share_ppm")))

@@ -888,3 +888,32 @@ def test_wave39_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave40_query_scans_prune_and_stay_jvm(spark):
+    """Wave 40: json_key_stats is one map explode + partial agg;
+    token_windows is map-only; bootstrap_ci runs every replicate in
+    one explode + partial agg with a B-row final window."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "json_key_stats": {"doc_id"},
+        "token_windows": {"doc_id", "text"},
+        "bootstrap_ci": {"event_id", "value"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
+    plan = (eq.QUERIES["token_windows"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
+             if x != "RoundRobinPartitioning"]
+    assert keyed == [], f"token windows shuffle: {keyed}"
