@@ -408,3 +408,67 @@ def near_dup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.95,
     return (pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "cosine"))
+
+
+def power_iteration_top(embeddings: DataFrame, dim: int, iters: int = 2,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    """Distributed power iteration for the TOP principal direction of
+    the (uncentered) embedding matrix — v_{t+1} ∝ Xᵀ(X v_t) — the
+    first step of any spectral diagnostic over an embedding corpus
+    (dominant-direction drift, anisotropy checks, PCA whitening
+    seeds). Lanczos/full PCA need an orthogonalization loop; at 10^12
+    rows the practical move is a few matvec rounds, and each matvec
+    here is pure relational algebra over the LONG form (id, d, x):
+    one join + one partial agg per side.
+
+    Integer-exact determinism (the pagerank/HITS discipline): inputs
+    quantize to milli units; after every half-step the vector
+    renormalizes to max-abs = 1000 (row side) / 1e6 (dim side) with
+    integer DIV, the scalar max folded back as a 1-row broadcast cross
+    join — no driver roundtrip, no float sums anywhere, so Spark's
+    partial-agg merge order cannot change a single bit and the oracle
+    unrolls the identical arithmetic. i64 bounds: |Σ_d x·v| <=
+    dim·1000·1e6 ~ 2^36; |Σ_rows x·u| <= n·1000·1000 — safe to
+    ~9·10^12 rows per partitioned sum.
+
+    v0 = all-ones (deterministic; orthogonal-start failure is measure
+    zero and detectable via the emitted max). Output: (d, v_e6) — the
+    direction scaled to max-abs 1e6.
+    """
+    if iters < 1 or dim < 1:
+        raise ValueError(f"need iters >= 1 and dim >= 1, "
+                         f"got iters={iters} dim={dim}")
+    xl = (embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(emb_col)).alias("d", "xf"))
+        .select("id", "d",
+                F.floor(F.col("xf").cast("double") * F.lit(1000.0)
+                        + F.lit(0.5)).cast("bigint").alias("x")))
+    spark = embeddings.sparkSession
+    v = spark.range(0, dim).select(
+        F.col("id").cast("int").alias("d"),
+        F.lit(1_000_000).cast("bigint").alias("v"))
+    for _ in range(int(iters)):
+        u_raw = (xl.join(v, "d")
+                 .groupBy("id")
+                 .agg(F.sum(F.col("x") * F.col("v")).cast("bigint")
+                      .alias("u")))
+        umax = u_raw.agg(F.max(F.abs(F.col("u"))).alias("um"))
+        u = (u_raw.crossJoin(F.broadcast(umax))
+             .select("id",
+                     F.when(F.col("um") > 0,
+                            F.expr("1000 * u div um"))
+                     .otherwise(F.lit(0)).cast("bigint").alias("uq")))
+        w_raw = (xl.join(u, "id")
+                 .groupBy("d")
+                 .agg(F.sum(F.col("x") * F.col("uq")).cast("bigint")
+                      .alias("w")))
+        wmax = w_raw.agg(F.max(F.abs(F.col("w"))).alias("wm"))
+        v = (w_raw.crossJoin(F.broadcast(wmax))
+             .select("d",
+                     F.when(F.col("wm") > 0,
+                            F.expr("1000000 * w div wm"))
+                     .otherwise(F.lit(0)).cast("bigint").alias("v")))
+    return v.select(F.col("d").cast("bigint").alias("d"),
+                    F.col("v").cast("bigint").alias("v_e6"))

@@ -915,3 +915,103 @@ def bootstrap_mean_ci(df: DataFrame, value_col: str,
                     .alias("n_resamples"),
                     F.col("lo").cast("bigint").alias("lo_milli"),
                     F.col("hi").cast("bigint").alias("hi_milli")))
+
+
+def gini_best_split(df: DataFrame, feature_col: str,
+                    label_col: str) -> DataFrame:
+    """Decision-stump learner: the exact best threshold of one integer
+    feature for a binary label by weighted Gini impurity — the split
+    finder inside every tree ensemble, and on its own the quickest
+    "is this quality signal predictive?" probe (fastText-style quality
+    classifiers are stacks of these).
+
+    Scale shape (the ``value_quantiles`` discipline): ONE partial agg
+    to the (feature value, n, positives) relation, cumulative windows
+    over that SMALL relation to get left/right class counts per
+    candidate split (split after each distinct value except the last),
+    then an argmin fold. The impurity ordering is decided on the
+    computed double (exact int64 operands, one fixed op order — the
+    theil_sen rule) with the smaller threshold as tiebreak; the exact
+    integer counts at the winning split ship alongside.
+
+    Output (one row per call): (n, n_pos, thr, n_left, pos_left,
+    n_right, pos_right, gini_milli) — thr = split is
+    ``feature <= thr``; gini_milli = weighted impurity of the split,
+    milli-quantized. Empty/degenerate inputs (one distinct value)
+    return zero rows.
+    """
+    vals = (df.where(F.col(feature_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .groupBy(F.col(feature_col).cast("bigint").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"),
+                 F.sum(F.col(label_col).cast("bigint")).cast("bigint")
+                 .alias("a")))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (vals
+           .withColumn("nl", F.sum("c").over(wc))
+           .withColumn("al", F.sum("a").over(wc))
+           .withColumn("n", F.sum("c").over(wall))
+           .withColumn("ap", F.sum("a").over(wall))
+           .where(F.col("nl") < F.col("n")))  # last value: no split
+    nl, al = F.col("nl").cast("double"), F.col("al").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    ar = (F.col("ap") - F.col("al")).cast("double")
+    bl, br = nl - al, nr - ar
+    g = ((nl - (al * al + bl * bl) / nl)
+         + (nr - (ar * ar + br * br) / nr)) / F.col("n").cast("double")
+    scored = cum.withColumn("g", g)
+    best = scored.agg(F.min(F.struct(
+        F.col("g"), F.col("v"), F.col("n"), F.col("ap"),
+        F.col("nl").alias("n_left"), F.col("al").alias("pos_left")))
+        .alias("m"))
+    return best.where(F.col("m").isNotNull()).select(
+        F.col("m.n").cast("bigint").alias("n"),
+        F.col("m.ap").cast("bigint").alias("n_pos"),
+        F.col("m.v").cast("bigint").alias("thr"),
+        F.col("m.n_left").cast("bigint").alias("n_left"),
+        F.col("m.pos_left").cast("bigint").alias("pos_left"),
+        (F.col("m.n") - F.col("m.n_left")).cast("bigint")
+        .alias("n_right"),
+        (F.col("m.ap") - F.col("m.pos_left")).cast("bigint")
+        .alias("pos_right"),
+        F.floor(F.col("m.g") * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint").alias("gini_milli"))
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement — the labeling-QA number
+    every supervised-data pipeline reports (raw percent agreement
+    overstates quality when one class dominates; kappa subtracts the
+    chance-agreement floor).
+
+    All moments exact int64 (one contingency partial agg; expected
+    agreement numerator sum(r_k * c_k) over the small margin
+    relation); kappa = (n*agree - pe) / (n*n - pe) computed as ONE
+    fixed-op-order double, milli-quantized. NULL when pe = n*n (a
+    constant rater — kappa undefined).
+
+    Output (one row): (n, n_agree, pe_num, kappa_milli).
+    """
+    cells = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+             .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    ra = cells.groupBy("a").agg(F.sum("c").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("c").cast("bigint").alias("s"))
+    pe = (ra.join(cb, ra["a"] == cb["b"])
+          .agg(F.coalesce(F.sum(F.col("r") * F.col("s")), F.lit(0))
+               .cast("bigint").alias("pe_num")))
+    base = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+              .otherwise(F.lit(0))).cast("bigint").alias("n_agree"))
+    j = base.crossJoin(F.broadcast(pe))
+    kappa = F.when(
+        F.col("n") * F.col("n") != F.col("pe_num"),
+        F.floor((F.col("n") * F.col("n_agree")
+                 - F.col("pe_num")).cast("double")
+                / (F.col("n") * F.col("n")
+                   - F.col("pe_num")).cast("double")
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return j.select("n", "n_agree", "pe_num",
+                    kappa.alias("kappa_milli"))

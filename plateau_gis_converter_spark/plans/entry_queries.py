@@ -9550,6 +9550,144 @@ FROM full_s, bounds
 SQL_BOOTSTRAP_CI = _bootstrap_sql()
 
 
+def q_gini_split(spark, sf_dir):
+    """Decision stump (stats.gini_best_split): exact best threshold of
+    the milli-quantized first embedding coordinate for the binarized
+    class label, by weighted Gini over the distinct-value relation.
+    The impurity argmin is ONE struct-min fold; the oracle re-ranks
+    candidates with its own window."""
+    from ..operators import stats as st
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double")
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint").alias("f"),
+        (F.col("label") < 5).cast("int").alias("y"))
+    return st.gini_best_split(d, "f", "y")
+
+
+SQL_GINI_SPLIT = """
+WITH d AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS f,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+vals AS (SELECT f AS v, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(y) AS BIGINT) AS a
+         FROM d GROUP BY 1),
+cum AS (SELECT v, c, a,
+               sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+               sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS al,
+               sum(c) OVER () AS n, sum(a) OVER () AS ap
+        FROM vals),
+sc AS (SELECT v, nl, al, n, ap,
+              ((CAST(nl AS DOUBLE)
+                - (CAST(al AS DOUBLE) * CAST(al AS DOUBLE)
+                   + CAST(nl - al AS DOUBLE) * CAST(nl - al AS DOUBLE))
+                  / CAST(nl AS DOUBLE))
+               + (CAST(n - nl AS DOUBLE)
+                  - (CAST(ap - al AS DOUBLE) * CAST(ap - al AS DOUBLE)
+                     + CAST((n - nl) - (ap - al) AS DOUBLE)
+                       * CAST((n - nl) - (ap - al) AS DOUBLE))
+                    / CAST(n - nl AS DOUBLE)))
+              / CAST(n AS DOUBLE) AS g
+       FROM cum WHERE nl < n)
+SELECT CAST(n AS BIGINT) AS n, CAST(ap AS BIGINT) AS n_pos,
+       CAST(v AS BIGINT) AS thr, CAST(nl AS BIGINT) AS n_left,
+       CAST(al AS BIGINT) AS pos_left,
+       CAST(n - nl AS BIGINT) AS n_right,
+       CAST(ap - al AS BIGINT) AS pos_right,
+       CAST(floor(g * 1000.0 + 0.5) AS BIGINT) AS gini_milli
+FROM sc
+QUALIFY row_number() OVER (ORDER BY g, v) = 1
+"""
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Inter-annotator agreement (stats.cohens_kappa): rater A = lang,
+    rater B = lang with every 7th document corrupted to 'xx' — kappa
+    strictly between 0 and 1, chance floor from the margin products.
+    Oracle re-derives the contingency, margins and the fixed-op-order
+    kappa independently."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("lang").alias("ra"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("rb"))
+    return st.cohens_kappa(d, "ra", "rb")
+
+
+SQL_COHENS_KAPPA = """
+WITH d AS (SELECT lang AS ra,
+                  CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS rb
+           FROM documents
+           WHERE lang IS NOT NULL),
+cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+ra AS (SELECT ra AS k, CAST(sum(c) AS BIGINT) AS r
+       FROM cells GROUP BY 1),
+cb AS (SELECT rb AS k, CAST(sum(c) AS BIGINT) AS s
+       FROM cells GROUP BY 1),
+pe AS (SELECT CAST(coalesce(sum(r * s), 0) AS BIGINT) AS pe_num
+       FROM ra JOIN cb USING (k)),
+base AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT)
+                    AS n_agree
+         FROM cells)
+SELECT n, n_agree, pe_num,
+       CAST(CASE WHEN n * n <> pe_num THEN
+         floor(CAST(n * n_agree - pe_num AS DOUBLE)
+               / CAST(n * n - pe_num AS DOUBLE) * 1000.0 + 0.5)
+       END AS BIGINT) AS kappa_milli
+FROM base, pe
+"""
+
+
+def q_power_iteration(spark, sf_dir):
+    """Spectral diagnostic (similarity.power_iteration_top): two
+    integer-renormalized power-iteration rounds for the dominant
+    direction of the embedding matrix — each matvec one join + one
+    partial agg over the long form, scalar maxes folded back as 1-row
+    broadcasts (the HITS discipline). Oracle unrolls the identical
+    arithmetic."""
+    from ..operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.power_iteration_top(emb, dim=64, iters=2)
+
+
+_PI_ITER = """
+u{t}r AS (SELECT id, CAST(sum(x * {vin}.v) AS BIGINT) AS u
+          FROM xl JOIN {vin} USING (d) GROUP BY 1),
+u{t}m AS (SELECT max(abs(u)) AS um FROM u{t}r),
+u{t} AS (SELECT id, CASE WHEN um > 0 THEN 1000 * u // um
+                         ELSE 0 END AS uq
+         FROM u{t}r, u{t}m),
+w{t}r AS (SELECT d, CAST(sum(x * uq) AS BIGINT) AS w
+          FROM xl JOIN u{t} USING (id) GROUP BY 1),
+w{t}m AS (SELECT max(abs(w)) AS wm FROM w{t}r),
+v{t} AS (SELECT d, CAST(CASE WHEN wm > 0 THEN 1000000 * w // wm
+                             ELSE 0 END AS BIGINT) AS v
+         FROM w{t}r, w{t}m)"""
+
+SQL_POWER_ITERATION = ("""
+WITH xl AS (
+  SELECT vec_id AS id, CAST(u.i AS INT) AS d,
+         CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings, UNNEST(range(64)) AS u(i)
+  WHERE embedding IS NOT NULL),
+v0 AS (SELECT CAST(u.i AS INT) AS d, CAST(1000000 AS BIGINT) AS v
+       FROM UNNEST(range(64)) AS u(i)),"""
+                       + _PI_ITER.format(t=1, vin="v0") + ","
+                       + _PI_ITER.format(t=2, vin="v1") + """
+SELECT CAST(d AS BIGINT) AS d, v AS v_e6 FROM v2
+""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -9778,6 +9916,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_key_stats": q_json_key_stats,
     "token_windows": q_token_windows,
     "bootstrap_ci": q_bootstrap_ci,
+    "gini_split": q_gini_split,
+    "cohens_kappa": q_cohens_kappa,
+    "power_iteration": q_power_iteration,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -10007,6 +10148,9 @@ ORACLES: dict[str, str] = {
     "json_key_stats": SQL_JSON_KEY_STATS,
     "token_windows": SQL_TOKEN_WINDOWS,
     "bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "gini_split": SQL_GINI_SPLIT,
+    "cohens_kappa": SQL_COHENS_KAPPA,
+    "power_iteration": SQL_POWER_ITERATION,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -917,3 +917,27 @@ def test_wave40_query_scans_prune_and_stay_jvm(spark):
     keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
              if x != "RoundRobinPartitioning"]
     assert keyed == [], f"token windows shuffle: {keyed}"
+
+
+def test_wave41_query_scans_prune_and_stay_jvm(spark):
+    """Wave 41: gini_split windows only the distinct-value relation;
+    cohens_kappa aggregates the contingency; power_iteration's matvecs
+    are join+partial-agg with 1-row broadcast normalizers."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "gini_split": {"embedding", "label"},
+        "cohens_kappa": {"doc_id", "lang"},
+        "power_iteration": {"vec_id", "embedding"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
