@@ -229,7 +229,8 @@ def main():
                   "table_stats", "ring_orient", "pair_eval",
                   "sentence_chunks", "cell_stats", "mi_assoc",
                   "json_key_stats", "token_windows", "bootstrap_ci",
-                  "gini_split", "cohens_kappa", "power_iteration"]:
+                  "gini_split", "cohens_kappa", "power_iteration",
+                  "mix_plan", "calibration", "ndcg_eval"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

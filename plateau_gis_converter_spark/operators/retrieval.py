@@ -414,3 +414,66 @@ def snippet_extract(docs: DataFrame, term: str, context: int = 20,
                         F.posexplode(snips).alias("idx", "snippet"))
             .select(id_col, F.col("idx").cast("bigint").alias("idx"),
                     "snippet"))
+
+
+def ndcg_at_k(results: DataFrame, rels: DataFrame, k: int = 5,
+              query_col: str = "query_id", doc_col: str = "doc_id",
+              rank_col: str = "rank",
+              rel_col: str = "rel") -> DataFrame:
+    """nDCG@k — the ranking-quality number every retrieval change is
+    judged by: DCG of the system's top-k against the IDEAL ordering of
+    ALL judged documents for the query (including ones the system
+    missed — that is the point of the normalization).
+
+    Integer discipline (the token_entropy rule): each position's gain
+    rel / log2(rank + 1) is ONE fixed-op-order double floor-quantized
+    to micro units BEFORE the sum, so both DCG and IDCG are
+    associative integer aggregates; ndcg_milli = 1000 * dcg div idcg.
+    The ideal ranking is a row_number window per query over the JUDGED
+    relation (bounded by judgments per query, never corpus size),
+    ordered (rel desc, doc asc) — deterministic under tied grades.
+
+    Output: (query_id, dcg_micro, idcg_micro, ndcg_milli) — one row
+    per query with at least one positive judgment.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+
+    def gain(rel, rank):
+        # explicit ln ratio instead of log2: both engines' natural log
+        # is gate-proven bit-identical; a native log2 may differ in the
+        # last ulp between libm implementations
+        return F.floor(
+            rel.cast("double")
+            / (F.log(rank.cast("double") + F.lit(1.0))
+               / F.log(F.lit(2.0)))
+            * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    r = results.select(F.col(query_col).alias("q"),
+                       F.col(doc_col).alias("doc"),
+                       F.col(rank_col).cast("bigint").alias("rk"))
+    j = rels.select(F.col(query_col).alias("q"),
+                    F.col(doc_col).alias("doc"),
+                    F.col(rel_col).cast("bigint").alias("rel"))
+    dcg = (r.where(F.col("rk") <= int(k))
+           .join(j, ["q", "doc"])
+           .groupBy("q")
+           .agg(F.sum(gain(F.col("rel"), F.col("rk")))
+                .cast("bigint").alias("dcg_micro")))
+    wi = Window.partitionBy("q").orderBy(F.col("rel").desc(),
+                                         F.col("doc"))
+    ideal = (j.where(F.col("rel") > 0)
+             .withColumn("irk", F.row_number().over(wi))
+             .where(F.col("irk") <= int(k))
+             .groupBy("q")
+             .agg(F.sum(gain(F.col("rel"), F.col("irk")))
+                  .cast("bigint").alias("idcg_micro")))
+    out = ideal.join(dcg, "q", "left")
+    return out.select(
+        F.col("q").alias(query_col),
+        F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("bigint")
+        .alias("dcg_micro"),
+        "idcg_micro",
+        F.when(F.col("idcg_micro") > 0,
+               F.expr("1000 * coalesce(dcg_micro, 0) div idcg_micro"))
+        .cast("bigint").alias("ndcg_milli"))

@@ -327,3 +327,71 @@ def negative_samples(positives: DataFrame, k: int, n_docs: int,
             .select(F.col("q").alias(query_col),
                     F.col("rank").cast("bigint").alias("rank"),
                     F.col("cand").cast("bigint").alias("neg_id")))
+
+
+def mix_waterfill(sources: DataFrame, budget: int,
+                  source_col: str = "source", avail_col: str = "avail",
+                  weight_col: str = "weight") -> DataFrame:
+    """Exact water-filling solver for a training-data mix: given each
+    source's available token count and target mixture weight, allocate
+    a total ``budget`` proportionally to weights EXCEPT where a source
+    cannot fill its share — its whole availability is taken and the
+    shortfall redistributes over the rest (the standard max-min
+    fair-allocation / water-filling solution, which single-pass
+    "min(avail, share)" under-spends).
+
+    Closed form on the relation: sort sources by saturation ratio
+    avail/weight ascending; source i saturates iff
+    a_i * W_{>=i} <= (B - cumA_{i-1}) * w_i (the cross-multiplied
+    integer form of a_i/w_i <= current water level — prefix-closed in
+    this order, so ONE cumulative window decides every row). The final
+    level is the exact rational (B - cumA_K) / W_{>K}; unsaturated
+    quotas floor it. All integer; i64 needs
+    budget * max_weight < 2^63 (weights in ppm and budgets to 10^12
+    fit). Total allocated <= budget (floor residue, documented).
+
+    Output: (source, avail, weight, saturated, quota).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    b = F.lit(int(budget))
+    s = sources.select(F.col(source_col).alias("src"),
+                       F.col(avail_col).cast("bigint").alias("a"),
+                       F.col(weight_col).cast("bigint").alias("w"))
+    ratio = F.col("a").cast("double") / F.col("w").cast("double")
+    wo = Window.orderBy(ratio.asc(), F.col("src"))
+    cum = (s.where(F.col("w") > 0)
+           .withColumn("cum_a", F.sum("a").over(
+               wo.rowsBetween(Window.unboundedPreceding, -1)))
+           .withColumn("w_rest", F.sum("w").over(
+               wo.rowsBetween(Window.currentRow,
+                              Window.unboundedFollowing))))
+    cum = cum.withColumn("cum_a", F.coalesce(F.col("cum_a"), F.lit(0)))
+    sat = (F.col("a") * F.col("w_rest")
+           <= (b - F.col("cum_a")) * F.col("w"))
+    flagged = cum.withColumn("sat", sat)
+    level = flagged.agg(
+        (b - F.coalesce(F.sum(F.when(F.col("sat"), F.col("a"))),
+                        F.lit(0))).alias("lam_n"),
+        F.coalesce(F.sum(F.when(~F.col("sat"), F.col("w"))),
+                   F.lit(0)).alias("lam_d"))
+    out = flagged.crossJoin(F.broadcast(level))
+    quota = (F.when(F.col("sat"), F.col("a"))
+             .when(F.col("lam_d") > 0,
+                   F.expr("lam_n * w div lam_d"))
+             .otherwise(F.lit(0)))
+    zero_w = sources.where(F.col(weight_col).cast("bigint") <= 0).select(
+        F.col(source_col).alias("src"),
+        F.col(avail_col).cast("bigint").alias("a"),
+        F.col(weight_col).cast("bigint").alias("w"),
+        F.lit(False).alias("saturated"),
+        F.lit(0).cast("bigint").alias("quota"))
+    return (out.select(F.col("src").alias(source_col),
+                       F.col("a").alias(avail_col),
+                       F.col("w").alias(weight_col),
+                       F.col("sat").alias("saturated"),
+                       quota.cast("bigint").alias("quota"))
+            .unionByName(zero_w.select(
+                F.col("src").alias(source_col),
+                F.col("a").alias(avail_col),
+                F.col("w").alias(weight_col), "saturated", "quota")))

@@ -1015,3 +1015,36 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                 * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
     return j.select("n", "n_agree", "pe_num",
                     kappa.alias("kappa_milli"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: bucket
+    milli-scaled scores (0..1000) into ``n_bins`` equal bins; per bin
+    the count, positives, mean confidence and observed rate — the
+    relation a calibration report (and the ECE sum) reads. A quality
+    classifier whose 0.9-bucket is right 60% of the time needs
+    recalibration before its threshold means anything.
+
+    All integer: conf_milli = sum(score) div n (scores already milli),
+    rate_milli = 1000 * pos div n. One partial agg; ECE derives from
+    the bin relation as sum(n_b * |rate-conf|) div N (pytest).
+
+    Output: (bin, n, n_pos, conf_milli, rate_milli).
+    """
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    sc = F.col(score_col).cast("bigint")
+    bin_id = F.least(F.expr(f"CAST({score_col} AS BIGINT) "
+                            f"* {int(n_bins)} div 1000"),
+                     F.lit(int(n_bins) - 1))
+    return (df.where(sc.isNotNull() & F.col(label_col).isNotNull()
+                     & (sc >= 0) & (sc <= 1000))
+            .groupBy(bin_id.cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.col(label_col).cast("bigint")).cast("bigint")
+                 .alias("n_pos"),
+                 F.expr(f"sum(CAST({score_col} AS BIGINT)) div count(1)")
+                 .cast("bigint").alias("conf_milli"))
+            .withColumn("rate_milli",
+                        F.expr("1000 * n_pos div n").cast("bigint")))

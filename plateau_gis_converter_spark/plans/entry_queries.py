@@ -9688,6 +9688,154 @@ SELECT CAST(d AS BIGINT) AS d, v AS v_e6 FROM v2
 """)
 
 
+def q_mix_plan(spark, sf_dir):
+    """Training-mix water-filling (sampling.mix_waterfill): allocate a
+    60%-of-corpus token budget across languages by first-letter-derived
+    weights — scarce languages saturate (whole availability taken),
+    the rest split the residue at the exact rational water level.
+    Saturation decided by the cross-multiplied integer test; oracle
+    re-derives the sorted prefix condition with its own windows."""
+    from ..operators import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    src = (docs.groupBy("lang")
+           .agg(F.sum("n_chars").cast("bigint").alias("avail"))
+           .select(F.col("lang").alias("source"), "avail",
+                   (F.ascii(F.substring(F.col("lang"), 1, 1)) - 96)
+                   .cast("bigint").alias("weight")))
+    total = (docs.agg(F.sum("n_chars")).collect()[0][0]) or 0
+    budget = int(total) * 3 // 5
+    out = sp.mix_waterfill(src, budget)
+    return out.withColumn("saturated",
+                          F.col("saturated").cast("int"))
+
+
+SQL_MIX_PLAN = """
+WITH src AS (SELECT lang AS source, CAST(sum(n_chars) AS BIGINT) AS a,
+                    CAST(ascii(substr(lang, 1, 1)) - 96 AS BIGINT) AS w
+             FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+bb AS (SELECT CAST(sum(n_chars) AS BIGINT) * 3 // 5 AS b
+       FROM documents WHERE lang IS NOT NULL),
+ordr AS (SELECT source, a, w,
+                coalesce(sum(a) OVER (
+                  ORDER BY CAST(a AS DOUBLE) / CAST(w AS DOUBLE), source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_a,
+                sum(w) OVER (
+                  ORDER BY CAST(a AS DOUBLE) / CAST(w AS DOUBLE), source
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS w_rest
+         FROM src),
+fl AS (SELECT ordr.*, a * w_rest <= (bb.b - cum_a) * w AS sat
+       FROM ordr, bb),
+lv AS (SELECT bb.b - coalesce(sum(CASE WHEN sat THEN a END), 0) AS lam_n,
+              coalesce(sum(CASE WHEN NOT sat THEN w END), 0) AS lam_d
+       FROM fl, bb GROUP BY bb.b)
+SELECT source, a AS avail, w AS weight,
+       CAST(sat AS INT) AS saturated,
+       CAST(CASE WHEN sat THEN a
+                 WHEN lam_d > 0 THEN lam_n * w // lam_d
+                 ELSE 0 END AS BIGINT) AS quota
+FROM fl, lv
+"""
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability bins (stats.calibration_bins): embedding coordinate
+    3 mapped to a milli confidence, label binarized — per-bin counts,
+    mean confidence, observed rate (ECE derives in pytest). One
+    partial agg; oracle mirrors the bin arithmetic."""
+    from ..operators import stats as st
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = F.least(F.lit(1000), F.greatest(F.lit(0), F.floor(
+        F.element_at(F.col("embedding"), 3).cast("double")
+        * F.lit(1000.0) + F.lit(500.0)))).cast("bigint")
+    d = emb.select(s.alias("score_milli"),
+                   (F.col("label") < 5).cast("int").alias("y"))
+    return st.calibration_bins(d, "score_milli", "y", n_bins=10)
+
+
+SQL_CALIBRATION = """
+WITH d AS (
+  SELECT least(1000, greatest(0,
+           CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000.0 + 500.0)
+                AS BIGINT))) AS s,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL)
+SELECT CAST(least(s * 10 // 1000, 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(s) // count(*) AS BIGINT) AS conf_milli,
+       CAST(1000 * sum(y) // count(*) AS BIGINT) AS rate_milli
+FROM d GROUP BY 1
+"""
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """Ranking quality (retrieval.ndcg_at_k): nDCG@5 of deterministic
+    per-query result lists against judged relevance grades covering
+    retrieved AND unretrieved documents (the normalization's point).
+    Per-position gains ln-ratio-quantized to micro units before the
+    sums; oracle re-derives the ideal ordering with its own window."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    qs = spark.range(0, 10).select(F.col("id").alias("query_id"))
+    results = qs.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("rank")) \
+        .select("query_id", "rank",
+                ((F.col("query_id") * 17 + F.col("rank") * 13)
+                 % F.lit(n)).alias("doc_id"))
+    rels = qs.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("m")) \
+        .select("query_id",
+                ((F.col("query_id") * 17 + F.col("m") * 13)
+                 % F.lit(n)).alias("doc_id"),
+                ((F.col("query_id") + F.col("m")) % 4).alias("rel"))
+    return rt.ndcg_at_k(results, rels, k=5)
+
+
+SQL_NDCG_EVAL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+res AS (SELECT q.i AS query_id, r.i + 1 AS rank,
+               (q.i * 17 + (r.i + 1) * 13) % nn.n AS doc_id
+        FROM UNNEST(range(10)) AS q(i), UNNEST(range(5)) AS r(i), nn),
+rel AS (SELECT q.i AS query_id,
+               (q.i * 17 + (m.i + 1) * 13) % nn.n AS doc_id,
+               (q.i + m.i + 1) % 4 AS rel
+        FROM UNNEST(range(10)) AS q(i), UNNEST(range(8)) AS m(i), nn),
+dcg AS (SELECT res.query_id,
+               CAST(sum(floor(CAST(rel AS DOUBLE)
+                    / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+                    * 1000000.0 + 0.5)) AS BIGINT) AS dcg_micro
+        FROM res JOIN rel USING (query_id, doc_id)
+        WHERE rank <= 5 GROUP BY 1),
+ideal AS (SELECT query_id,
+                 CAST(sum(floor(CAST(rel AS DOUBLE)
+                      / (ln(CAST(irk AS DOUBLE) + 1.0) / ln(2.0))
+                      * 1000000.0 + 0.5)) AS BIGINT) AS idcg_micro
+          FROM (SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id)
+                           AS irk
+                FROM rel WHERE rel > 0) t
+          WHERE irk <= 5 GROUP BY 1)
+SELECT i.query_id,
+       CAST(coalesce(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       i.idcg_micro,
+       CAST(CASE WHEN i.idcg_micro > 0
+                 THEN 1000 * coalesce(d.dcg_micro, 0) // i.idcg_micro
+            END AS BIGINT) AS ndcg_milli
+FROM ideal i LEFT JOIN dcg d ON d.query_id = i.query_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -9919,6 +10067,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_split": q_gini_split,
     "cohens_kappa": q_cohens_kappa,
     "power_iteration": q_power_iteration,
+    "mix_plan": q_mix_plan,
+    "calibration": q_calibration,
+    "ndcg_eval": q_ndcg_eval,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -10151,6 +10302,9 @@ ORACLES: dict[str, str] = {
     "gini_split": SQL_GINI_SPLIT,
     "cohens_kappa": SQL_COHENS_KAPPA,
     "power_iteration": SQL_POWER_ITERATION,
+    "mix_plan": SQL_MIX_PLAN,
+    "calibration": SQL_CALIBRATION,
+    "ndcg_eval": SQL_NDCG_EVAL,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

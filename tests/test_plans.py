@@ -941,3 +941,29 @@ def test_wave41_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave42_query_scans_prune_and_stay_jvm(spark):
+    """Wave 42: mix_plan windows only the per-language AGG relation;
+    calibration is one partial agg; ndcg joins bounded synthetic
+    relations."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "mix_plan": {"lang", "n_chars"},
+        "calibration": {"embedding", "label"},
+        # ndcg_eval's corpus size folds in at plan time (docs.count());
+        # the returned plan joins only in-plan synthetic relations
+        "ndcg_eval": set(),
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
