@@ -230,7 +230,8 @@ def main():
                   "sentence_chunks", "cell_stats", "mi_assoc",
                   "json_key_stats", "token_windows", "bootstrap_ci",
                   "gini_split", "cohens_kappa", "power_iteration",
-                  "mix_plan", "calibration", "ndcg_eval"]:
+                  "mix_plan", "calibration", "ndcg_eval",
+                  "auc_roc", "survival_km", "viewport_topk"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

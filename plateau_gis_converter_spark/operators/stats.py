@@ -1048,3 +1048,48 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
                  .cast("bigint").alias("conf_milli"))
             .withColumn("rate_milli",
                         F.expr("1000 * n_pos div n").cast("bigint")))
+
+
+def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC from (score, label) — THE threshold-free
+    classifier metric, computed by the rank formulation
+    AUC = (R_pos - P(P+1)/2) / (P*N) with AVERAGE ranks for tied
+    scores (the Mann-Whitney U identity: ties count half).
+
+    Scale shape (the ``spearman_group_corr`` doubled-rank discipline):
+    ONE partial agg to the (score, n, positives) relation, a cumulative
+    window over that SMALL relation for doubled average ranks
+    r2 = 2*cum - c + 1, and one aggregate:
+
+        num = sum(pos_v * r2_v) - P*(P+1)   (exact int64)
+        den = 2 * P * N
+        auc_micro = floor(num / den * 1e6 + 0.5)  (one fixed-op-order
+        double — keeps 10^9-row inputs exact where a 1e6*num integer
+        product would overflow)
+
+    Output (one row): (n, n_pos, num, den, auc_micro); NULL auc when a
+    class is absent (den = 0).
+    """
+    vals = (df.where(F.col(score_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .groupBy(F.col(score_col).cast("bigint").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"),
+                 F.sum(F.col(label_col).cast("bigint")).cast("bigint")
+                 .alias("a")))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r2 = 2 * F.sum("c").over(wc) - F.col("c") + 1
+    agg = (vals.withColumn("r2", r2)
+           .agg(F.sum("c").cast("bigint").alias("n"),
+                F.sum("a").cast("bigint").alias("p"),
+                F.sum(F.col("a") * F.col("r2")).cast("bigint")
+                .alias("rp")))
+    num = F.col("rp") - F.col("p") * (F.col("p") + 1)
+    den = 2 * F.col("p") * (F.col("n") - F.col("p"))
+    out = (agg.withColumn("num", num.cast("bigint"))
+           .withColumn("den", den.cast("bigint")))
+    auc = F.when(F.col("den") > 0,
+                 F.floor(F.col("num").cast("double")
+                         / F.col("den").cast("double")
+                         * F.lit(1e6) + F.lit(0.5)).cast("bigint"))
+    return out.select(F.col("n"), F.col("p").alias("n_pos"),
+                      "num", "den", auc.alias("auc_micro"))

@@ -591,3 +591,71 @@ def rolling_distinct(events: DataFrame, key_col: str = "event_type",
             .where(F.col("day") <= F.col("dmax"))
             .groupBy(F.col("k").alias(key_col), "day")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+def survival_km(df: DataFrame, duration_col: str = "duration",
+                event_col: str = "event",
+                group_col: str | None = None) -> DataFrame:
+    """Kaplan-Meier survival curve per cohort — retention/churn
+    analysis with CENSORING done right (users still active at the
+    observation cut are evidence of survival up to their age, not
+    events; dropping them biases every naive retention curve).
+
+    Integer discipline: the curve is carried as log-survival in
+    micro-nats — each event time's factor ln(1 - d/n) is ONE
+    fixed-op-order double floor-quantized to micro BEFORE the
+    cumulative sum (the token_entropy rule), so the running sum is an
+    exact integer and both engines agree bit-for-bit; s_micro
+    re-exponentiates at read with one more fixed-order double. When
+    the risk set is exhausted (d = n), survival is exactly 0
+    (ln_s_micro NULL, s_micro 0).
+
+    Shape: ONE partial agg to the (group, duration) relation with
+    event/censor counts, two cumulative windows over that SMALL
+    relation (risk set = N - prior departures; log-survival cumsum) —
+    never a row-level window over the fact.
+
+    Output: (group?, t, n_at_risk, d_events, n_censored, ln_s_micro,
+    s_micro) — one row per distinct duration with >= 1 event.
+    """
+    g = [group_col] if group_col else []
+    base = (df.where(F.col(duration_col).isNotNull()
+                     & F.col(event_col).isNotNull())
+            .select(*g, F.col(duration_col).cast("bigint").alias("t"),
+                    F.col(event_col).cast("int").alias("e")))
+    cells = (base.groupBy(*g, "t")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c_tot"),
+                  F.sum("e").cast("bigint").alias("d")))
+    part = Window.partitionBy(*g) if g else Window.partitionBy()
+    wc = part.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = part
+    cum = (cells
+           .withColumn("gone", F.coalesce(F.sum("c_tot").over(wc),
+                                          F.lit(0)))
+           .withColumn("n_all", F.sum("c_tot").over(wall))
+           .withColumn("n_risk", F.col("n_all") - F.col("gone")))
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(F.log(F.lit(1.0) - F.col("d").cast("double")
+                      / F.col("n_risk").cast("double"))
+                * F.lit(1e6) + F.lit(0.5))).cast("bigint")
+    wlog = part.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (cum.withColumn("term", term)
+             .withColumn("dead",
+                         F.max((F.col("d") >= F.col("n_risk"))
+                               .cast("int")).over(wlog))
+             .withColumn("ln_s",
+                         F.when(F.col("dead") == 0,
+                                F.sum("term").over(wlog))))
+    s = F.when(F.col("ln_s").isNotNull(),
+               F.floor(F.exp(F.col("ln_s").cast("double")
+                             / F.lit(1e6)) * F.lit(1e6)
+                       + F.lit(0.5))).otherwise(F.lit(0))
+    out_cols = ([F.col(group_col)] if group_col else []) + [
+        F.col("t"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        (F.col("c_tot") - F.col("d")).cast("bigint").alias("n_censored"),
+        F.col("ln_s").cast("bigint").alias("ln_s_micro"),
+        s.cast("bigint").alias("s_micro")]
+    return curve.where(F.col("d") > 0).select(*out_cols)

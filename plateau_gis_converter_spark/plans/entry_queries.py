@@ -9836,6 +9836,151 @@ FROM ideal i LEFT JOIN dcg d ON d.query_id = i.query_id
 """
 
 
+def q_auc_roc(spark, sf_dir):
+    """Exact tie-aware ROC AUC (stats.auc_roc): the Mann-Whitney rank
+    formulation over the (score, n, positives) COUNT relation — milli
+    embedding coordinate 5 scoring the binarized label. Oracle ranks
+    each ROW via rank()+tie-count windows (the spearman_corr
+    independence pattern)."""
+    from ..operators import stats as st
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.floor(F.element_at(F.col("embedding"), 5).cast("double")
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint").alias("s"),
+        (F.col("label") < 5).cast("int").alias("y"))
+    return st.auc_roc(d, "s", "y")
+
+
+SQL_AUC_ROC = """
+WITH d AS (
+  SELECT CAST(floor(CAST(embedding[5] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS s,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+rk AS (SELECT y,
+              2 * rank() OVER (ORDER BY s)
+                + count(*) OVER (PARTITION BY s) - 1 AS r2
+       FROM d),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+                   AS rp
+        FROM rk)
+SELECT n, p AS n_pos,
+       CAST(rp - p * (p + 1) AS BIGINT) AS num,
+       CAST(2 * p * (n - p) AS BIGINT) AS den,
+       CAST(CASE WHEN 2 * p * (n - p) > 0 THEN
+         floor(CAST(rp - p * (p + 1) AS DOUBLE)
+               / CAST(2 * p * (n - p) AS DOUBLE) * 1000000.0 + 0.5)
+       END AS BIGINT) AS auc_micro
+FROM agg
+"""
+
+
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier churn curve (temporal.survival_km): per-user
+    first-to-last-activity spans in days; users still active on the
+    corpus's final day are CENSORED (evidence, not events). Log-
+    survival carried as quantized integer micro-nats; oracle re-derives
+    risk sets and the curve with its own windows."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    h = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+    per_key = (ev.select("user_id", "event_type", h.alias("h"))
+               .groupBy("user_id", "event_type")
+               .agg(F.min("h").alias("h0"), F.max("h").alias("h1")))
+    mx = per_key.agg(F.max("h1").alias("hmax"))
+    spans = (per_key.crossJoin(F.broadcast(mx))
+             .select((F.col("h1") - F.col("h0")).alias("duration"),
+                     (F.col("h1") < F.col("hmax") - 24).cast("int")
+                     .alias("event")))
+    return tp.survival_km(spans)
+
+
+SQL_SURVIVAL_KM = """
+WITH pu AS (SELECT user_id, event_type,
+                   min(epoch_us(ts) // 3600000000) AS h0,
+                   max(epoch_us(ts) // 3600000000) AS h1
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+mx AS (SELECT max(h1) AS hmax FROM pu),
+sp AS (SELECT h1 - h0 AS t,
+              CASE WHEN h1 < mx.hmax - 24 THEN 1 ELSE 0 END AS e
+       FROM pu, mx),
+cells AS (SELECT t, CAST(count(*) AS BIGINT) AS c_tot,
+                 CAST(sum(e) AS BIGINT) AS d
+          FROM sp GROUP BY 1),
+cum AS (SELECT t, c_tot, d,
+               coalesce(sum(c_tot) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS gone,
+               sum(c_tot) OVER () AS n_all
+        FROM cells),
+tm AS (SELECT t, c_tot, d, n_all - gone AS n_risk,
+              CASE WHEN d < n_all - gone THEN
+                CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+                     / CAST(n_all - gone AS DOUBLE)) * 1000000.0 + 0.5)
+                     AS BIGINT)
+              END AS term
+       FROM cum),
+cv AS (SELECT t, c_tot, d, n_risk,
+              max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+              sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS ln_s0
+       FROM tm)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_at_risk,
+       d AS d_events, CAST(c_tot - d AS BIGINT) AS n_censored,
+       CAST(CASE WHEN dead = 0 THEN ln_s0 END AS BIGINT) AS ln_s_micro,
+       CAST(CASE WHEN dead = 0 THEN
+              floor(exp(CAST(ln_s0 AS DOUBLE) / 1000000.0) * 1000000.0
+                    + 0.5)
+            ELSE 0 END AS BIGINT) AS s_micro
+FROM cv WHERE d > 0
+"""
+
+
+def q_viewport_topk(spark, sf_dir):
+    """The serving-path composition (tile assign × salted top-k): the
+    z14 viewport x∈[14552,14556], y∈[6448,6452] — per visible tile the
+    top-2 pages by derived score, through the SALTED cap_per_group
+    path (result-invariance vs the oracle's plain window is the
+    point). This is the query a map front-end issues on every pan."""
+    from ..operators import sampling as sp
+
+    pts = _points_df(spark, sf_dir)
+    tiles = geo.with_point_tiles(pts, F.lit(14))
+    scored = (tiles.where(F.col("x").between(14552, 14556)
+                          & F.col("y").between(6448, 6452))
+              .select("doc_id", F.col("x").cast("bigint").alias("x"),
+                      F.col("y").cast("bigint").alias("y"),
+                      ((F.col("doc_id") * 37) % 1000).alias("score"))
+              .withColumn("txy", F.col("x") * 100000 + F.col("y")))
+    top = sp.cap_per_group(scored, "txy", 2,
+                           order_by=[(-F.col("score"))],
+                           key_col="doc_id", skew_salts=4)
+    return top.select("x", "y", "doc_id", F.col("score").cast("bigint")
+                      .alias("score"))
+
+
+_VP_TX, _VP_TY = _tile_xy_sql("14")
+SQL_VIEWPORT_TOPK = f"""
+WITH {POINTS_CTE},
+t AS (SELECT doc_id, {_VP_TX} AS x, {_VP_TY} AS y FROM pts),
+v AS (SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+             CAST((doc_id * 37) % 1000 AS BIGINT) AS score
+      FROM t
+      WHERE x BETWEEN 14552 AND 14556 AND y BETWEEN 6448 AND 6452)
+SELECT x, y, doc_id, score
+FROM v
+QUALIFY row_number() OVER (PARTITION BY x, y
+                           ORDER BY score DESC, doc_id) <= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -10070,6 +10215,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_plan": q_mix_plan,
     "calibration": q_calibration,
     "ndcg_eval": q_ndcg_eval,
+    "auc_roc": q_auc_roc,
+    "survival_km": q_survival_km,
+    "viewport_topk": q_viewport_topk,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -10305,6 +10453,9 @@ ORACLES: dict[str, str] = {
     "mix_plan": SQL_MIX_PLAN,
     "calibration": SQL_CALIBRATION,
     "ndcg_eval": SQL_NDCG_EVAL,
+    "auc_roc": SQL_AUC_ROC,
+    "survival_km": SQL_SURVIVAL_KM,
+    "viewport_topk": SQL_VIEWPORT_TOPK,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

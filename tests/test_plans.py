@@ -967,3 +967,27 @@ def test_wave42_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave43_query_scans_prune_and_stay_jvm(spark):
+    """Wave 43: auc windows only the score COUNT relation; survival_km
+    windows the (duration) cell relation; viewport_topk routes through
+    the salted two-phase cap (windows only, no cartesian)."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "auc_roc": {"embedding", "label"},
+        "survival_km": {"user_id", "ts", "event_type"},
+        "viewport_topk": {"doc_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
