@@ -231,7 +231,8 @@ def main():
                   "json_key_stats", "token_windows", "bootstrap_ci",
                   "gini_split", "cohens_kappa", "power_iteration",
                   "mix_plan", "calibration", "ndcg_eval",
-                  "auc_roc", "survival_km", "viewport_topk"]:
+                  "auc_roc", "survival_km", "viewport_topk",
+                  "tile_diversity", "mad_outliers", "impute_median"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

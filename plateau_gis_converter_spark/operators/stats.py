@@ -1093,3 +1093,99 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
                          * F.lit(1e6) + F.lit(0.5)).cast("bigint"))
     return out.select(F.col("n"), F.col("p").alias("n_pos"),
                       "num", "den", auc.alias("auc_micro"))
+
+
+def simpson_diversity(df: DataFrame, group_col: str,
+                      cat_col: str) -> DataFrame:
+    """Simpson diversity index per group, exactly: the probability two
+    random members of the group share a category is
+    sum n_i(n_i - 1) / (N(N - 1)) — a pure integer rational, unlike
+    Shannon entropy's logs — so the diversity 1 - lambda ships as an
+    exact ppm. Per-tile SOURCE diversity is the geo×web monoculture
+    detector: a tile whose pages all come from one SEO farm scores 0.
+
+    Two partial aggs ((group, cat) then group), nothing else.
+
+    Output: (group, n, n_cats, concentration_ppm, diversity_ppm) —
+    NULL ppms for singleton groups (undefined).
+    """
+    cells = (df.where(F.col(cat_col).isNotNull())
+             .groupBy(F.col(group_col).alias("g"),
+                      F.col(cat_col).alias("cat"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    agg = (cells.groupBy("g")
+           .agg(F.sum("c").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+                .alias("num")))
+    conc = F.when(F.col("n") > 1,
+                  F.expr("1000000 * num div (n * (n - 1))"))
+    return (agg.withColumn("concentration_ppm", conc.cast("bigint"))
+            .select(F.col("g").alias(group_col), "n", "n_cats",
+                    "concentration_ppm",
+                    (F.lit(1_000_000) - F.col("concentration_ppm"))
+                    .cast("bigint").alias("diversity_ppm")))
+
+
+def mad_outlier_flags(df: DataFrame, group_col: str, value_col: str,
+                      key_col: str, k_milli: int = 3000) -> DataFrame:
+    """Robust outlier flags by median absolute deviation — the
+    breakdown-resistant alternative to z-scores (one wild value drags
+    a mean AND its variance, masking itself; the median and MAD barely
+    move). Rule: |x - median| > (k_milli/1000) * MAD, decided by the
+    integer cross-multiplication 1000*|x - med| > k_milli * MAD — no
+    float anywhere; both medians are exact type-1 over the (group,
+    value) COUNT relations (the ``group_value_quantiles`` machinery,
+    twice: values, then absolute deviations).
+
+    Degenerate MAD = 0 (more than half the group at the median):
+    every x != median flags — the standard convention, documented.
+
+    Output: (key, group, value, med, mad, outlier).
+    """
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(key_col).alias("k"),
+                    F.col(group_col).alias("g"),
+                    F.col(value_col).cast("bigint").alias("x")))
+    med = (group_value_quantiles(base, "g", "x", [500_000])
+           .select(F.col("g"), F.col("value").alias("med")))
+    with_med = base.join(med, "g")
+    dev = with_med.withColumn("ad", F.abs(F.col("x") - F.col("med")))
+    mad = (group_value_quantiles(dev, "g", "ad", [500_000])
+           .select(F.col("g"), F.col("value").alias("mad")))
+    out = dev.join(mad, "g")
+    flag = (1000 * F.col("ad") > F.lit(int(k_milli)) * F.col("mad"))
+    return out.select(F.col("k").alias(key_col),
+                      F.col("g").alias(group_col),
+                      F.col("x").alias(value_col), "med", "mad",
+                      flag.cast("int").alias("outlier"))
+
+
+def impute_group_median(df: DataFrame, group_col: str,
+                        value_col: str) -> DataFrame:
+    """Median imputation per group — the standard tabular-ML prep step
+    for missing numerics, with the exact type-1 group median (the
+    ``group_value_quantiles`` machinery; never an approx percentile,
+    so the imputed table is reproducible bit-for-bit). Groups that are
+    ALL null have no median and stay null (imputed = 0 — the honest
+    outcome; a global-fallback variant is one more coalesce).
+
+    Output: all input columns with ``value_col`` filled, plus
+    ``imputed`` (1 = was null and a group median existed).
+    """
+    med = (group_value_quantiles(
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"),
+                F.col(value_col).cast("bigint").alias("v")),
+        "g", "v", [500_000])
+        .select(F.col("g"), F.col("value").alias("__med")))
+    joined = df.join(med, df[group_col] == med["g"], "left").drop("g")
+    was_null = F.col(value_col).isNull()
+    filled = F.coalesce(F.col(value_col).cast("bigint"),
+                        F.col("__med"))
+    return (joined
+            .withColumn("imputed",
+                        (was_null & F.col("__med").isNotNull())
+                        .cast("int"))
+            .withColumn(value_col, filled)
+            .drop("__med"))

@@ -9981,6 +9981,130 @@ QUALIFY row_number() OVER (PARTITION BY x, y
 """
 
 
+def q_tile_diversity(spark, sf_dir):
+    """Per-tile source monoculture detector (stats.simpson_diversity):
+    exact Simpson concentration/diversity ppm of LANGUAGES per z12
+    tile — a pure integer rational where Shannon entropy needs logs.
+    Two partial aggs; oracle recomputes the rational independently."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pts = docs.select("doc_id", "lang", lng, lat)
+    tiles = geo.with_point_tiles(pts, F.lit(12))
+    d = tiles.select(
+        (F.col("x").cast("bigint") * 100000
+         + F.col("y").cast("bigint")).alias("txy"), "lang")
+    return st.simpson_diversity(d, "txy", "lang")
+
+
+_TD_TX, _TD_TY = _tile_xy_sql("12")
+SQL_TILE_DIVERSITY = f"""
+WITH {POINTS_CTE},
+t AS (SELECT p.doc_id, d.lang, {_TD_TX} AS x, {_TD_TY} AS y
+      FROM pts p JOIN documents d ON d.doc_id = p.doc_id),
+g AS (SELECT CAST(x AS BIGINT) * 100000 + CAST(y AS BIGINT) AS txy,
+             lang
+      FROM t WHERE lang IS NOT NULL),
+cells AS (SELECT txy, lang, CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY 1, 2),
+agg AS (SELECT txy, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cats,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS num
+        FROM cells GROUP BY 1)
+SELECT txy, n, n_cats,
+       CAST(CASE WHEN n > 1 THEN 1000000 * num // (n * (n - 1)) END
+            AS BIGINT) AS concentration_ppm,
+       CAST(CASE WHEN n > 1
+                 THEN 1000000 - 1000000 * num // (n * (n - 1)) END
+            AS BIGINT) AS diversity_ppm
+FROM agg
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outliers (stats.mad_outlier_flags): per event type, flag
+    values beyond 1.5 MAD from the exact type-1 median — both medians
+    from count-relation machinery, the decision a pure integer
+    cross-multiplication. Oracle re-derives both order statistics with
+    its own cumulative rank CTEs."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents("value").alias("v_cents"))
+    return st.mad_outlier_flags(ev, "event_type", "v_cents",
+                                key_col="event_id", k_milli=1500)
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH base AS (SELECT event_id AS k, event_type AS g,
+                     {_cents_sql('value')} AS x
+              FROM events WHERE value IS NOT NULL),
+vc AS (SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c
+       FROM base GROUP BY 1, 2),
+vr AS (SELECT g, v,
+              sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY g) AS n
+       FROM vc),
+med AS (SELECT g, min(v) AS med FROM vr
+        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+dev AS (SELECT b.k, b.g, b.x, m.med, abs(b.x - m.med) AS ad
+        FROM base b JOIN med m ON m.g = b.g),
+ac AS (SELECT g, ad AS v, CAST(count(*) AS BIGINT) AS c
+       FROM dev GROUP BY 1, 2),
+ar AS (SELECT g, v,
+              sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY g) AS n
+       FROM ac),
+mad AS (SELECT g, min(v) AS mad FROM ar
+        WHERE cum >= (n + 1) // 2 GROUP BY 1)
+SELECT d.k AS event_id, d.g AS event_type, d.x AS v_cents,
+       CAST(d.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad,
+       CAST(CASE WHEN 1000 * d.ad > 1500 * a.mad THEN 1 ELSE 0 END
+            AS INT) AS outlier
+FROM dev d JOIN mad a ON a.g = d.g
+"""
+
+
+def q_impute_median(spark, sf_dir):
+    """Median imputation (stats.impute_group_median): every 9th
+    event's value nulled then refilled with its type's exact median;
+    the imputed flag marks exactly the refilled rows. Oracle
+    re-derives the median with its own rank CTE and coalesces."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 9 == 0, F.lit(None))
+        .otherwise(_cents("value")).alias("v_cents"))
+    return st.impute_group_median(d, "event_type", "v_cents")
+
+
+SQL_IMPUTE_MEDIAN = f"""
+WITH d AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 9 = 0 THEN NULL
+                       ELSE {_cents_sql('value')} END AS v
+           FROM events),
+vc AS (SELECT event_type AS g, v, CAST(count(*) AS BIGINT) AS c
+       FROM d WHERE v IS NOT NULL GROUP BY 1, 2),
+vr AS (SELECT g, v,
+              sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY g) AS n
+       FROM vc),
+med AS (SELECT g, min(v) AS med FROM vr
+        WHERE cum >= (n + 1) // 2 GROUP BY 1)
+SELECT d.event_id, d.event_type,
+       CAST(coalesce(d.v, m.med) AS BIGINT) AS v_cents,
+       CAST(CASE WHEN d.v IS NULL AND m.med IS NOT NULL
+                 THEN 1 ELSE 0 END AS INT) AS imputed
+FROM d LEFT JOIN med m ON m.g = d.event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -10218,6 +10342,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auc_roc": q_auc_roc,
     "survival_km": q_survival_km,
     "viewport_topk": q_viewport_topk,
+    "tile_diversity": q_tile_diversity,
+    "mad_outliers": q_mad_outliers,
+    "impute_median": q_impute_median,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -10456,6 +10583,9 @@ ORACLES: dict[str, str] = {
     "auc_roc": SQL_AUC_ROC,
     "survival_km": SQL_SURVIVAL_KM,
     "viewport_topk": SQL_VIEWPORT_TOPK,
+    "tile_diversity": SQL_TILE_DIVERSITY,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "impute_median": SQL_IMPUTE_MEDIAN,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
