@@ -232,7 +232,8 @@ def main():
                   "gini_split", "cohens_kappa", "power_iteration",
                   "mix_plan", "calibration", "ndcg_eval",
                   "auc_roc", "survival_km", "viewport_topk",
-                  "tile_diversity", "mad_outliers", "impute_median"]:
+                  "tile_diversity", "mad_outliers", "impute_median",
+                  "class_report", "random_walks", "dist_drift"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -1049,3 +1049,47 @@ def hyperball_registers(nodes: DataFrame, edges: DataFrame,
                 .groupBy("id", "bucket")
                 .agg(F.max("r").cast("bigint").alias("r")))
     return regs
+
+
+def random_walks(seeds: DataFrame, edges: DataFrame,
+                 steps: int = 3) -> DataFrame:
+    """Deterministic uniform-ish random walks from seed nodes — the
+    DeepWalk/node2vec CORPUS generator (walk sequences feed a skip-gram
+    embedding exactly like token windows feed word2vec). "Random" is
+    md5-derived: at step t, walk w moves to the out-neighbor minimizing
+    md5(walk || ':' || t || ':' || neighbor) — a fixed hash-random
+    choice, so the corpus is bit-reproducible across engines, runs and
+    partitionings (the same property every sampler here has). Walks at
+    a node with no out-edges simply stop (shorter sequences, the
+    standard convention).
+
+    Shape per step: one equi-join of the O(1)-per-walk frontier to the
+    edge list keyed by src + ONE min(struct) partial agg — the argmin
+    fold, no window over the candidate relation. O(steps) shuffles,
+    O(1) driver rows.
+
+    Input seeds: (walk_id, node). Output: (walk_id, step, node) with
+    step 0 = the seed.
+    """
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
+    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    cur = seeds.select("walk_id", F.col("node"))
+    out = cur.select("walk_id", F.lit(0).cast("bigint").alias("step"),
+                     "node")
+    for t in range(1, int(steps) + 1):
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.col("walk_id").cast("string"),
+                           F.lit(f":{t}:"),
+                           F.col("dst").cast("string"))), 1, 15),
+            16, 10).cast("bigint")
+        nxt = (cur.join(e, cur["node"] == e["src"])
+               .select("walk_id", "dst", h.alias("h"))
+               .groupBy("walk_id")
+               .agg(F.min(F.struct(F.col("h"), F.col("dst"))).alias("m"))
+               .select("walk_id", F.col("m.dst").alias("node")))
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(t).cast("bigint").alias("step"),
+                       "node"))
+        cur = nxt
+    return out

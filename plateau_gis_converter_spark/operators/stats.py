@@ -1189,3 +1189,97 @@ def impute_group_median(df: DataFrame, group_col: str,
                         .cast("int"))
             .withColumn(value_col, filled)
             .drop("__med"))
+
+
+def classification_report(df: DataFrame, true_col: str,
+                          pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 (the sklearn
+    classification_report as a relation) — the multiclass companion of
+    ``pair_eval``: per label, tp is the diagonal cell, fp the rest of
+    the predicted column, fn the rest of the true row; all ppm values
+    integer (f1 = 2PR div (P+R)). One contingency partial agg + two
+    margin aggs over the CELL relation + one join — never a second
+    fact scan; labels = union of observed true and predicted values.
+
+    Output: (label, n_true, n_pred, tp, precision_ppm, recall_ppm,
+    f1_ppm) — ratios NULL when their denominator is 0.
+    """
+    cells = (df.where(F.col(true_col).isNotNull()
+                      & F.col(pred_col).isNotNull())
+             .groupBy(F.col(true_col).alias("t"),
+                      F.col(pred_col).alias("p"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    rows = cells.groupBy(F.col("t").alias("label")).agg(
+        F.sum("c").cast("bigint").alias("n_true"))
+    cols = cells.groupBy(F.col("p").alias("label")).agg(
+        F.sum("c").cast("bigint").alias("n_pred"))
+    diag = (cells.where(F.col("t") == F.col("p"))
+            .select(F.col("t").alias("label"),
+                    F.col("c").alias("tp")))
+    out = (rows.join(cols, "label", "full_outer")
+           .join(diag, "label", "left")
+           .select("label",
+                   F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint")
+                   .alias("n_true"),
+                   F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint")
+                   .alias("n_pred"),
+                   F.coalesce(F.col("tp"), F.lit(0)).cast("bigint")
+                   .alias("tp")))
+    p = F.when(F.col("n_pred") > 0, F.expr("1000000 * tp div n_pred"))
+    r = F.when(F.col("n_true") > 0, F.expr("1000000 * tp div n_true"))
+    out = (out.withColumn("precision_ppm", p.cast("bigint"))
+           .withColumn("recall_ppm", r.cast("bigint")))
+    f1 = F.when(F.col("precision_ppm").isNotNull()
+                & F.col("recall_ppm").isNotNull()
+                & (F.col("precision_ppm") + F.col("recall_ppm") > 0),
+                F.expr("2 * precision_ppm * recall_ppm "
+                       "div (precision_ppm + recall_ppm)"))
+    return out.withColumn("f1_ppm", f1.cast("bigint"))
+
+
+def emd_1d(df: DataFrame, side_col: str, value_col: str) -> DataFrame:
+    """Exact 1-D earth-mover (Wasserstein-1) distance between two
+    labeled samples — the distribution-drift monitor a training
+    pipeline runs between corpus snapshots (did the length/quality
+    distribution move, and by how much in VALUE units — where a KS
+    flag only says "something moved").
+
+    Identity: EMD = integral |F_a - F_b| dv = sum over the merged
+    value grid of |cumA * nB - cumB * nA| * gap / (nA * nB) — computed
+    with the numerator entirely int64 (one partial agg to per-value
+    side counts, one cumulative window over the small distinct-value
+    relation, ``gap`` from a lead window) and ONE final fixed-op-order
+    double for the milli quantization.
+
+    Output (one row): (n_a, n_b, emd_num, emd_milli) — emd in value
+    units, milli-scaled. Sides named 'a' and 'b' in ``side_col``.
+    """
+    base = (df.where(F.col(value_col).isNotNull())
+            .groupBy(F.col(value_col).cast("bigint").alias("v"))
+            .agg(F.sum(F.when(F.col(side_col) == "a", 1).otherwise(0))
+                 .cast("bigint").alias("ca"),
+                 F.sum(F.when(F.col(side_col) == "b", 1).otherwise(0))
+                 .cast("bigint").alias("cb")))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    wall = Window.partitionBy()
+    cum = (base
+           .withColumn("cuma", F.sum("ca").over(wc))
+           .withColumn("cumb", F.sum("cb").over(wc))
+           .withColumn("na", F.sum("ca").over(wall))
+           .withColumn("nb", F.sum("cb").over(wall))
+           .withColumn("gap", F.coalesce(F.lead("v").over(wl)
+                                         - F.col("v"), F.lit(0))))
+    term = (F.abs(F.col("cuma") * F.col("nb")
+                  - F.col("cumb") * F.col("na")) * F.col("gap"))
+    agg = cum.agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+                  F.sum(term).cast("bigint").alias("emd_num"))
+    milli = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.floor(F.col("emd_num").cast("double")
+                / (F.col("n_a").cast("double")
+                   * F.col("n_b").cast("double"))
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return agg.select(F.col("n_a").cast("bigint").alias("n_a"),
+                      F.col("n_b").cast("bigint").alias("n_b"),
+                      "emd_num", milli.alias("emd_milli"))

@@ -10105,6 +10105,165 @@ FROM d LEFT JOIN med m ON m.g = d.event_type
 """
 
 
+def q_class_report(spark, sf_dir):
+    """Multiclass eval (stats.classification_report): language
+    prediction with every 5th document mispredicted as 'en' — per-class
+    tp/precision/recall/F1 in exact ppm. Oracle re-derives the
+    contingency margins independently."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    d = docs.select(
+        F.col("lang").alias("t"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("en"))
+        .otherwise(F.col("lang")).alias("p"))
+    return st.classification_report(d, "t", "p")
+
+
+SQL_CLASS_REPORT = """
+WITH d AS (SELECT lang AS t,
+                  CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END AS p
+           FROM documents WHERE lang IS NOT NULL),
+cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+r AS (SELECT t AS label, CAST(sum(c) AS BIGINT) AS n_true
+      FROM cells GROUP BY 1),
+cl AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred
+       FROM cells GROUP BY 1),
+dg AS (SELECT t AS label, CAST(c AS BIGINT) AS tp
+       FROM cells WHERE t = p),
+m AS (SELECT coalesce(r.label, cl.label) AS label,
+             coalesce(n_true, 0) AS n_true,
+             coalesce(n_pred, 0) AS n_pred
+      FROM r FULL OUTER JOIN cl ON r.label = cl.label),
+j AS (SELECT m.label, m.n_true, m.n_pred, coalesce(dg.tp, 0) AS tp
+      FROM m LEFT JOIN dg ON dg.label = m.label),
+pr AS (SELECT label, n_true, n_pred, tp,
+              CASE WHEN n_pred > 0 THEN 1000000 * tp // n_pred END
+                  AS precision_ppm,
+              CASE WHEN n_true > 0 THEN 1000000 * tp // n_true END
+                  AS recall_ppm
+       FROM j)
+SELECT label, n_true, n_pred, tp,
+       CAST(precision_ppm AS BIGINT) AS precision_ppm,
+       CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN precision_ppm IS NOT NULL
+                  AND recall_ppm IS NOT NULL
+                  AND precision_ppm + recall_ppm > 0
+                 THEN 2 * precision_ppm * recall_ppm
+                      // (precision_ppm + recall_ppm)
+            END AS BIGINT) AS f1_ppm
+FROM pr
+"""
+
+
+def q_random_walks(spark, sf_dir):
+    """Graph-embedding corpus (graph.random_walks): 3-step md5-random
+    walks from every 25th page over the deterministic link graph — the
+    DeepWalk sequence generator, each step one join + one min(struct)
+    argmin fold. Oracle unrolls the steps with row_number windows over
+    the same hash order."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    seeds = (docs.where(F.col("doc_id") % 25 == 0)
+             .select(F.col("doc_id").alias("walk_id"),
+                     F.col("doc_id").alias("node")))
+    return gr.random_walks(seeds, edges, steps=3)
+
+
+def _rw_step_sql(t: int, prev: str) -> str:
+    h = (f"CAST(concat('0x', substr(md5(CAST(walk_id AS VARCHAR) "
+         f"|| ':{t}:' || CAST(e.dst AS VARCHAR)), 1, 15)) AS BIGINT)")
+    return f"""
+n{t} AS (SELECT walk_id, node FROM (
+  SELECT {prev}.walk_id, e.dst AS node,
+         row_number() OVER (PARTITION BY {prev}.walk_id
+                            ORDER BY {h}, e.dst) AS rn
+  FROM {prev} JOIN e ON e.src = {prev}.node) t{t}
+  WHERE rn = 1)"""
+
+
+SQL_RANDOM_WALKS = ("""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+s0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents
+       WHERE doc_id % 25 = 0),"""
+                    + _rw_step_sql(1, "s0") + ","
+                    + _rw_step_sql(2, "n1") + ","
+                    + _rw_step_sql(3, "n2") + """
+SELECT walk_id, CAST(0 AS BIGINT) AS step, CAST(node AS BIGINT) AS node
+FROM s0
+UNION ALL SELECT walk_id, 1, CAST(node AS BIGINT) FROM n1
+UNION ALL SELECT walk_id, 2, CAST(node AS BIGINT) FROM n2
+UNION ALL SELECT walk_id, 3, CAST(node AS BIGINT) FROM n3
+""")
+
+
+def q_dist_drift(spark, sf_dir):
+    """Snapshot drift (stats.emd_1d): exact Wasserstein-1 between even
+    event values (side a) and odd ones with purchases shifted +5.00
+    (side b) — the numerator pure int64 over the merged value grid,
+    one final double for milli units. Oracle re-derives CDFs and gaps
+    with its own windows."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    d = ev.where(F.col("value").isNotNull()).select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("side"),
+        (cents + F.when((F.col("event_id") % 2 == 1)
+                        & (F.col("event_type") == "purchase"),
+                        F.lit(500)).otherwise(F.lit(0))).alias("v"))
+    return st.emd_1d(d, "side", "v")
+
+
+SQL_DIST_DRIFT = f"""
+WITH d AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         {_cents_sql('value')}
+           + CASE WHEN event_id % 2 = 1 AND event_type = 'purchase'
+                  THEN 500 ELSE 0 END AS v
+  FROM events WHERE value IS NOT NULL),
+base AS (SELECT v,
+                CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cb
+         FROM d GROUP BY 1),
+cum AS (SELECT v, ca, cb,
+               sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cuma,
+               sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cumb,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+               coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+        FROM base)
+SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(sum(abs(cuma * nb - cumb * na) * gap) AS BIGINT)
+           AS emd_num,
+       CAST(CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+         floor(CAST(sum(abs(cuma * nb - cumb * na) * gap) AS DOUBLE)
+               / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))
+               * 1000.0 + 0.5)
+       END AS BIGINT) AS emd_milli
+FROM cum
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -10345,6 +10504,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_diversity": q_tile_diversity,
     "mad_outliers": q_mad_outliers,
     "impute_median": q_impute_median,
+    "class_report": q_class_report,
+    "random_walks": q_random_walks,
+    "dist_drift": q_dist_drift,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -10586,6 +10748,9 @@ ORACLES: dict[str, str] = {
     "tile_diversity": SQL_TILE_DIVERSITY,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "impute_median": SQL_IMPUTE_MEDIAN,
+    "class_report": SQL_CLASS_REPORT,
+    "random_walks": SQL_RANDOM_WALKS,
+    "dist_drift": SQL_DIST_DRIFT,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
