@@ -233,7 +233,8 @@ def main():
                   "mix_plan", "calibration", "ndcg_eval",
                   "auc_roc", "survival_km", "viewport_topk",
                   "tile_diversity", "mad_outliers", "impute_median",
-                  "class_report", "random_walks", "dist_drift"]:
+                  "class_report", "random_walks", "dist_drift",
+                  "textrank", "sprt_monitor", "fk_candidates"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

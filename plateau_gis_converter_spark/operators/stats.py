@@ -1283,3 +1283,57 @@ def emd_1d(df: DataFrame, side_col: str, value_col: str) -> DataFrame:
     return agg.select(F.col("n_a").cast("bigint").alias("n_a"),
                       F.col("n_b").cast("bigint").alias("n_b"),
                       "emd_num", milli.alias("emd_milli"))
+
+
+def sprt_monitor(events: DataFrame, key_col: str, ts_col: str,
+                 pos_col: str, llr_pos_micro: int, llr_neg_micro: int,
+                 boundary_micro: int) -> DataFrame:
+    """Sequential probability-ratio test monitor (Wald 1945) — the
+    always-valid A/B decision rule an experimentation platform runs
+    daily: each observation adds a constant log-likelihood-ratio
+    increment (quantized micro-nats, supplied by the caller from its
+    H0/H1 rates), and the experiment DECIDES the first day the
+    cumulative LLR leaves (-boundary, +boundary). Fixed-horizon tests
+    peeked at daily are invalid; SPRT's boundaries are exactly the
+    peek-proof correction.
+
+    All integer: per-day (positives, negatives) partial agg, cumulative
+    sum over each key's day relation, first crossing picked by ONE
+    min(struct) fold (earliest day, deterministic).
+
+    Output: (key, n_days, llr_final_micro, decision, decided_day) —
+    decision +1 (H1) / -1 (H0) / 0 (still running, decided_day NULL).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    daily = (events
+             .select(F.col(key_col).alias("k"), day.alias("d"),
+                     F.col(pos_col).cast("int").alias("y"))
+             .groupBy("k", "d")
+             .agg(F.sum("y").cast("bigint").alias("pos"),
+                  (F.count(F.lit(1)) - F.sum("y")).cast("bigint")
+                  .alias("neg")))
+    wc = (Window.partitionBy("k").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = daily.withColumn(
+        "llr", F.sum(F.col("pos") * F.lit(int(llr_pos_micro))
+                     + F.col("neg") * F.lit(int(llr_neg_micro)))
+        .over(wc))
+    b = F.lit(int(boundary_micro))
+    crossed = cum.withColumn(
+        "hit", F.when(F.col("llr") >= b, 1)
+        .when(F.col("llr") <= -b, -1).otherwise(0))
+    agg = (crossed.groupBy("k")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                F.max(F.struct(F.col("d").alias("dd"),
+                               F.col("llr").alias("lf"))).alias("last"),
+                F.min(F.when(F.col("hit") != 0,
+                             F.struct(F.col("d").alias("dd"),
+                                      F.col("hit").alias("h"))))
+                .alias("first_hit")))
+    return agg.select(
+        F.col("k").alias(key_col), "n_days",
+        F.col("last.lf").cast("bigint").alias("llr_final_micro"),
+        F.coalesce(F.col("first_hit.h"), F.lit(0)).cast("bigint")
+        .alias("decision"),
+        F.col("first_hit.dd").cast("bigint").alias("decided_day"))

@@ -436,3 +436,44 @@ def token_windows(docs: DataFrame, window: int = 32, stride: int = 16,
         F.col("start_tok").cast("bigint").alias("start_tok"),
         F.size(piece).cast("bigint").alias("n_tokens"),
         F.array_join(piece, " ").alias("window_text"))
+
+
+def textrank_terms(docs: DataFrame, iters: int = 2, k: int = 10,
+                   text_col: str = "text") -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) at
+    corpus level: PageRank over the token ADJACENCY graph — a term is
+    important when important terms co-occur next to it, which raw
+    frequency (tfidf) cannot see. Pure composition: the bigram edge
+    relation feeds ``graph.pagerank_int`` unchanged (string node ids —
+    the rank arithmetic never touches the id), proving the graph suite
+    composes with the text suite.
+
+    Edges are the symmetrized distinct adjacent-token pairs (the
+    shingles zip_with shape, map-side); scores are integer-exact ppm
+    (the pagerank_int contract), so the gate's oracle unrolls the same
+    iterations. Output: the top-``k`` terms by (score desc, term asc).
+
+    Output: (term, score_e6, rank).
+    """
+    from . import graph as _gr
+
+    toks = F.transform(_tokens(F.col(text_col)), lambda t: t)
+    tdf = docs.select(toks.alias("_t"))
+    t = F.col("_t")
+    m = F.greatest(F.size(t) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(F.slice(t, 1, m), F.slice(t, 2, m),
+                       lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    adj = (tdf.select(F.explode(pairs).alias("p"))
+           .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+           .where(F.col("src") != F.col("dst")))
+    und = adj.unionAll(adj.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))).distinct()
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    scores = _gr.pagerank_int(nodes, und, iters=int(iters))
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("id"))
+    return (scores.withColumn("rank", F.row_number().over(w)
+                              .cast("bigint"))
+            .where(F.col("rank") <= int(k))
+            .select(F.col("id").alias("term"),
+                    F.col("score_e6").cast("bigint").alias("score_e6"),
+                    "rank"))

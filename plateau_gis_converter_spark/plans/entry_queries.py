@@ -10264,6 +10264,158 @@ FROM cum
 """
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keywords (text.textrank_terms): PageRank over the
+    symmetrized token-adjacency graph — the graph suite composing with
+    the text suite on STRING node ids; top-10 terms by integer ppm
+    score. Oracle unrolls the same two damped iterations over its own
+    bigram CTEs."""
+    from ..operators import text as tx2
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx2.textrank_terms(docs, iters=2, k=10)
+
+
+SQL_TEXTRANK = ("""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+                                           '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+pr0 AS (SELECT t[u.i + 1] AS a, t[u.i + 2] AS b
+        FROM toks, UNNEST(range(greatest(len(t) - 1, 0))) AS u(i)),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM pr0 WHERE a <> b
+        UNION ALL
+        SELECT b, a FROM pr0 WHERE a <> b) q),
+deg AS (SELECT src, count(*) AS out_degree FROM e GROUP BY 1),
+s0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS score
+       FROM e),"""
+                + _PR_ITER.format(i=1, p=0) + ","
+                + _PR_ITER.format(i=2, p=1) + """
+SELECT id AS term, CAST(score AS BIGINT) AS score_e6,
+       CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+           AS rank
+FROM s2
+QUALIFY row_number() OVER (ORDER BY score DESC, id) <= 10
+""")
+
+
+def q_sprt_monitor(spark, sf_dir):
+    """Sequential A/B monitor (stats.sprt_monitor): H0 p=0.45 vs H1
+    p=0.55 over the daily value>=50 rate — natural event types random-
+    walk, two derived keys with 2:1 outcome filtering cross the Wald
+    boundaries early. LLR increments and boundaries are shared micro
+    constants; oracle re-derives daily cumsums and the first crossing
+    with its own windows."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pos = (_cents("value") >= 3500).cast("int")
+    base = ev.select(F.col("event_type").alias("k"), "ts",
+                     pos.alias("pos"), "event_id")
+    up = (base.where((F.col("pos") == 1) | (F.col("event_id") % 2 == 0))
+          .select(F.lit("biased_up").alias("k"), "ts", "pos"))
+    down = (base.where((F.col("pos") == 0)
+                       | (F.col("event_id") % 2 == 0))
+            .select(F.lit("biased_down").alias("k"), "ts", "pos"))
+    # perfectly alternating outcomes: |LLR| never leaves the band ->
+    # the still-running (decision 0) branch provably fires
+    bal = base.select(F.lit("balanced").alias("k"), "ts",
+                      (F.col("event_id") % 2).cast("int").alias("pos"))
+    allk = (base.select("k", "ts", "pos")
+            .unionAll(up).unionAll(down).unionAll(bal))
+    return st.sprt_monitor(allk, "k", "ts", "pos",
+                           llr_pos_micro=200671,
+                           llr_neg_micro=-200671,
+                           boundary_micro=2944439)
+
+
+SQL_SPRT_MONITOR = f"""
+WITH ev AS (SELECT event_type, ts, event_id,
+                   CASE WHEN {_cents_sql('value')} >= 3500
+                        THEN 1 ELSE 0 END AS pos
+            FROM events WHERE value IS NOT NULL),
+src AS (
+  SELECT event_type AS k, ts, pos FROM ev
+  UNION ALL
+  SELECT 'biased_up', ts, pos FROM ev
+  WHERE pos = 1 OR event_id % 2 = 0
+  UNION ALL
+  SELECT 'biased_down', ts, pos FROM ev
+  WHERE pos = 0 OR event_id % 2 = 0
+  UNION ALL
+  SELECT 'balanced', ts, CAST(event_id % 2 AS INT) FROM ev),
+daily AS (SELECT k, epoch_us(ts) // 86400000000 AS d,
+                 CAST(sum(pos) AS BIGINT) AS p,
+                 CAST(count(*) - sum(pos) AS BIGINT) AS ng
+          FROM src GROUP BY 1, 2),
+cum AS (SELECT k, d,
+               sum(p * 200671 + ng * (-200671)) OVER (
+                 PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)
+                   AS llr
+        FROM daily),
+hit AS (SELECT k, d, llr,
+               CASE WHEN llr >= 2944439 THEN 1
+                    WHEN llr <= -2944439 THEN -1 ELSE 0 END AS h
+        FROM cum),
+agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(max_by(llr, d) AS BIGINT) AS llr_final_micro,
+               CAST(min(CASE WHEN h <> 0 THEN d END) AS BIGINT)
+                   AS decided_day
+        FROM hit GROUP BY 1)
+SELECT agg.k, n_days, llr_final_micro,
+       CAST(coalesce(
+         (SELECT h FROM hit WHERE hit.k = agg.k
+          AND hit.d = agg.decided_day), 0) AS BIGINT) AS decision,
+       decided_day
+FROM agg
+"""
+
+
+def q_fk_candidates(spark, sf_dir):
+    """Inclusion-dependency discovery (sources/layout.
+    inclusion_coefficients): pairwise distinct-value containment
+    between events.user_id, customer.c_custkey and orders.o_custkey —
+    the FK-proposal profiling pass (o_custkey and user_id both fully
+    contained in c_custkey). Oracle re-derives with its own distinct
+    sets + joins."""
+    from ..sources import layout as ly
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    tagged = (ev.select(F.lit("user").alias("set_name"),
+                        F.col("user_id").alias("v"))
+              .unionAll(cust.select(F.lit("cust").alias("set_name"),
+                                    F.col("c_custkey").alias("v")))
+              .unionAll(orders.select(F.lit("ocust").alias("set_name"),
+                                      F.col("o_custkey").alias("v"))))
+    return ly.inclusion_coefficients(tagged)
+
+
+SQL_FK_CANDIDATES = """
+WITH d AS (
+  SELECT DISTINCT 'user' AS s, user_id AS v FROM events
+  WHERE user_id IS NOT NULL
+  UNION
+  SELECT DISTINCT 'cust', c_custkey FROM customer
+  WHERE c_custkey IS NOT NULL
+  UNION
+  SELECT DISTINCT 'ocust', o_custkey FROM orders
+  WHERE o_custkey IS NOT NULL),
+sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+common AS (SELECT a.s AS set_a, b.s AS set_b,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM d a JOIN d b ON a.v = b.v AND a.s <> b.s
+           GROUP BY 1, 2)
+SELECT set_a, set_b, sizes.n AS n_a, n_common,
+       CAST(1000000 * n_common // sizes.n AS BIGINT)
+           AS containment_ppm
+FROM common JOIN sizes ON sizes.s = set_a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -10507,6 +10659,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "class_report": q_class_report,
     "random_walks": q_random_walks,
     "dist_drift": q_dist_drift,
+    "textrank": q_textrank,
+    "sprt_monitor": q_sprt_monitor,
+    "fk_candidates": q_fk_candidates,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -10751,6 +10906,9 @@ ORACLES: dict[str, str] = {
     "class_report": SQL_CLASS_REPORT,
     "random_walks": SQL_RANDOM_WALKS,
     "dist_drift": SQL_DIST_DRIFT,
+    "textrank": SQL_TEXTRANK,
+    "sprt_monitor": SQL_SPRT_MONITOR,
+    "fk_candidates": SQL_FK_CANDIDATES,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

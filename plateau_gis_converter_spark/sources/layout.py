@@ -357,3 +357,36 @@ def json_key_stats(df, json_col: str = "props"):
             .select("key", "vtype", "n",
                     F.expr("1000000 * key_n div n_rows").cast("bigint")
                     .alias("share_ppm")))
+
+
+def inclusion_coefficients(tagged):
+    """Inclusion-dependency (foreign-key candidate) discovery: given a
+    tagged (set_name, v) relation of column values, the pairwise
+    containment |distinct(A) ∩ distinct(B)| / |distinct(A)| for every
+    ordered pair sharing at least one value — containment 1e6 ppm
+    means every A value exists in B: A is an FK candidate into B. The
+    schema-profiling pass (Bell/De Marchi) a lakehouse catalog runs to
+    propose join keys, here over the distinct-value relations (one
+    distinct partial agg + one self equi-join on the value, never a
+    row-level cross).
+
+    Output: (set_a, set_b, n_a, n_common, containment_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    d = (tagged.where(F.col("v").isNotNull())
+         .select(F.col("set_name").alias("s"), F.col("v"))
+         .distinct())
+    sizes = d.groupBy("s").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    common = (a.join(b, (F.col("a.v") == F.col("b.v"))
+                     & (F.col("a.s") != F.col("b.s")))
+              .groupBy(F.col("a.s").alias("set_a"),
+                       F.col("b.s").alias("set_b"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    return (common.join(sizes.withColumnRenamed("s", "set_a"), "set_a")
+            .select("set_a", "set_b", F.col("n").alias("n_a"),
+                    "n_common",
+                    F.expr("1000000 * n_common div n").cast("bigint")
+                    .alias("containment_ppm")))

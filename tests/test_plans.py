@@ -1038,3 +1038,27 @@ def test_wave45_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave46_query_scans_prune_and_stay_jvm(spark):
+    """Wave 46: textrank's iterations are join + partial agg over the
+    adjacency relation; sprt windows only per-key day relations;
+    fk_candidates joins distinct sets."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "textrank": {"text"},
+        "sprt_monitor": {"event_type", "ts", "event_id", "value"},
+        "fk_candidates": {"user_id", "c_custkey", "o_custkey"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
