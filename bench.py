@@ -234,7 +234,8 @@ def main():
                   "auc_roc", "survival_km", "viewport_topk",
                   "tile_diversity", "mad_outliers", "impute_median",
                   "class_report", "random_walks", "dist_drift",
-                  "textrank", "sprt_monitor", "fk_candidates"]:
+                  "textrank", "sprt_monitor", "fk_candidates",
+                  "assortativity", "powerlaw_degrees", "attribution"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

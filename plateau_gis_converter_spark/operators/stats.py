@@ -1337,3 +1337,44 @@ def sprt_monitor(events: DataFrame, key_col: str, ts_col: str,
         F.coalesce(F.col("first_hit.h"), F.lit(0)).cast("bigint")
         .alias("decision"),
         F.col("first_hit.dd").cast("bigint").alias("decided_day"))
+
+
+def loglog_ols_fit(hist: DataFrame, x_col: str = "x",
+                   cnt_col: str = "cnt") -> DataFrame:
+    """Power-law exponent estimate by log-log OLS over a histogram
+    relation — the quick-look alpha for degree distributions and
+    near-dup cluster sizes (a training corpus whose duplicate-cluster
+    tail flattens is being gamed). ln values quantize to micro (the
+    token_entropy rule) BEFORE the five integer moments, so the fit is
+    merge-order free; slope/intercept are the two fixed-op-order
+    doubles at the end. Read alpha = -slope for p(x) ~ x^alpha tails.
+
+    Output (one row): (n_points, slope_milli, intercept_milli); NULL
+    when fewer than two distinct x (no line).
+    """
+    pts = (hist.where((F.col(x_col) > 0) & (F.col(cnt_col) > 0))
+           .select(
+               F.floor(F.log(F.col(x_col).cast("double")) * F.lit(1e6)
+                       + F.lit(0.5)).cast("bigint").alias("lx"),
+               F.floor(F.log(F.col(cnt_col).cast("double")) * F.lit(1e6)
+                       + F.lit(0.5)).cast("bigint").alias("ly")))
+    m = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("lx").cast("bigint").alias("sx"),
+                F.sum("ly").cast("bigint").alias("sy"),
+                F.sum(F.col("lx") * F.col("ly")).cast("bigint")
+                .alias("sxy"),
+                F.sum(F.col("lx") * F.col("lx")).cast("bigint")
+                .alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den > 0, num.cast("double") / den.cast("double"))
+    slope_milli = F.floor(slope * F.lit(1000.0) + F.lit(0.5))
+    icept = F.when(
+        den > 0,
+        F.floor((F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double") / F.lit(1e6)
+                * F.lit(1000.0) + F.lit(0.5)))
+    return m.select(F.col("n").alias("n_points"),
+                    slope_milli.cast("bigint").alias("slope_milli"),
+                    icept.cast("bigint").alias("intercept_milli"))

@@ -659,3 +659,43 @@ def survival_km(df: DataFrame, duration_col: str = "duration",
         F.col("ln_s").cast("bigint").alias("ln_s_micro"),
         s.cast("bigint").alias("s_micro")]
     return curve.where(F.col("d") > 0).select(*out_cols)
+
+
+def conversion_attribution(events: DataFrame, conv_type: str,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           tiebreak_col: str = "event_id",
+                           model: str = "last") -> DataFrame:
+    """Marketing-style conversion attribution: each conversion event
+    credits the LAST (or FIRST) preceding non-conversion touch in the
+    user's stream — the channel report every funnel review starts
+    from. Conversions with no prior touch credit 'direct'.
+
+    One window per user (the sessionize Exchange), one partial-agg
+    count, share over the tiny channel relation. The carried channel
+    is last()/first() with ignorenulls over conversion-masked types —
+    no self-join, no per-conversion scan.
+
+    Output: (channel, n_conversions, share_ppm).
+    """
+    if model not in ("last", "first"):
+        raise ValueError(f"model must be last|first, got {model!r}")
+    w = (Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col(type_col) != conv_type, F.col(type_col))
+    carried = (F.last(touch, ignorenulls=True).over(w)
+               if model == "last"
+               else F.first(touch, ignorenulls=True).over(w))
+    conv = (events.withColumn("__ch", carried)
+            .where(F.col(type_col) == conv_type)
+            .select(F.coalesce(F.col("__ch"), F.lit("direct"))
+                    .alias("channel")))
+    counts = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+    wall = Window.partitionBy()
+    return (counts
+            .withColumn("tot", F.sum("n_conversions").over(wall))
+            .select("channel", "n_conversions",
+                    F.expr("1000000 * n_conversions div tot")
+                    .cast("bigint").alias("share_ppm")))

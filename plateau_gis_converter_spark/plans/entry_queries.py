@@ -10416,6 +10416,149 @@ FROM common JOIN sizes ON sizes.s = set_a
 """
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (graph.degree_assortativity): Newman's r
+    over the deterministic link graph as the exact rational
+    (4M·Sjk − S1²)/(2M·S2 − S1²) from three int64 edge moments.
+    Oracle re-derives degrees and moments with its own joins."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    return gr.degree_assortativity(edges)
+
+
+SQL_ASSORTATIVITY = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e GROUP BY 1, 2),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT u AS id FROM und UNION ALL SELECT v FROM und) q
+        GROUP BY 1),
+j AS (SELECT du.d AS dj, dv.d AS dk
+      FROM und JOIN deg du ON du.id = und.u
+               JOIN deg dv ON dv.id = und.v),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+               CAST(sum(dj + dk) AS BIGINT) AS s1,
+               CAST(sum(dj * dj + dk * dk) AS BIGINT) AS s2,
+               CAST(sum(dj * dk) AS BIGINT) AS sjk
+        FROM j)
+SELECT m_edges, s1, s2, sjk,
+       CAST(CASE WHEN 2 * m_edges * s2 - s1 * s1 <> 0 THEN
+         floor(CAST(4 * m_edges * sjk - s1 * s1 AS DOUBLE)
+               / CAST(2 * m_edges * s2 - s1 * s1 AS DOUBLE)
+               * 1000.0 + 0.5)
+       END AS BIGINT) AS r_milli
+FROM agg
+"""
+
+
+def q_powerlaw_degrees(spark, sf_dir):
+    """Power-law tail fit (stats.loglog_ols_fit): log-log OLS over the
+    out-degree histogram of the link graph — alpha = -slope, the
+    corpus-structure quick look. Per-point micro-quantized logs keep
+    the moments integer; oracle mirrors the fixed op order over its
+    own histogram CTEs."""
+    from ..operators import graph as gr
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    hist = (edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    return st.loglog_ols_fit(hist, x_col="degree", cnt_col="cnt")
+
+
+SQL_POWERLAW_DEGREES = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+h AS (SELECT degree, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT src, count(*) AS degree FROM e GROUP BY 1) q
+      GROUP BY 1),
+pts AS (SELECT
+  CAST(floor(ln(CAST(degree AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS lx,
+  CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS ly
+  FROM h WHERE degree > 0 AND cnt > 0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * ly) AS BIGINT) AS sxy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx
+      FROM pts)
+SELECT n AS n_points,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 + 0.5)
+       END AS BIGINT) AS slope_milli,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000.0 * 1000.0 + 0.5)
+       END AS BIGINT) AS intercept_milli
+FROM m
+"""
+
+
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (temporal.conversion_attribution): every
+    purchase credits the user's latest preceding non-purchase event
+    type ('direct' when none) — one ignorenulls window carry, one
+    count, integer shares. Oracle re-derives with last_value IGNORE
+    NULLS."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    return tp.conversion_attribution(ev, conv_type="purchase")
+
+
+SQL_ATTRIBUTION = """
+WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+            WHERE user_id IS NOT NULL),
+car AS (SELECT event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS ch
+        FROM ev),
+conv AS (SELECT coalesce(ch, 'direct') AS channel FROM car
+         WHERE event_type = 'purchase'),
+counts AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
+           FROM conv GROUP BY 1),
+tot AS (SELECT sum(n_conversions) AS t FROM counts)
+SELECT channel, n_conversions,
+       CAST(1000000 * n_conversions // tot.t AS BIGINT) AS share_ppm
+FROM counts, tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -10662,6 +10805,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textrank": q_textrank,
     "sprt_monitor": q_sprt_monitor,
     "fk_candidates": q_fk_candidates,
+    "assortativity": q_assortativity,
+    "powerlaw_degrees": q_powerlaw_degrees,
+    "attribution": q_attribution,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -10909,6 +11055,9 @@ ORACLES: dict[str, str] = {
     "textrank": SQL_TEXTRANK,
     "sprt_monitor": SQL_SPRT_MONITOR,
     "fk_candidates": SQL_FK_CANDIDATES,
+    "assortativity": SQL_ASSORTATIVITY,
+    "powerlaw_degrees": SQL_POWERLAW_DEGREES,
+    "attribution": SQL_ATTRIBUTION,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

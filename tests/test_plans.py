@@ -1062,3 +1062,27 @@ def test_wave46_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave47_query_scans_prune_and_stay_jvm(spark):
+    """Wave 47: assortativity is two co-keyed joins + one aggregate;
+    powerlaw fits the tiny histogram; attribution is one window +
+    one count."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "assortativity": {"doc_id"},
+        "powerlaw_degrees": {"doc_id"},
+        "attribution": {"user_id", "ts", "event_id", "event_type"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
