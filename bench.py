@@ -235,7 +235,8 @@ def main():
                   "tile_diversity", "mad_outliers", "impute_median",
                   "class_report", "random_walks", "dist_drift",
                   "textrank", "sprt_monitor", "fk_candidates",
-                  "assortativity", "powerlaw_degrees", "attribution"]:
+                  "assortativity", "powerlaw_degrees", "attribution",
+                  "heaps_law", "fisher_scores", "stable_uuids"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

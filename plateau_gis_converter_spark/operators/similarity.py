@@ -472,3 +472,53 @@ def power_iteration_top(embeddings: DataFrame, dim: int, iters: int = 2,
                      .otherwise(F.lit(0)).cast("bigint").alias("v")))
     return v.select(F.col("d").cast("bigint").alias("d"),
                     F.col("v").cast("bigint").alias("v_e6"))
+
+
+def fisher_scores(embeddings: DataFrame, dim: int,
+                  label_col: str = "label",
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Per-dimension Fisher discriminant score for a binary label —
+    (mean1 - mean0)^2 / (var1 + var0) — the embedding-space
+    separability diagnostic (which coordinates carry the class signal;
+    near-zero everywhere means the label is not linearly visible, a
+    prerequisite check before training a probe).
+
+    Inputs quantize to milli ints; per-(dimension, class) moments
+    (n, sum, sum of squares) are associative int64 aggregates; the
+    score is ONE fixed-op-order double chain over those exact ints
+    (population variances), milli-quantized. One explode + one partial
+    agg + one pivot join.
+
+    Output: (d, n0, n1, score_milli) — NULL when var1 + var0 = 0.
+    """
+    xl = (embeddings
+          .where(F.col(label_col).isNotNull())
+          .select(F.col(label_col).cast("int").alias("y"),
+                  F.posexplode(F.col(emb_col)).alias("d", "xf"))
+          .select("y", "d",
+                  F.floor(F.col("xf").cast("double") * F.lit(1000.0)
+                          + F.lit(0.5)).cast("bigint").alias("x")))
+    m = (xl.groupBy("d", "y")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint")
+              .alias("sxx")))
+    p0 = (m.where(F.col("y") == 0)
+          .select("d", F.col("n").alias("n0"), F.col("sx").alias("sx0"),
+                  F.col("sxx").alias("sxx0")))
+    p1 = (m.where(F.col("y") == 1)
+          .select("d", F.col("n").alias("n1"), F.col("sx").alias("sx1"),
+                  F.col("sxx").alias("sxx1")))
+    j = p0.join(p1, "d")
+    m0 = F.col("sx0").cast("double") / F.col("n0").cast("double")
+    m1 = F.col("sx1").cast("double") / F.col("n1").cast("double")
+    v0 = (F.col("sxx0").cast("double") / F.col("n0").cast("double")
+          - m0 * m0)
+    v1 = (F.col("sxx1").cast("double") / F.col("n1").cast("double")
+          - m1 * m1)
+    score = F.when(v0 + v1 > 0,
+                   F.floor((m1 - m0) * (m1 - m0) / (v1 + v0)
+                           * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return j.select(F.col("d").cast("bigint").alias("d"), "n0", "n1",
+                    score.alias("score_milli"))

@@ -477,3 +477,41 @@ def textrank_terms(docs: DataFrame, iters: int = 2, k: int = 10,
             .select(F.col("id").alias("term"),
                     F.col("score_e6").cast("bigint").alias("score_e6"),
                     "rank"))
+
+
+def heaps_law_fit(docs: DataFrame, bucket_docs: int = 50,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(T) ~ K * T^beta over the
+    corpus in ingest order — the curve that says whether a crawl is
+    still finding new language (beta near natural-text 0.4-0.6) or
+    re-crawling templates (beta collapsing). Composition: the
+    first-seen-token relation (the ``shingle_novelty`` idea at token
+    granularity) bucketed by ingest position, cumulative sums over the
+    BUCKET relation (n_docs/bucket_docs rows — never a global window
+    over tokens), then ``stats.loglog_ols_fit`` on (tokens-so-far,
+    vocab-so-far); beta = slope.
+
+    Output (one row): the loglog fit (n_points, slope_milli,
+    intercept_milli).
+    """
+    from .stats import loglog_ols_fit
+
+    if bucket_docs < 1:
+        raise ValueError(f"bucket_docs must be >= 1, got {bucket_docs}")
+    toks = docs.select(F.col(id_col).alias("d"),
+                       F.explode(_tokens(F.col(text_col))).alias("tok"))
+    first = toks.groupBy("tok").agg(F.min("d").alias("fd"))
+    b = F.expr(f"fd div {int(bucket_docs)}")
+    new_per_bucket = (first.groupBy(b.alias("bk"))
+                      .agg(F.count(F.lit(1)).cast("bigint").alias("nv")))
+    tok_per_bucket = (toks.groupBy(F.expr(f"d div {int(bucket_docs)}")
+                                   .alias("bk"))
+                      .agg(F.count(F.lit(1)).cast("bigint").alias("nt")))
+    wc = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (tok_per_bucket.join(new_per_bucket, "bk", "left")
+             .select("bk", "nt",
+                     F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+             .withColumn("t_cum", F.sum("nt").over(wc))
+             .withColumn("v_cum", F.sum("nv").over(wc)))
+    return loglog_ols_fit(curve, x_col="t_cum", cnt_col="v_cum")

@@ -10559,6 +10559,152 @@ FROM counts, tot
 """
 
 
+def q_heaps_law(spark, sf_dir):
+    """Vocabulary growth (text.heaps_law_fit): Heaps'-law beta from
+    cumulative (tokens, vocab) at 10-doc ingest buckets — first-seen
+    tokens bucketed by ingest position, cumsums over the BUCKET
+    relation, then the shared log-log OLS. Oracle re-derives
+    first-seens, buckets and the fit."""
+    from ..operators import text as tx2
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx2.heaps_law_fit(docs, bucket_docs=10)
+
+
+SQL_HEAPS_LAW = """
+WITH toks AS (
+  SELECT doc_id AS d, u.tok FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)),
+                                             '[^a-z0-9_]+'),
+                       x -> x <> '') AS t
+    FROM documents) q, UNNEST(t) AS u(tok)),
+first AS (SELECT tok, min(d) AS fd FROM toks GROUP BY 1),
+nv AS (SELECT fd // 10 AS bk, CAST(count(*) AS BIGINT) AS nv
+       FROM first GROUP BY 1),
+nt AS (SELECT d // 10 AS bk, CAST(count(*) AS BIGINT) AS nt
+       FROM toks GROUP BY 1),
+curve AS (SELECT nt.bk, nt.nt, coalesce(nv.nv, 0) AS nv
+          FROM nt LEFT JOIN nv ON nv.bk = nt.bk),
+cum AS (SELECT bk,
+               sum(nt) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING)
+                   AS t_cum,
+               sum(nv) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING)
+                   AS v_cum
+        FROM curve),
+pts AS (SELECT
+  CAST(floor(ln(CAST(t_cum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS lx,
+  CAST(floor(ln(CAST(v_cum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS ly
+  FROM cum WHERE t_cum > 0 AND v_cum > 0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * ly) AS BIGINT) AS sxy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx
+      FROM pts)
+SELECT n AS n_points,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 + 0.5)
+       END AS BIGINT) AS slope_milli,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000.0 * 1000.0 + 0.5)
+       END AS BIGINT) AS intercept_milli
+FROM m
+"""
+
+
+def q_fisher_scores(spark, sf_dir):
+    """Embedding separability (similarity.fisher_scores): per-dimension
+    Fisher discriminant of the binarized label over milli-quantized
+    coordinates — exact per-class moments, one mirrored double chain.
+    Oracle re-derives moments with its own pivot."""
+    from ..operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") < 5).cast("int")
+        .alias("label"))
+    return sim.fisher_scores(emb, dim=64)
+
+
+SQL_FISHER_SCORES = """
+WITH xl AS (
+  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+         CAST(u.i AS BIGINT) AS d,
+         CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings, UNNEST(range(64)) AS u(i)
+  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+m AS (SELECT d, y, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM xl GROUP BY 1, 2),
+j AS (SELECT p0.d, p0.n AS n0, p0.sx AS sx0, p0.sxx AS sxx0,
+             p1.n AS n1, p1.sx AS sx1, p1.sxx AS sxx1
+      FROM (SELECT * FROM m WHERE y = 0) p0
+      JOIN (SELECT * FROM m WHERE y = 1) p1 USING (d))
+SELECT d, n0, n1,
+       CAST(CASE WHEN
+         (CAST(sxx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          - (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+            * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+         + (CAST(sxx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))) > 0
+       THEN floor(
+         (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         / ((CAST(sxx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+            + (CAST(sxx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+               - (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))))
+         * 1000.0 + 0.5)
+       END AS BIGINT) AS score_milli
+FROM j
+"""
+
+
+def q_stable_uuids(spark, sf_dir):
+    """Deterministic record ids (sources/layout.uuid3_ids): UUIDv3-
+    format ids from namespaced document urls — version nibble 3,
+    variant via the translate('0..f' -> '89ab…') trick. Map-side
+    only; oracle mirrors the layout."""
+    from ..sources import layout as ly
+
+    docs = _t(spark, sf_dir, "documents")
+    named = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return ly.uuid3_ids(named, "url").select("doc_id", "uid")
+
+
+SQL_STABLE_UUIDS = """
+WITH named AS (
+  SELECT doc_id,
+         'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+             AS url
+  FROM documents),
+h AS (SELECT doc_id, md5('spark-graft:' || url) AS x FROM named)
+SELECT doc_id,
+       substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-3'
+       || substr(x, 14, 3) || '-'
+       || translate(substr(x, 17, 1), '0123456789abcdef',
+                    '89ab89ab89ab89ab')
+       || substr(x, 18, 3) || '-' || substr(x, 21, 12) AS uid
+FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -10808,6 +10954,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "powerlaw_degrees": q_powerlaw_degrees,
     "attribution": q_attribution,
+    "heaps_law": q_heaps_law,
+    "fisher_scores": q_fisher_scores,
+    "stable_uuids": q_stable_uuids,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -11058,6 +11207,9 @@ ORACLES: dict[str, str] = {
     "assortativity": SQL_ASSORTATIVITY,
     "powerlaw_degrees": SQL_POWERLAW_DEGREES,
     "attribution": SQL_ATTRIBUTION,
+    "heaps_law": SQL_HEAPS_LAW,
+    "fisher_scores": SQL_FISHER_SCORES,
+    "stable_uuids": SQL_STABLE_UUIDS,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

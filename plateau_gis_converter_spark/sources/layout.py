@@ -390,3 +390,33 @@ def inclusion_coefficients(tagged):
                     "n_common",
                     F.expr("1000000 * n_common div n").cast("bigint")
                     .alias("containment_ppm")))
+
+
+def uuid3_ids(df, name_col: str, namespace: str = "spark-graft",
+              out_col: str = "uid"):
+    """Deterministic UUIDv3-FORMAT record ids: md5 of
+    ``namespace || ':' || name`` laid out per RFC 4122 (version nibble
+    3, variant bits 10) — the stable cross-system record identity a
+    lakehouse assigns once and every downstream join keys on. NOTE:
+    the namespace is a STRING convention, not the RFC's 16-byte UUID
+    namespace (DuckDB's md5 cannot digest raw blobs, so byte-exact
+    uuid.uuid3 parity is unreachable cross-engine; the format and
+    determinism guarantees are identical and documented).
+
+    Pure map-side string ops (md5 + substr + translate); the variant
+    hex digit maps through translate('0123456789abcdef' ->
+    '89ab89ab89ab89ab') — exactly (digit & 3) | 8.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.lit(namespace + ":"),
+                       F.col(name_col).cast("string")))
+    variant = F.translate(F.substring(h, 17, 1),
+                          "0123456789abcdef", "89ab89ab89ab89ab")
+    uid = F.concat(
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-3"),
+        F.substring(h, 14, 3), F.lit("-"),
+        variant, F.substring(h, 18, 3), F.lit("-"),
+        F.substring(h, 21, 12))
+    return df.withColumn(out_col, uid)

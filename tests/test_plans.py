@@ -1086,3 +1086,32 @@ def test_wave47_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave48_query_scans_prune_and_stay_jvm(spark):
+    """Wave 48: heaps_law windows only the bucket relation;
+    fisher_scores pivots per-dimension moments; stable_uuids is pure
+    map-side string ops."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "heaps_law": {"doc_id", "text"},
+        "fisher_scores": {"embedding", "label"},
+        "stable_uuids": {"doc_id", "source"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
+    plan = (eq.QUERIES["stable_uuids"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
+             if x != "RoundRobinPartitioning"]
+    assert keyed == [], f"uuid gen shuffles: {keyed}"
