@@ -236,7 +236,8 @@ def main():
                   "class_report", "random_walks", "dist_drift",
                   "textrank", "sprt_monitor", "fk_candidates",
                   "assortativity", "powerlaw_degrees", "attribution",
-                  "heaps_law", "fisher_scores", "stable_uuids"]:
+                  "heaps_law", "fisher_scores", "stable_uuids",
+                  "hurst", "isotropy", "rich_club"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

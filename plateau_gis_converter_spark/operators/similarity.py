@@ -522,3 +522,50 @@ def fisher_scores(embeddings: DataFrame, dim: int,
                            * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
     return j.select(F.col("d").cast("bigint").alias("d"), "n0", "n1",
                     score.alias("score_milli"))
+
+
+def isotropy_score(embeddings: DataFrame, dim: int,
+                   emb_col: str = "embedding") -> DataFrame:
+    """Embedding anisotropy diagnostic (Ethayarajh 2019): the average
+    pairwise DOT over all n(n-1) ordered pairs, relative to the
+    average self-dot — near 0 for an isotropic cloud, near 1000 milli
+    when every vector points the same way (the 'cone' pathology that
+    breaks cosine retrieval). Identity that removes the pair join
+    entirely: sum over pairs of <u, v> = ||sum v||^2 - sum ||v||^2 —
+    two integer aggregates over the long form, NO O(n^2) anywhere.
+
+    Milli-quantized integer coordinates; S_d and the self-dot sum are
+    exact int64; the final ratio is one fixed-op-order double.
+
+    Output (one row): (n, self_dot_sum, pair_dot_num,
+    anisotropy_milli).
+    """
+    # row id BEFORE the explode (inside the same select it would be
+    # evaluated per generator OUTPUT row — n would count coordinates)
+    rows = embeddings.select(
+        F.monotonically_increasing_id().alias("rid"),
+        F.col(emb_col).alias("__e"))
+    xl = (rows.select(
+        "rid", F.posexplode(F.col("__e")).alias("d", "xf"))
+        .select("rid", "d",
+                F.floor(F.col("xf").cast("double") * F.lit(1000.0)
+                        + F.lit(0.5)).cast("bigint").alias("x")))
+    per_dim = xl.groupBy("d").agg(F.sum("x").cast("bigint").alias("sd"))
+    per_row = xl.groupBy("rid").agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("r2"))
+    a = per_dim.agg(F.sum(F.col("sd") * F.col("sd")).cast("bigint")
+                    .alias("ss"))
+    b = per_row.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("r2").cast("bigint").alias("self_dot_sum"))
+    j = b.crossJoin(F.broadcast(a))
+    num = F.col("ss") - F.col("self_dot_sum")
+    aniso = F.when(
+        (F.col("n") > 1) & (F.col("self_dot_sum") > 0),
+        F.floor(num.cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                / (F.col("self_dot_sum").cast("double")
+                   / F.col("n").cast("double"))
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return j.select("n", "self_dot_sum",
+                    num.cast("bigint").alias("pair_dot_num"),
+                    aniso.alias("anisotropy_milli"))

@@ -1378,3 +1378,74 @@ def loglog_ols_fit(hist: DataFrame, x_col: str = "x",
     return m.select(F.col("n").alias("n_points"),
                     slope_milli.cast("bigint").alias("slope_milli"),
                     icept.cast("bigint").alias("intercept_milli"))
+
+
+def hurst_variance_scaling(events: DataFrame, key_col: str = "event_type",
+                           ts_col: str = "ts",
+                           scales: tuple = (1, 2, 4, 8)) -> DataFrame:
+    """Hurst exponent per key by the aggregated-variance method: for a
+    self-similar series, Var of m-day bucket sums scales as
+    m^(2H - 1)... precisely, Var(X^(m)) ~ m^(2H-2) for the MEAN-
+    aggregated series; for SUM-aggregated buckets Var ~ m^(2H), so
+    H = slope/2 from the log-log fit of bucket-sum variance vs m.
+    H > 0.5 = long-range-dependent traffic (bursts cluster — the
+    Leland et al. self-similar-traffic result), H ≈ 0.5 = memoryless.
+
+    Series = the shared zero-filled daily grid; per scale m the bucket
+    sums are one partial agg, the population variance the exact
+    rational (B·Σx² − S²)/B²; each (key, m) point's ln(var) quantizes
+    to micro BEFORE the per-key OLS moments (all integer, merge-order
+    free; zero-variance points drop). Bounded fan-out: |scales| rows
+    per day.
+
+    Output: (key, n_scales, slope_milli, h_milli).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    daily = (events.select(F.col(key_col).alias("k"), day.alias("d"))
+             .groupBy("k", "d")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    span = daily.groupBy("k").agg(F.min("d").alias("d0"),
+                                  F.max("d").alias("d1"))
+    grid = (span.select("k", "d0",
+                        F.explode(F.sequence("d0", "d1")).alias("d"))
+            .join(daily, ["k", "d"], "left")
+            .select("k", "d0", "d",
+                    F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
+                    .alias("c")))
+    sc = F.explode(F.array(*[F.lit(int(m)) for m in scales])).alias("m")
+    bucketed = (grid.select("k", "c", sc,
+                            ((F.col("d") - F.col("d0"))).alias("off"))
+                .select("k", "m", "c",
+                        F.expr("off div m").alias("b"))
+                .groupBy("k", "m", "b")
+                .agg(F.sum("c").cast("bigint").alias("x")))
+    v = (bucketed.groupBy("k", "m")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("nb"),
+              F.sum("x").cast("bigint").alias("s"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss")))
+    var_d = ((F.col("nb") * F.col("ss") - F.col("s") * F.col("s"))
+             .cast("double")
+             / (F.col("nb") * F.col("nb")).cast("double"))
+    pts = (v.where(F.col("nb") * F.col("ss") - F.col("s") * F.col("s")
+                   > 0)
+           .select("k",
+                   F.floor(F.log(F.col("m").cast("double")) * F.lit(1e6)
+                           + F.lit(0.5)).cast("bigint").alias("lx"),
+                   F.floor(F.log(var_d) * F.lit(1e6) + F.lit(0.5))
+                   .cast("bigint").alias("ly")))
+    m = pts.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return m.select(
+        F.col("k").alias(key_col), F.col("n").alias("n_scales"),
+        F.floor(slope * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+        .alias("slope_milli"),
+        F.floor(slope * F.lit(500.0) + F.lit(0.5)).cast("bigint")
+        .alias("h_milli"))

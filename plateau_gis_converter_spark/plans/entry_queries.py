@@ -10705,6 +10705,143 @@ FROM h
 """
 
 
+def q_hurst(spark, sf_dir):
+    """Traffic self-similarity (stats.hurst_variance_scaling): per-key
+    Hurst exponent from bucket-sum variances at scales 1/2/4/8 days —
+    per-(key, scale) ln(var) micro-quantized before the per-key OLS.
+    Oracle mirrors grid, buckets, variance rationals and the fit."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    return st.hurst_variance_scaling(ev, scales=(1, 2, 4, 8))
+
+
+SQL_HURST = """
+WITH daily AS (
+  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT sp.k, sp.d0, sp.d0 + u.i AS d
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+cd AS (SELECT g.k, g.d0, g.d, coalesce(dl.c, 0) AS c
+       FROM grid g LEFT JOIN daily dl ON dl.k = g.k AND dl.d = g.d),
+bk AS (SELECT k, m.m, (d - d0) // m.m AS b, CAST(sum(c) AS BIGINT) AS x
+       FROM cd, UNNEST([1, 2, 4, 8]) AS m(m)
+       GROUP BY 1, 2, 3),
+v AS (SELECT k, m, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM bk GROUP BY 1, 2),
+pts AS (SELECT k,
+  CAST(floor(ln(CAST(m AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx,
+  CAST(floor(ln(CAST(nb * ss - s * s AS DOUBLE)
+              / CAST(nb * nb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS ly
+  FROM v WHERE nb * ss - s * s > 0),
+mm AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(lx) AS BIGINT) AS sx,
+              CAST(sum(ly) AS BIGINT) AS sy,
+              CAST(sum(lx * ly) AS BIGINT) AS sxy,
+              CAST(sum(lx * lx) AS BIGINT) AS sxx
+       FROM pts GROUP BY 1)
+SELECT k AS event_type, n AS n_scales,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 + 0.5)
+       END AS BIGINT) AS slope_milli,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 500.0 + 0.5)
+       END AS BIGINT) AS h_milli
+FROM mm
+"""
+
+
+def q_isotropy(spark, sf_dir):
+    """Embedding anisotropy (similarity.isotropy_score): average
+    pairwise dot over ALL n(n-1) pairs without a pair join — the
+    ||Σv||² − Σ||v||² identity over two integer aggregates. Oracle
+    restates the identity over its own long form."""
+    from ..operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.isotropy_score(emb, dim=64)
+
+
+SQL_ISOTROPY = """
+WITH xl AS (
+  SELECT vec_id AS rid, CAST(u.i AS BIGINT) AS d,
+         CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings, UNNEST(range(64)) AS u(i)),
+pd AS (SELECT d, CAST(sum(x) AS BIGINT) AS sd FROM xl GROUP BY 1),
+prw AS (SELECT rid, CAST(sum(x * x) AS BIGINT) AS r2
+        FROM xl GROUP BY 1),
+a AS (SELECT CAST(sum(sd * sd) AS BIGINT) AS ss FROM pd),
+b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2) AS BIGINT) AS self_dot_sum
+      FROM prw)
+SELECT n, self_dot_sum,
+       CAST(ss - self_dot_sum AS BIGINT) AS pair_dot_num,
+       CAST(CASE WHEN n > 1 AND self_dot_sum > 0 THEN
+         floor(CAST(ss - self_dot_sum AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE)
+               / (CAST(self_dot_sum AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000.0 + 0.5)
+       END AS BIGINT) AS anisotropy_milli
+FROM b, a
+"""
+
+
+def q_rich_club(spark, sf_dir):
+    """Hub-club structure (graph.rich_club): phi(k) densities of the
+    degree>k induced subgraphs at k=1..4 over the link graph — per-k
+    counts in one pass via a bounded threshold explode. Oracle
+    re-derives degrees and induced counts with its own joins."""
+    from ..operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = gr.synthetic_link_edges(docs, n)
+    return gr.rich_club(edges, ks=(1, 2, 3, 4))
+
+
+SQL_RICH_CLUB = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  WHERE doc_id % 2 = 0
+  UNION
+  SELECT doc_id, (doc_id * 29 + 11) % nn.n FROM documents, nn
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e GROUP BY 1, 2),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT u AS id FROM und UNION ALL SELECT v FROM und) q
+        GROUP BY 1),
+ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM deg, ks WHERE d > k GROUP BY 1),
+ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+       FROM und
+       JOIN deg du ON du.id = und.u
+       JOIN deg dv ON dv.id = und.v, ks
+       WHERE du.d > k AND dv.d > k GROUP BY 1)
+SELECT CAST(nk.k AS BIGINT) AS k, n_nodes,
+       CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(CASE WHEN n_nodes > 1 THEN
+         1000000 * 2 * coalesce(n_edges, 0)
+         // (n_nodes * (n_nodes - 1))
+       END AS BIGINT) AS phi_ppm
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -10957,6 +11094,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps_law": q_heaps_law,
     "fisher_scores": q_fisher_scores,
     "stable_uuids": q_stable_uuids,
+    "hurst": q_hurst,
+    "isotropy": q_isotropy,
+    "rich_club": q_rich_club,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -11210,6 +11350,9 @@ ORACLES: dict[str, str] = {
     "heaps_law": SQL_HEAPS_LAW,
     "fisher_scores": SQL_FISHER_SCORES,
     "stable_uuids": SQL_STABLE_UUIDS,
+    "hurst": SQL_HURST,
+    "isotropy": SQL_ISOTROPY,
+    "rich_club": SQL_RICH_CLUB,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

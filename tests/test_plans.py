@@ -1115,3 +1115,27 @@ def test_wave48_query_scans_prune_and_stay_jvm(spark):
     keyed = [x for x in re.findall(r"Exchange (\w+)", plan)
              if x != "RoundRobinPartitioning"]
     assert keyed == [], f"uuid gen shuffles: {keyed}"
+
+
+def test_wave49_query_scans_prune_and_stay_jvm(spark):
+    """Wave 49: hurst windows only calendar buckets; isotropy is two
+    aggregates with NO pair join; rich_club's per-k counts are a
+    bounded explode."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "hurst": {"event_type", "ts"},
+        "isotropy": {"embedding"},
+        "rich_club": {"doc_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
