@@ -237,7 +237,8 @@ def main():
                   "textrank", "sprt_monitor", "fk_candidates",
                   "assortativity", "powerlaw_degrees", "attribution",
                   "heaps_law", "fisher_scores", "stable_uuids",
-                  "hurst", "isotropy", "rich_club"]:
+                  "hurst", "isotropy", "rich_club",
+                  "weighted_topk", "ks_test", "weighted_quantiles"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

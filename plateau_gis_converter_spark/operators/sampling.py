@@ -395,3 +395,41 @@ def mix_waterfill(sources: DataFrame, budget: int,
                 F.col("src").alias(source_col),
                 F.col("a").alias(avail_col),
                 F.col("w").alias(weight_col), "saturated", "quota")))
+
+
+def weighted_topk_sample(df: DataFrame, group_col: str, weight_col: str,
+                         key_col: str, k: int,
+                         salt: str = "aes0") -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): per group keep the k rows with the largest
+    u^(1/w) — equivalently the largest ln(u)/w, which is how it is
+    computed — where u is the deterministic md5 uniform. The
+    distribution is exactly weighted sampling without replacement, and
+    because u is hash-derived the SAMPLE IS REPRODUCIBLE (the property
+    ``weighted_sample``'s Bernoulli form has, now with an exact size —
+    what a fixed-budget curation quota needs).
+
+    ln(u)/w is a computed double from exact integers in one fixed op
+    order (the theil_sen ordering rule) so both engines rank
+    identically; ties break on the key. Zero/negative weights never
+    selected. One window per group (salt via ``cap_per_group`` if a
+    group is hot).
+
+    Output: input rows + ``sample_rank`` (1..k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(float(1 << 60))
+    akey = F.log(u) / F.col(weight_col).cast("double")
+    ranked = (df.where(F.col(weight_col).cast("bigint") > 0)
+              .withColumn("__ak", akey)
+              .withColumn("sample_rank", F.row_number().over(
+                  Window.partitionBy(group_col)
+                  .orderBy(F.col("__ak").desc(), F.col(key_col))))
+              .where(F.col("sample_rank") <= int(k))
+              .drop("__ak"))
+    return ranked.withColumn("sample_rank",
+                             F.col("sample_rank").cast("bigint"))

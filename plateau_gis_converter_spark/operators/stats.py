@@ -1449,3 +1449,87 @@ def hurst_variance_scaling(events: DataFrame, key_col: str = "event_type",
         .alias("slope_milli"),
         F.floor(slope * F.lit(500.0) + F.lit(0.5)).cast("bigint")
         .alias("h_milli"))
+
+
+def ks_test(df: DataFrame, side_col: str, value_col: str,
+            c_milli: int = 1358) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test — the significance companion
+    of ``emd_1d`` (EMD says how far the distributions moved; KS says
+    whether the move is statistically real): D = max |F_a - F_b|, with
+    the supremum taken over the merged value grid and the numerator
+    D_num = max |cumA*nB - cumB*nA| kept exact int64. Reject at level
+    alpha when D > c(alpha) * sqrt((na+nb)/(na*nb)) — c defaults to
+    1.358 (alpha = 0.05) — decided as one fixed-op-order double
+    comparison, mirrored in the oracle.
+
+    Output (one row): (n_a, n_b, d_num, d_milli, reject).
+    """
+    base = (df.where(F.col(value_col).isNotNull())
+            .groupBy(F.col(value_col).cast("bigint").alias("v"))
+            .agg(F.sum(F.when(F.col(side_col) == "a", 1).otherwise(0))
+                 .cast("bigint").alias("ca"),
+                 F.sum(F.when(F.col(side_col) == "b", 1).otherwise(0))
+                 .cast("bigint").alias("cb")))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (base
+           .withColumn("cuma", F.sum("ca").over(wc))
+           .withColumn("cumb", F.sum("cb").over(wc))
+           .withColumn("na", F.sum("ca").over(wall))
+           .withColumn("nb", F.sum("cb").over(wall)))
+    agg = cum.agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.max(F.abs(F.col("cuma") * F.col("nb")
+                    - F.col("cumb") * F.col("na"))).cast("bigint")
+        .alias("d_num"))
+    d = (F.col("d_num").cast("double")
+         / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    thr = (F.lit(float(c_milli)) / F.lit(1000.0)
+           * F.sqrt((F.col("n_a") + F.col("n_b")).cast("double")
+                    / (F.col("n_a").cast("double")
+                       * F.col("n_b").cast("double"))))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"), "d_num",
+        F.when(ok, F.floor(d * F.lit(1000.0) + F.lit(0.5)))
+        .cast("bigint").alias("d_milli"),
+        F.when(ok, (d > thr).cast("int")).cast("int").alias("reject"))
+
+
+def weighted_group_quantiles(df: DataFrame, group_col: str, col: str,
+                             weight_col: str,
+                             qs_ppm: list[int]) -> DataFrame:
+    """Per-group exact type-1 WEIGHTED quantiles — the
+    ``group_value_quantiles`` machinery with integer row weights
+    (token counts, byte sizes): the q-quantile is the smallest value
+    whose cumulative WEIGHT reaches ceil(q * W / 1e6). Token-weighted
+    length percentiles answer "the median TOKEN sits in how long a
+    document?" — a different (and for training mixes, the right)
+    question from the median document.
+
+    Output: (group, q_ppm, value).
+    """
+    if not qs_ppm:
+        raise ValueError("qs_ppm must be non-empty")
+    if not all(0 < q <= 1_000_000 for q in qs_ppm):
+        raise ValueError(f"qs_ppm must be in (0, 1e6], got {qs_ppm}")
+    counts = (df.where(F.col(weight_col).cast("bigint") > 0)
+              .groupBy(F.col(group_col).alias("g"),
+                       F.col(col).alias("v"))
+              .agg(F.sum(F.col(weight_col).cast("bigint"))
+                   .cast("bigint").alias("w")))
+    wcum = (Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("g")
+    cum = (counts.withColumn("cum", F.sum("w").over(wcum))
+           .withColumn("tw", F.sum("w").over(wall)))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in sorted(set(qs_ppm))],
+                                "q_ppm long")
+    tgt = F.expr("(q_ppm * tw + 999999) DIV 1000000")
+    return (cum.crossJoin(F.broadcast(qdf))
+            .where(F.col("cum") >= tgt)
+            .groupBy("g", "q_ppm")
+            .agg(F.min("v").alias("value"))
+            .select(F.col("g").alias(group_col), "q_ppm", "value"))

@@ -10842,6 +10842,130 @@ FROM nk LEFT JOIN ek ON ek.k = nk.k
 """
 
 
+def q_weighted_topk(spark, sf_dir):
+    """A-ES weighted sampling without replacement
+    (sampling.weighted_topk_sample): 5 documents per language with
+    probability proportional to length, reproducibly — ranked by
+    ln(u)/w on the md5 uniform. Oracle mirrors the key arithmetic in
+    its own window."""
+    from ..operators import sampling as sp
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull() & (F.col("n_chars") > 0))
+            .select("lang", "doc_id", "n_chars"))
+    return sp.weighted_topk_sample(docs, "lang", "n_chars",
+                                   "doc_id", k=5)
+
+
+SQL_WEIGHTED_TOPK = """
+WITH d AS (SELECT lang, doc_id, n_chars FROM documents
+           WHERE lang IS NOT NULL AND n_chars > 0),
+r AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln((CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR) || 'aes0'),
+                          1, 15)) AS BIGINT) + 1)
+                   / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE) DESC, doc_id)
+                 AS sample_rank
+      FROM d)
+SELECT lang, doc_id, n_chars, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 5
+"""
+
+
+def q_ks_test(spark, sf_dir):
+    """Two-sample KS (stats.ks_test): the dist_drift fixture's
+    even/odd-with-shifted-purchases split — exact integer D numerator,
+    95% decision as one mirrored double comparison."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    d = ev.where(F.col("value").isNotNull()).select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("side"),
+        (cents + F.when((F.col("event_id") % 2 == 1)
+                        & (F.col("event_type") == "purchase"),
+                        F.lit(500)).otherwise(F.lit(0))).alias("v"))
+    return st.ks_test(d, "side", "v")
+
+
+SQL_KS_TEST = f"""
+WITH d AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         {_cents_sql('value')}
+           + CASE WHEN event_id % 2 = 1 AND event_type = 'purchase'
+                  THEN 500 ELSE 0 END AS v
+  FROM events WHERE value IS NOT NULL),
+base AS (SELECT v,
+                CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cb
+         FROM d GROUP BY 1),
+cum AS (SELECT
+          sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+          sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+          sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM base),
+agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b,
+               CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+        FROM cum)
+SELECT n_a, n_b, d_num,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         floor(CAST(d_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               * 1000.0 + 0.5) END AS BIGINT) AS d_milli,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CASE WHEN CAST(d_num AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                   > 1358.0 / 1000.0
+                     * sqrt(CAST(n_a + n_b AS DOUBLE)
+                            / (CAST(n_a AS DOUBLE)
+                               * CAST(n_b AS DOUBLE)))
+              THEN 1 ELSE 0 END END AS INT) AS reject
+FROM agg
+"""
+
+
+def q_weighted_quantiles(spark, sf_dir):
+    """Token-weighted length quantiles (stats.
+    weighted_group_quantiles): per language, the document length at
+    which the q-th WEIGHTED token sits (weight = n_chars) — the
+    training-mix question, distinct from the median document. Oracle
+    re-ranks with its own cumulative-weight windows."""
+    from ..operators import stats as st
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull()))
+    return st.weighted_group_quantiles(
+        docs, "lang", "n_chars", "n_chars",
+        qs_ppm=[250_000, 500_000, 750_000])
+
+
+SQL_WEIGHTED_QUANTILES = """
+WITH counts AS (SELECT lang AS g, n_chars AS v,
+                       CAST(sum(n_chars) AS BIGINT) AS w
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars > 0
+                GROUP BY 1, 2),
+cum AS (SELECT g, v, w,
+               sum(w) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(w) OVER (PARTITION BY g) AS tw
+        FROM counts),
+q AS (SELECT unnest([250000, 500000, 750000]) AS q_ppm)
+SELECT g AS lang, CAST(q.q_ppm AS BIGINT) AS q_ppm,
+       min(v) AS value
+FROM cum, q
+WHERE cum >= (q.q_ppm * tw + 999999) // 1000000
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -11097,6 +11221,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hurst": q_hurst,
     "isotropy": q_isotropy,
     "rich_club": q_rich_club,
+    "weighted_topk": q_weighted_topk,
+    "ks_test": q_ks_test,
+    "weighted_quantiles": q_weighted_quantiles,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -11353,6 +11480,9 @@ ORACLES: dict[str, str] = {
     "hurst": SQL_HURST,
     "isotropy": SQL_ISOTROPY,
     "rich_club": SQL_RICH_CLUB,
+    "weighted_topk": SQL_WEIGHTED_TOPK,
+    "ks_test": SQL_KS_TEST,
+    "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
