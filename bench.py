@@ -238,7 +238,8 @@ def main():
                   "assortativity", "powerlaw_degrees", "attribution",
                   "heaps_law", "fisher_scores", "stable_uuids",
                   "hurst", "isotropy", "rich_club",
-                  "weighted_topk", "ks_test", "weighted_quantiles"]:
+                  "weighted_topk", "ks_test", "weighted_quantiles",
+                  "gravity_decay", "vocab_overlap", "bot_scores"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -699,3 +699,51 @@ def conversion_attribution(events: DataFrame, conv_type: str,
             .select("channel", "n_conversions",
                     F.expr("1000000 * n_conversions div tot")
                     .cast("bigint").alias("share_ppm")))
+
+
+def bot_scores(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", tiebreak_col: str = "event_id",
+               min_events: int = 20,
+               max_entropy_micro: int = 500_000) -> DataFrame:
+    """Automation detection by inter-event regularity: humans produce
+    high-entropy gap distributions, schedulers and scrapers repeat the
+    same interval — so a user with many events and near-zero Shannon
+    entropy over SECOND-quantized gaps is flagged. The abuse signal
+    crawl/analytics pipelines run before counting 'engagement'.
+
+    Entropy uses the token_entropy integer discipline (per-gap-value
+    c·ln(c) micro-quantized before the sum — associative); gaps come
+    from one per-user lag window; everything after is partial aggs.
+
+    Output: (user, n_events, n_gaps, distinct_gaps, entropy_micro,
+    bot) — bot = 1 when n_events >= min_events and entropy <=
+    max_entropy_micro.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (events.select(F.col(user_col).alias("u"),
+                          t_us.alias("__t"),
+                          F.lag(t_us).over(w).alias("__prev"))
+            .where(F.col("__prev").isNotNull())
+            .select("u", F.expr("(__t - __prev) div 1000000")
+                    .cast("bigint").alias("g")))
+    cnt = gaps.groupBy("u", "g").agg(F.count(F.lit(1)).cast("bigint")
+                                     .alias("c"))
+    term = F.floor(F.log(F.col("c").cast("double"))
+                   * F.col("c").cast("double") * F.lit(1e6)
+                   + F.lit(0.5)).cast("bigint")
+    agg = (cnt.groupBy("u")
+           .agg(F.sum("c").cast("bigint").alias("n_gaps"),
+                F.count(F.lit(1)).cast("bigint").alias("distinct_gaps"),
+                F.sum(term).cast("bigint").alias("s")))
+    ln_n = F.floor(F.log(F.col("n_gaps").cast("double")) * F.lit(1e6)
+                   + F.lit(0.5)).cast("bigint")
+    ent = (ln_n - F.expr("s div n_gaps")).cast("bigint")
+    out = agg.select(F.col("u").alias(user_col),
+                     (F.col("n_gaps") + 1).cast("bigint")
+                     .alias("n_events"),
+                     "n_gaps", "distinct_gaps",
+                     ent.alias("entropy_micro"))
+    bot = ((F.col("n_events") >= int(min_events))
+           & (F.col("entropy_micro") <= int(max_entropy_micro)))
+    return out.withColumn("bot", bot.cast("int"))

@@ -10966,6 +10966,169 @@ GROUP BY 1, 2
 """
 
 
+def q_gravity_decay(spark, sf_dir):
+    """Spatial-interaction decay (pure composition: temporal.od_matrix
+    × stats.loglog_ols_fit): OD flows between 120k-µdeg cells, total
+    flow per squared cell distance, then the shared log-log OLS — the
+    gravity-model distance-decay exponent. Oracle re-derives hops,
+    distances and the fit."""
+    from ..operators import stats as st
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    lng, lat = geo.point_udeg_cols(F.col("event_id"))
+    track = (ev.select("user_id", "ts", "event_id", lng, lat)
+             .withColumn("cx", F.floor(F.col("lng_udeg") / 120000)
+                         .cast("bigint"))
+             .withColumn("cy", F.floor(F.col("lat_udeg") / 120000)
+                         .cast("bigint")))
+    flows = tp.od_matrix(track)
+    d2 = ((F.col("o_cx") - F.col("d_cx"))
+          * (F.col("o_cx") - F.col("d_cx"))
+          + (F.col("o_cy") - F.col("d_cy"))
+          * (F.col("o_cy") - F.col("d_cy")))
+    hist = (flows.groupBy(d2.alias("d2"))
+            .agg(F.sum("n_trips").cast("bigint").alias("flow")))
+    return st.loglog_ols_fit(hist, x_col="d2", cnt_col="flow")
+
+
+SQL_GRAVITY_DECAY = f"""
+WITH trk AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor({_EV_LNG_SQL} / 120000.0) AS BIGINT) AS cx,
+         CAST(floor({_EV_LAT_SQL} / 120000.0) AS BIGINT) AS cy
+  FROM events WHERE user_id IS NOT NULL),
+hops AS (
+  SELECT lag(cx) OVER w AS o_cx, lag(cy) OVER w AS o_cy,
+         cx AS d_cx, cy AS d_cy
+  FROM trk WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+fl AS (SELECT (o_cx - d_cx) * (o_cx - d_cx)
+              + (o_cy - d_cy) * (o_cy - d_cy) AS d2,
+              CAST(count(*) AS BIGINT) AS flow
+       FROM hops
+       WHERE o_cx IS NOT NULL AND (o_cx <> d_cx OR o_cy <> d_cy)
+       GROUP BY 1),
+pts AS (SELECT
+  CAST(floor(ln(CAST(d2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS lx,
+  CAST(floor(ln(CAST(flow AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS ly
+  FROM fl WHERE d2 > 0 AND flow > 0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * ly) AS BIGINT) AS sxy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx
+      FROM pts)
+SELECT n AS n_points,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 + 0.5)
+       END AS BIGINT) AS slope_milli,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000.0 * 1000.0 + 0.5)
+       END AS BIGINT) AS intercept_milli
+FROM m
+"""
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Cross-language vocabulary containment (sources/layout.
+    inclusion_coefficients REUSED over (lang, token) — operator
+    generality: the FK-discovery machinery answering a corpus-
+    linguistics question). Oracle re-derives distinct vocabularies and
+    the directional containments."""
+    from ..sources import layout as ly
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull()))
+    toks = docs.select(
+        F.col("lang").alias("set_name"),
+        F.explode(F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9_]+"),
+            lambda t: t != "")).alias("v"))
+    return ly.inclusion_coefficients(toks)
+
+
+SQL_VOCAB_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT lang AS s, u.tok AS v
+  FROM (SELECT lang,
+               list_filter(regexp_split_to_array(lower(trim(text)),
+                                                 '[^a-z0-9_]+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE lang IS NOT NULL) q,
+       UNNEST(t) AS u(tok)),
+sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+common AS (SELECT a.s AS set_a, b.s AS set_b,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM d a JOIN d b ON a.v = b.v AND a.s <> b.s
+           GROUP BY 1, 2)
+SELECT set_a, set_b, sizes.n AS n_a, n_common,
+       CAST(1000000 * n_common // sizes.n AS BIGINT)
+           AS containment_ppm
+FROM common JOIN sizes ON sizes.s = set_a
+"""
+
+
+def q_bot_scores(spark, sf_dir):
+    """Automation detection (temporal.bot_scores): natural users keep
+    high gap entropy; a synthesized scheduler (every 7th event mapped
+    to user 99999 on an exact 420 s grid) collapses to ONE distinct
+    gap — entropy exactly 0, flagged. Oracle re-derives gaps and the
+    quantized entropy."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_id"))
+    bot = (_t(spark, sf_dir, "events")
+           .where(F.col("event_id") % 7 == 0)
+           .select(F.lit(99999).cast("bigint").alias("user_id"),
+                   F.expr("timestamp_micros(1700000000000000 "
+                          "+ event_id * 60000000)").alias("ts"),
+                   "event_id"))
+    return tp.bot_scores(ev.unionAll(bot), min_events=20)
+
+
+SQL_BOT_SCORES = """
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+  WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 99999, 1700000000000000 + event_id * 60000000, event_id
+  FROM events WHERE event_id % 7 = 0),
+gaps AS (SELECT user_id AS u,
+                (t - lag(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id)) // 1000000
+                    AS g
+         FROM src
+         QUALIFY lag(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) IS NOT NULL),
+cnt AS (SELECT u, g, CAST(count(*) AS BIGINT) AS c
+        FROM gaps GROUP BY 1, 2),
+agg AS (SELECT u, CAST(sum(c) AS BIGINT) AS n_gaps,
+               CAST(count(*) AS BIGINT) AS distinct_gaps,
+               CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE))
+                    * CAST(c AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM cnt GROUP BY 1)
+SELECT u AS user_id, CAST(n_gaps + 1 AS BIGINT) AS n_events, n_gaps,
+       distinct_gaps,
+       CAST(CAST(floor(ln(CAST(n_gaps AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) - s // n_gaps AS BIGINT) AS entropy_micro,
+       CAST(CASE WHEN n_gaps + 1 >= 20
+                  AND CAST(floor(ln(CAST(n_gaps AS DOUBLE)) * 1000000.0
+                       + 0.5) AS BIGINT) - s // n_gaps <= 500000
+                 THEN 1 ELSE 0 END AS INT) AS bot
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -11224,6 +11387,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_topk": q_weighted_topk,
     "ks_test": q_ks_test,
     "weighted_quantiles": q_weighted_quantiles,
+    "gravity_decay": q_gravity_decay,
+    "vocab_overlap": q_vocab_overlap,
+    "bot_scores": q_bot_scores,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -11483,6 +11649,9 @@ ORACLES: dict[str, str] = {
     "weighted_topk": SQL_WEIGHTED_TOPK,
     "ks_test": SQL_KS_TEST,
     "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
+    "gravity_decay": SQL_GRAVITY_DECAY,
+    "vocab_overlap": SQL_VOCAB_OVERLAP,
+    "bot_scores": SQL_BOT_SCORES,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -1162,3 +1162,27 @@ def test_wave50_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave51_query_scans_prune_and_stay_jvm(spark):
+    """Wave 51: gravity composes od_matrix with the loglog fit; vocab
+    overlap reuses inclusion machinery; bot_scores is one lag window +
+    partial aggs."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "gravity_decay": {"user_id", "ts", "event_id"},
+        "vocab_overlap": {"lang", "text"},
+        "bot_scores": {"user_id", "ts", "event_id"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
