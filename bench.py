@@ -239,7 +239,8 @@ def main():
                   "heaps_law", "fisher_scores", "stable_uuids",
                   "hurst", "isotropy", "rich_club",
                   "weighted_topk", "ks_test", "weighted_quantiles",
-                  "gravity_decay", "vocab_overlap", "bot_scores"]:
+                  "gravity_decay", "vocab_overlap", "bot_scores",
+                  "fdr_bh", "pr_curve", "corr_matrix"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -1533,3 +1533,121 @@ def weighted_group_quantiles(df: DataFrame, group_col: str, col: str,
             .groupBy("g", "q_ppm")
             .agg(F.min("v").alias("value"))
             .select(F.col("g").alias(group_col), "q_ppm", "value"))
+
+
+def fdr_bh(df: DataFrame, id_col: str, p_col: str,
+           alpha_ppm: int = 50_000) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control — the multiple-
+    testing correction every metrics sweep needs (run 10^4 per-segment
+    tests at alpha=0.05 and ~500 'significant' results are noise; BH
+    caps the EXPECTED false-discovery fraction at alpha): sort
+    p-values ascending, find the largest k with p_(k) <= k*alpha/m,
+    reject ranks 1..k.
+
+    Integer-exact: with p in micro units and alpha in ppm the
+    condition cross-multiplies to p_micro * m <= rank * alpha_ppm —
+    no division; the step-up cutoff is ONE max window over the ranked
+    relation (which is the tests relation, not the fact table).
+
+    Output: (id, p_micro, rank, rejected).
+    """
+    m = Window.partitionBy()
+    w = Window.orderBy(F.col("p_micro"), F.col("id"))
+    ranked = (df.select(F.col(id_col).alias("id"),
+                        F.col(p_col).cast("bigint").alias("p_micro"))
+              .where(F.col("p_micro").isNotNull())
+              .withColumn("rank", F.row_number().over(w)
+                          .cast("bigint"))
+              .withColumn("m", F.count(F.lit(1)).over(m)))
+    hit = F.when(F.col("p_micro") * F.col("m")
+                 <= F.col("rank") * F.lit(int(alpha_ppm)),
+                 F.col("rank")).otherwise(F.lit(0))
+    cut = (ranked.withColumn("k_max", F.max(hit).over(m)))
+    return cut.select(
+        F.col("id").alias(id_col), "p_micro", "rank",
+        (F.col("rank") <= F.col("k_max")).cast("int").alias("rejected"))
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Precision-recall sweep: one point per distinct score threshold
+    (predict positive when score >= thr) — the curve a threshold
+    choice is read off, complementing ``auc_roc``'s single number.
+    Reverse-cumulative windows over the (score, n, positives) COUNT
+    relation give tp/fp at every threshold in one pass; fn = P - tp.
+    All counts exact; ratios integer ppm.
+
+    Output: (thr, tp, fp, fn, precision_ppm, recall_ppm).
+    """
+    vals = (df.where(F.col(score_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .groupBy(F.col(score_col).cast("bigint").alias("thr"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"),
+                 F.sum(F.col(label_col).cast("bigint")).cast("bigint")
+                 .alias("a")))
+    wrev = (Window.orderBy(F.col("thr").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy()
+    cum = (vals
+           .withColumn("tp", F.sum("a").over(wrev))
+           .withColumn("pp", F.sum("c").over(wrev))
+           .withColumn("p_all", F.sum("a").over(wall)))
+    return cum.select(
+        "thr", F.col("tp").cast("bigint").alias("tp"),
+        (F.col("pp") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("p_all") - F.col("tp")).cast("bigint").alias("fn"),
+        F.expr("1000000 * tp div pp").cast("bigint")
+        .alias("precision_ppm"),
+        F.when(F.col("p_all") > 0, F.expr("1000000 * tp div p_all"))
+        .cast("bigint").alias("recall_ppm"))
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All-pairs Pearson correlation across k integer feature columns
+    in ONE aggregate pass — the EDA correlation matrix: per ordered
+    pair (i < j), exact int64 moments (n, Si, Sj, Sii, Sjj, Sij) from
+    a single df.agg (never k^2 scans), r_milli as the fixed-op-order
+    double. NULL-row policy: rows with ANY null feature drop (matrix
+    stays consistent on one sample).
+
+    Output: (col_a, col_b, n, r_milli) — NULL r for constant columns.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 cols, got {cols}")
+    base = df.where(
+        None if not cols else
+        F.lit(True) & F.expr(" AND ".join(
+            f"{c} IS NOT NULL" for c in cols)))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("bigint")).cast("bigint")
+                    .alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c).cast("bigint")
+                          * F.col(c).cast("bigint")).cast("bigint")
+                    .alias(f"__q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a).cast("bigint")
+                              * F.col(b).cast("bigint")).cast("bigint")
+                        .alias(f"__x_{a}_{b}"))
+    row = base.agg(*aggs)
+    cells = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = F.col("__n")
+            num = n * F.col(f"__x_{a}_{b}") \
+                - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            d1 = n * F.col(f"__q_{a}") - F.col(f"__s_{a}") \
+                * F.col(f"__s_{a}")
+            d2 = n * F.col(f"__q_{b}") - F.col(f"__s_{b}") \
+                * F.col(f"__s_{b}")
+            r = F.when((d1 > 0) & (d2 > 0),
+                       F.floor(num.cast("double")
+                               / F.sqrt(d1.cast("double")
+                                        * d2.cast("double"))
+                               * F.lit(1000.0) + F.lit(0.5))
+                       .cast("bigint"))
+            cells.append(F.struct(F.lit(a).alias("col_a"),
+                                  F.lit(b).alias("col_b"),
+                                  n.alias("n"), r.alias("r_milli")))
+    return (row.select(F.explode(F.array(*cells)).alias("c"))
+            .select("c.*"))

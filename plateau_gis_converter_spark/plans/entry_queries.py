@@ -11129,6 +11129,152 @@ FROM agg
 """
 
 
+def q_fdr_bh(spark, sf_dir):
+    """Multiple-testing correction (stats.fdr_bh): md5-uniform
+    p-values with every 13th document's replaced by a tiny one — BH
+    step-up at alpha 0.05 rejects the planted cluster plus whatever
+    uniform stragglers clear the ladder; decision fully integer
+    (p·m <= rank·alpha cross-multiplied). Oracle re-derives the ranked
+    ladder and cutoff."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    h = (F.conv(F.substring(F.md5(F.concat(did.cast("string"),
+                                           F.lit(":p"))), 1, 15),
+                16, 10).cast("bigint") % 1_000_000)
+    p = F.when(did % 13 == 0, (did % 50) * 10).otherwise(h)
+    d = docs.select("doc_id", p.cast("bigint").alias("p_micro"))
+    return st.fdr_bh(d, "doc_id", "p_micro", alpha_ppm=50_000)
+
+
+SQL_FDR_BH = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN (doc_id % 50) * 10
+              ELSE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                   || ':p'), 1, 15)) AS BIGINT) % 1000000
+         END AS p_micro
+  FROM documents),
+rk AS (SELECT doc_id, p_micro,
+              CAST(row_number() OVER (ORDER BY p_micro, doc_id)
+                   AS BIGINT) AS rank,
+              count(*) OVER () AS m
+       FROM d),
+cut AS (SELECT max(CASE WHEN p_micro * m <= rank * 50000
+                        THEN rank ELSE 0 END) AS k_max
+        FROM rk)
+SELECT doc_id, p_micro, rank,
+       CAST(CASE WHEN rank <= cut.k_max THEN 1 ELSE 0 END AS INT)
+           AS rejected
+FROM rk, cut
+"""
+
+
+def q_pr_curve(spark, sf_dir):
+    """Threshold sweep (stats.pr_curve): precision/recall at every
+    distinct milli score of embedding coordinate 7 against the
+    binarized label — reverse-cumulative windows over the score COUNT
+    relation. Oracle mirrors the sweep."""
+    from ..operators import stats as st
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.floor(F.element_at(F.col("embedding"), 7).cast("double")
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint").alias("s"),
+        (F.col("label") < 5).cast("int").alias("y"))
+    return st.pr_curve(d, "s", "y")
+
+
+SQL_PR_CURVE = """
+WITH d AS (
+  SELECT CAST(floor(CAST(embedding[7] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS thr,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+v AS (SELECT thr, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS a
+      FROM d GROUP BY 1),
+cum AS (SELECT thr,
+               sum(a) OVER (ORDER BY thr DESC
+                            ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(c) OVER (ORDER BY thr DESC
+                            ROWS UNBOUNDED PRECEDING) AS pp,
+               sum(a) OVER () AS p_all
+        FROM v)
+SELECT thr, CAST(tp AS BIGINT) AS tp,
+       CAST(pp - tp AS BIGINT) AS fp,
+       CAST(p_all - tp AS BIGINT) AS fn,
+       CAST(1000000 * tp // pp AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN p_all > 0 THEN 1000000 * tp // p_all END
+            AS BIGINT) AS recall_ppm
+FROM cum
+"""
+
+
+def q_corr_matrix(spark, sf_dir):
+    """EDA correlation matrix (stats.corr_matrix): all six Pearson
+    pairs over four event features in ONE aggregate pass — the
+    engineered v_half pair pins r≈1000, the rest hover near 0. Oracle
+    re-derives every pair's moments independently."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select(
+        _cents("value").alias("v_cents"),
+        F.floor(_cents("value") / 2).cast("bigint").alias("v_half"),
+        (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+         - 19700).alias("day_off"),
+        (F.col("event_id") % 97).alias("em"))
+    return st.corr_matrix(d, ["v_cents", "v_half", "day_off", "em"])
+
+
+SQL_CORR_MATRIX = f"""
+WITH d AS (
+  SELECT {_cents_sql('value')} AS v_cents,
+         CAST(floor({_cents_sql('value')} / 2) AS BIGINT) AS v_half,
+         epoch_us(ts) // 86400000000 - 19700 AS day_off,
+         event_id % 97 AS em
+  FROM events WHERE value IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
+pairs AS (
+  SELECT 'v_cents' AS col_a, 'v_half' AS col_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_cents) AS BIGINT) AS sa,
+         CAST(sum(v_half) AS BIGINT) AS sb,
+         CAST(sum(v_cents * v_cents) AS BIGINT) AS qa,
+         CAST(sum(v_half * v_half) AS BIGINT) AS qb,
+         CAST(sum(v_cents * v_half) AS BIGINT) AS x FROM d
+  UNION ALL
+  SELECT 'v_cents', 'day_off', count(*), sum(v_cents), sum(day_off),
+         sum(v_cents * v_cents), sum(day_off * day_off),
+         sum(v_cents * day_off) FROM d
+  UNION ALL
+  SELECT 'v_cents', 'em', count(*), sum(v_cents), sum(em),
+         sum(v_cents * v_cents), sum(em * em), sum(v_cents * em) FROM d
+  UNION ALL
+  SELECT 'v_half', 'day_off', count(*), sum(v_half), sum(day_off),
+         sum(v_half * v_half), sum(day_off * day_off),
+         sum(v_half * day_off) FROM d
+  UNION ALL
+  SELECT 'v_half', 'em', count(*), sum(v_half), sum(em),
+         sum(v_half * v_half), sum(em * em), sum(v_half * em) FROM d
+  UNION ALL
+  SELECT 'day_off', 'em', count(*), sum(day_off), sum(em),
+         sum(day_off * day_off), sum(em * em), sum(day_off * em)
+  FROM d)
+SELECT col_a, col_b, n,
+       CAST(CASE WHEN n * qa - sa * sa > 0 AND n * qb - sb * sb > 0
+                 THEN floor(CAST(n * x - sa * sb AS DOUBLE)
+                      / sqrt(CAST(n * qa - sa * sa AS DOUBLE)
+                             * CAST(n * qb - sb * sb AS DOUBLE))
+                      * 1000.0 + 0.5)
+            END AS BIGINT) AS r_milli
+FROM pairs
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -11390,6 +11536,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gravity_decay": q_gravity_decay,
     "vocab_overlap": q_vocab_overlap,
     "bot_scores": q_bot_scores,
+    "fdr_bh": q_fdr_bh,
+    "pr_curve": q_pr_curve,
+    "corr_matrix": q_corr_matrix,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -11652,6 +11801,9 @@ ORACLES: dict[str, str] = {
     "gravity_decay": SQL_GRAVITY_DECAY,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "bot_scores": SQL_BOT_SCORES,
+    "fdr_bh": SQL_FDR_BH,
+    "pr_curve": SQL_PR_CURVE,
+    "corr_matrix": SQL_CORR_MATRIX,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
