@@ -240,7 +240,9 @@ def main():
                   "hurst", "isotropy", "rich_club",
                   "weighted_topk", "ks_test", "weighted_quantiles",
                   "gravity_decay", "vocab_overlap", "bot_scores",
-                  "fdr_bh", "pr_curve", "corr_matrix"]:
+                  "fdr_bh", "pr_curve", "corr_matrix",
+                  "tracking_params", "activity_streaks",
+                  "overdispersion"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

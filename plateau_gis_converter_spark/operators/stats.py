@@ -1651,3 +1651,51 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                                   n.alias("n"), r.alias("r_milli")))
     return (row.select(F.explode(F.array(*cells)).alias("c"))
             .select("c.*"))
+
+
+def dispersion_index(events: DataFrame, key_col: str = "event_type",
+                     ts_col: str = "ts",
+                     over_milli: int = 1500) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily counts per
+    key — the Poisson-ness check: D ≈ 1 for memoryless arrivals, D >> 1
+    for bursty/clumped traffic (the cheap screen run before the heavier
+    ``hurst`` / ``anomalous_bins`` diagnostics). Series = the shared
+    zero-filled calendar grid; D = var/mean as the exact rational
+    (n·Q − S²)/(n·S) with the burst flag decided by pure integer
+    cross-multiplication (n·Q − S²)·1000 > over_milli·n·S.
+
+    Output: (key, n_days, s_total, d_milli, overdispersed) — NULL/0
+    for silent keys (S = 0).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    daily = (events.select(F.col(key_col).alias("k"), day.alias("d"))
+             .groupBy("k", "d")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    span = daily.groupBy("k").agg(F.min("d").alias("d0"),
+                                  F.max("d").alias("d1"))
+    grid = (span.select(
+        "k", (F.col("d1") - F.col("d0") + 1).alias("n"),
+        F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["k", "d"], "left")
+        .select("k", "n",
+                F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
+                .alias("c")))
+    agg = (grid.groupBy("k")
+           .agg(F.max("n").cast("bigint").alias("n_days"),
+                F.sum("c").cast("bigint").alias("s"),
+                F.sum(F.col("c") * F.col("c")).cast("bigint")
+                .alias("q")))
+    num = F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    den = F.col("n_days") * F.col("s")
+    d_milli = F.when(F.col("s") > 0,
+                     F.floor(num.cast("double") / den.cast("double")
+                             * F.lit(1000.0) + F.lit(0.5))
+                     .cast("bigint"))
+    over = F.when(F.col("s") > 0,
+                  (num * 1000 > F.lit(int(over_milli)) * den)
+                  .cast("int")).cast("int")
+    return agg.select(F.col("k").alias(key_col), "n_days",
+                      F.col("s").alias("s_total"),
+                      d_milli.alias("d_milli"),
+                      over.alias("overdispersed"))

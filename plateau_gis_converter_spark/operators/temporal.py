@@ -747,3 +747,39 @@ def bot_scores(events: DataFrame, user_col: str = "user_id",
     bot = ((F.col("n_events") >= int(min_events))
            & (F.col("entropy_micro") <= int(max_entropy_micro)))
     return out.withColumn("bot", bot.cast("int"))
+
+
+def activity_streaks(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Consecutive-day activity streaks per user — the engagement
+    metric every product dashboard carries ("7-day streak"), computed
+    with the gaps-and-islands trick on the DISTINCT active-day
+    relation: within a user, day - row_number(day) is constant exactly
+    along a consecutive run, so one window + one groupBy finds every
+    streak; a second partial agg summarizes.
+
+    Output: (user, n_active_days, n_streaks, max_streak,
+    current_streak) — current_streak is the run touching the user's
+    LAST active day (the number the dashboard shows).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    act = (events.where(F.col(user_col).isNotNull())
+           .select(F.col(user_col).alias("u"), day.alias("d"))
+           .distinct())
+    w = Window.partitionBy("u").orderBy("d")
+    runs = (act.withColumn("grp", F.col("d") - F.row_number().over(w))
+            .groupBy("u", "grp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("len"),
+                 F.max("d").alias("d_end")))
+    per_user = (runs.groupBy("u")
+                .agg(F.sum("len").cast("bigint").alias("n_active_days"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+                     F.max("len").cast("bigint").alias("max_streak"),
+                     F.max(F.struct(F.col("d_end"),
+                                    F.col("len").alias("l")))
+                     .alias("last")))
+    return per_user.select(
+        F.col("u").alias(user_col), "n_active_days", "n_streaks",
+        "max_streak",
+        F.col("last.l").cast("bigint").alias("current_streak"))

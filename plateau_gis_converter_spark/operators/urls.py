@@ -185,3 +185,39 @@ def url_template_stats(pages: DataFrame,
             .groupBy("host", "template", "depth")
             .agg(F.count(F.lit(1)).alias("n_urls"),
                  F.countDistinct("__u").alias("n_distinct_urls")))
+
+
+def query_param_stats(pages: DataFrame, url_col: str = "url",
+                      min_hosts: int = 3,
+                      min_ndv: int = 20) -> DataFrame:
+    """URL query-parameter profiling — the tracking-param detector
+    behind canonicalization cleanup rules: a parameter appearing across
+    MANY hosts with HIGH value cardinality (utm_*, fbclid, session ids)
+    is navigation-irrelevant noise that splinters dedup keys; a
+    low-cardinality param (page=1..5) is content-bearing. Produces the
+    per-param evidence and the flag.
+
+    Map-side parse (authority + query regexes, one explode, first-'='
+    split), then one partial agg with two exact distincts per param.
+
+    Output: (param, n_occurrences, n_hosts, n_values, tracking) —
+    tracking = hosts >= min_hosts AND distinct values >= min_ndv.
+    """
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    kv = (pages.select(host.alias("h"), query.alias("q"))
+          .where(F.col("q") != "")
+          .select("h", F.explode(F.split(F.col("q"), "&")).alias("p"))
+          .where(F.col("p") != "")
+          .select("h",
+                  F.substring_index(F.col("p"), "=", 1).alias("k"),
+                  F.expr("substr(p, length(substring_index(p, '=', 1))"
+                         " + 2)").alias("v")))
+    agg = (kv.groupBy(F.col("k").alias("param"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                F.countDistinct("h").cast("bigint").alias("n_hosts"),
+                F.countDistinct("v").cast("bigint").alias("n_values")))
+    flag = ((F.col("n_hosts") >= int(min_hosts))
+            & (F.col("n_values") >= int(min_ndv)))
+    return agg.withColumn("tracking", flag.cast("int"))

@@ -11275,6 +11275,124 @@ FROM pairs
 """
 
 
+def q_tracking_params(spark, sf_dir):
+    """Tracking-param detection (urls.query_param_stats): synthetic
+    urls carry a high-cardinality cross-host 'ref' hash (flagged), a
+    3-value 'utm_source', a 5-value 'page' and a per-doc 'id' confined
+    by cardinality rules. Oracle re-parses with split_part and its own
+    distincts."""
+    from ..operators import urls as ur
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://s"), (did % 10).cast("string"),
+        F.lit(".example.com/p?id="), did.cast("string"),
+        F.lit("&utm_source=src"), (did % 3).cast("string"),
+        F.lit("&ref="), F.substring(F.md5(did.cast("string")), 1, 12),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("&page="), (did % 5).cast("string")))
+        .otherwise(F.lit("")))
+    pages = docs.select(url.alias("url"))
+    return ur.query_param_stats(pages, min_hosts=3, min_ndv=20)
+
+
+SQL_TRACKING_PARAMS = """
+WITH pages AS (
+  SELECT 'https://s' || CAST(doc_id % 10 AS VARCHAR)
+         || '.example.com/p?id=' || CAST(doc_id AS VARCHAR)
+         || '&utm_source=src' || CAST(doc_id % 3 AS VARCHAR)
+         || '&ref=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '&page=' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE '' END AS url
+  FROM documents),
+kv AS (
+  SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+             AS h,
+         split_part(u.p, '=', 1) AS k,
+         substr(u.p, length(split_part(u.p, '=', 1)) + 2) AS v
+  FROM pages,
+       UNNEST(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'))
+           AS u(p)
+  WHERE u.p <> '')
+SELECT k AS param, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+       CAST(CASE WHEN count(DISTINCT h) >= 3
+                  AND count(DISTINCT v) >= 20 THEN 1 ELSE 0 END AS INT)
+           AS tracking
+FROM kv GROUP BY 1
+"""
+
+
+def q_activity_streaks(spark, sf_dir):
+    """Engagement streaks (temporal.activity_streaks): per-user
+    consecutive-day runs via gaps-and-islands on the distinct
+    active-day relation; current streak picked by one max(struct).
+    Oracle re-derives islands with its own row_number."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events")
+    return tp.activity_streaks(ev)
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH act AS (SELECT DISTINCT user_id AS u,
+                    epoch_us(ts) // 86400000000 AS d
+             FROM events WHERE user_id IS NOT NULL),
+runs AS (SELECT u, d - row_number() OVER (PARTITION BY u ORDER BY d)
+                    AS grp, d
+         FROM act),
+rl AS (SELECT u, grp, CAST(count(*) AS BIGINT) AS len,
+              max(d) AS d_end
+       FROM runs GROUP BY 1, 2)
+SELECT u AS user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak,
+       CAST(max_by(len, d_end) AS BIGINT) AS current_streak
+FROM rl GROUP BY 1
+"""
+
+
+def q_overdispersion(spark, sf_dir):
+    """Burstiness screen (stats.dispersion_index): variance-to-mean of
+    daily counts per key over the zero-filled grid — exact rational,
+    integer cross-multiplied flag at D > 1.5. Oracle mirrors the
+    moments."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    return st.dispersion_index(ev, over_milli=1500)
+
+
+SQL_OVERDISPERSION = """
+WITH daily AS (SELECT event_type AS k,
+                      epoch_us(ts) // 86400000000 AS d,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT sp.k, d1 - d0 + 1 AS n, d0 + u.i AS d
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+cd AS (SELECT g.k, g.n, coalesce(dl.c, 0) AS c
+       FROM grid g LEFT JOIN daily dl ON dl.k = g.k AND dl.d = g.d),
+agg AS (SELECT k, CAST(max(n) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM cd GROUP BY 1)
+SELECT k AS event_type, n_days, s AS s_total,
+       CAST(CASE WHEN s > 0 THEN
+         floor(CAST(n_days * q - s * s AS DOUBLE)
+               / CAST(n_days * s AS DOUBLE) * 1000.0 + 0.5)
+       END AS BIGINT) AS d_milli,
+       CAST(CASE WHEN s > 0 THEN
+         CASE WHEN (n_days * q - s * s) * 1000 > 1500 * n_days * s
+              THEN 1 ELSE 0 END
+       END AS INT) AS overdispersed
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -11539,6 +11657,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fdr_bh": q_fdr_bh,
     "pr_curve": q_pr_curve,
     "corr_matrix": q_corr_matrix,
+    "tracking_params": q_tracking_params,
+    "activity_streaks": q_activity_streaks,
+    "overdispersion": q_overdispersion,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -11804,6 +11925,9 @@ ORACLES: dict[str, str] = {
     "fdr_bh": SQL_FDR_BH,
     "pr_curve": SQL_PR_CURVE,
     "corr_matrix": SQL_CORR_MATRIX,
+    "tracking_params": SQL_TRACKING_PARAMS,
+    "activity_streaks": SQL_ACTIVITY_STREAKS,
+    "overdispersion": SQL_OVERDISPERSION,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
