@@ -242,7 +242,9 @@ def main():
                   "gravity_decay", "vocab_overlap", "bot_scores",
                   "fdr_bh", "pr_curve", "corr_matrix",
                   "tracking_params", "activity_streaks",
-                  "overdispersion"]:
+                  "overdispersion",
+                  "assoc_rules", "cluster_purity",
+                  "smoothed_rates"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

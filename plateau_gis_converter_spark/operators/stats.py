@@ -1699,3 +1699,58 @@ def dispersion_index(events: DataFrame, key_col: str = "event_type",
                       F.col("s").alias("s_total"),
                       d_milli.alias("d_milli"),
                       over.alias("overdispersed"))
+
+
+def cluster_purity(labels: DataFrame, cluster_col: str, class_col: str
+                   ) -> DataFrame:
+    """Cluster-vs-class purity: assign every cluster its majority
+    class, purity = fraction of members matching their cluster's
+    majority — the standard external clustering evaluation (how
+    language-homogeneous are the spatial tiles? how lang-pure are the
+    dedup components?). One contingency partial agg, one per-cluster
+    max(struct) majority fold (count desc, class asc tie), one global
+    aggregate — exact integer ppm.
+
+    Output (one row): (n, n_clusters, n_majority, purity_ppm).
+    """
+    cells = (labels.where(F.col(cluster_col).isNotNull()
+                          & F.col(class_col).isNotNull())
+             .groupBy(F.col(cluster_col).alias("g"),
+                      F.col(class_col).alias("cl"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    maj = (cells.groupBy("g")
+           .agg(F.sum("c").cast("bigint").alias("nc"),
+                F.min(F.struct((-F.col("c")).alias("neg"),
+                               F.col("cl"))).alias("m")))
+    agg = maj.agg(F.sum("nc").cast("bigint").alias("n"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                  F.sum(-F.col("m.neg")).cast("bigint")
+                  .alias("n_majority"))
+    return agg.select("n", "n_clusters", "n_majority",
+                      F.expr("1000000 * n_majority div n")
+                      .cast("bigint").alias("purity_ppm"))
+
+
+def smoothed_rates(df: DataFrame, group_col: str, pos_col: str,
+                   alpha: int = 5, beta: int = 5) -> DataFrame:
+    """Beta-prior (Laplace-style) smoothed success rates per group —
+    the cold-start ranking fix: a 1-for-1 item must not outrank a
+    980-for-1000 one, so rates shrink toward the prior mean
+    alpha/(alpha+beta) by integer pseudo-counts:
+    rate = (x + alpha)/(n + alpha + beta). All integer ppm.
+
+    Output: (group, n, n_pos, raw_ppm, smoothed_ppm).
+    """
+    if alpha < 0 or beta < 0:
+        raise ValueError(f"alpha/beta must be >= 0, got {alpha}/{beta}")
+    agg = (df.where(F.col(pos_col).isNotNull())
+           .groupBy(F.col(group_col).alias("g"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col(pos_col).cast("bigint")).cast("bigint")
+                .alias("x")))
+    return agg.select(
+        F.col("g").alias(group_col), "n", F.col("x").alias("n_pos"),
+        F.expr("1000000 * x div n").cast("bigint").alias("raw_ppm"),
+        F.expr(f"1000000 * (x + {int(alpha)}) "
+               f"div (n + {int(alpha) + int(beta)})").cast("bigint")
+        .alias("smoothed_ppm"))

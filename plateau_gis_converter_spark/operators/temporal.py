@@ -783,3 +783,60 @@ def activity_streaks(events: DataFrame, user_col: str = "user_id",
         F.col("u").alias(user_col), "n_active_days", "n_streaks",
         "max_streak",
         F.col("last.l").cast("bigint").alias("current_streak"))
+
+
+def association_rules(events: DataFrame, gap_us: int = 1800_000_000,
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      item_col: str = "event_type",
+                      tiebreak_col: str = "event_id",
+                      min_sessions: int = 2) -> DataFrame:
+    """Association rules over sessions (Agrawal & Srikant's market-
+    basket classic): for each DIRECTED item pair X→Y the support
+    (co-sessions), confidence (P(Y|X) in ppm) and lift
+    (P(XY)/(P(X)P(Y)) in milli — >1000 means genuinely associated,
+    <1000 anti-associated) — what ``covisit_pairs``' raw counts become
+    once normalized by the marginals.
+
+    Same session/dedup shape as covisit; marginals are one extra
+    partial agg; the session total folds back as a 1-row broadcast.
+    All ratios integer (lift via 1000*n_xy*N div (n_x*n_y)).
+
+    Output: (antecedent, consequent, n_both, n_ante, n_cons,
+    confidence_ppm, lift_milli).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = t_us - F.lag(t_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sess = events.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("item"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"))
+    items = sess.select("u", "sid", "item").distinct()
+    nsess = items.select("u", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"))
+    marg = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nx"))
+    a = items.select("u", "sid", F.col("item").alias("ia"))
+    b = items.select(F.col("u").alias("u2"), F.col("sid").alias("sid2"),
+                     F.col("item").alias("ib"))
+    pairs = (a.join(b, (F.col("u") == F.col("u2"))
+                    & (F.col("sid") == F.col("sid2"))
+                    & (F.col("ia") != F.col("ib")))
+             .groupBy("ia", "ib")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+             .where(F.col("nxy") >= int(min_sessions)))
+    out = (pairs
+           .join(marg.select(F.col("item").alias("ia"),
+                             F.col("nx").alias("na")), "ia")
+           .join(marg.select(F.col("item").alias("ib"),
+                             F.col("nx").alias("nc")), "ib")
+           .crossJoin(F.broadcast(nsess)))
+    return out.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"),
+        F.col("nxy").alias("n_both"), F.col("na").alias("n_ante"),
+        F.col("nc").alias("n_cons"),
+        F.expr("1000000 * nxy div na").cast("bigint")
+        .alias("confidence_ppm"),
+        F.expr("1000 * nxy * nn div (na * nc)").cast("bigint")
+        .alias("lift_milli"))

@@ -11393,6 +11393,121 @@ FROM agg
 """
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket rules (temporal.association_rules): directed
+    event-type pairs with support / confidence / lift over the
+    sessionized stream — covisit counts normalized by marginals,
+    lift integer via 1000·nxy·N div (nx·ny). Oracle re-derives
+    sessions and both marginals."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    return tp.association_rules(ev, min_sessions=2)
+
+
+SQL_ASSOC_RULES = """
+WITH ev AS (SELECT user_id AS u, event_type AS item, ts, event_id
+            FROM events WHERE user_id IS NOT NULL),
+brk AS (SELECT u, item, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS b
+        FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, event_id)),
+sess AS (SELECT u, item,
+                sum(b) OVER (PARTITION BY u ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+         FROM brk),
+items AS (SELECT DISTINCT u, sid, item FROM sess),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+       (SELECT DISTINCT u, sid FROM items) q),
+marg AS (SELECT item, CAST(count(*) AS BIGINT) AS nx
+         FROM items GROUP BY 1),
+pairs AS (SELECT a.item AS ia, b.item AS ib,
+                 CAST(count(*) AS BIGINT) AS nxy
+          FROM items a
+          JOIN items b ON a.u = b.u AND a.sid = b.sid
+                      AND a.item <> b.item
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)
+SELECT ia AS antecedent, ib AS consequent, nxy AS n_both,
+       ma.nx AS n_ante, mc.nx AS n_cons,
+       CAST(1000000 * nxy // ma.nx AS BIGINT) AS confidence_ppm,
+       CAST(1000 * nxy * nn.n // (ma.nx * mc.nx) AS BIGINT)
+           AS lift_milli
+FROM pairs
+JOIN marg ma ON ma.item = ia
+JOIN marg mc ON mc.item = ib, nn
+"""
+
+
+def q_cluster_purity(spark, sf_dir):
+    """External clustering eval (stats.cluster_purity): how language-
+    homogeneous are the z12 tiles — majority-class purity over the
+    (tile, lang) contingency. Oracle re-derives the majorities with
+    its own window."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    lng, lat = geo.point_udeg_cols(F.col("doc_id"))
+    pts = docs.select("doc_id", "lang", lng, lat)
+    tiles = geo.with_point_tiles(pts, F.lit(12))
+    d = tiles.select(
+        (F.col("x").cast("bigint") * 100000
+         + F.col("y").cast("bigint")).alias("txy"), "lang")
+    return st.cluster_purity(d, "txy", "lang")
+
+
+_CP_TX, _CP_TY = _tile_xy_sql("12")
+SQL_CLUSTER_PURITY = f"""
+WITH {POINTS_CTE},
+t AS (SELECT p.doc_id, d.lang, {_CP_TX} AS x, {_CP_TY} AS y
+      FROM pts p JOIN documents d ON d.doc_id = p.doc_id),
+g AS (SELECT CAST(x AS BIGINT) * 100000 + CAST(y AS BIGINT) AS txy,
+             lang
+      FROM t WHERE lang IS NOT NULL),
+cells AS (SELECT txy, lang, CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY 1, 2),
+top AS (SELECT txy, c AS mc FROM cells
+        QUALIFY row_number() OVER (PARTITION BY txy
+                                   ORDER BY c DESC, lang) = 1),
+tot AS (SELECT txy, CAST(sum(c) AS BIGINT) AS nc
+        FROM cells GROUP BY 1)
+SELECT CAST(sum(nc) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(mc) AS BIGINT) AS n_majority,
+       CAST(1000000 * sum(mc) // sum(nc) AS BIGINT) AS purity_ppm
+FROM tot JOIN top USING (txy)
+"""
+
+
+def q_smoothed_rates(spark, sf_dir):
+    """Cold-start smoothing (stats.smoothed_rates): Beta(5,5)-smoothed
+    high-value rates per event type — integer pseudo-count shrinkage
+    toward 0.5. Oracle mirrors the arithmetic."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select("event_type",
+                  (_cents("value") >= 3500).cast("int").alias("pos"))
+    return st.smoothed_rates(d, "event_type", "pos", alpha=5, beta=5)
+
+
+SQL_SMOOTHED_RATES = f"""
+WITH d AS (SELECT event_type,
+                  CASE WHEN {_cents_sql('value')} >= 3500
+                       THEN 1 ELSE 0 END AS pos
+           FROM events WHERE value IS NOT NULL),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS x
+        FROM d GROUP BY 1)
+SELECT event_type, n, x AS n_pos,
+       CAST(1000000 * x // n AS BIGINT) AS raw_ppm,
+       CAST(1000000 * (x + 5) // (n + 10) AS BIGINT) AS smoothed_ppm
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -11660,6 +11775,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tracking_params": q_tracking_params,
     "activity_streaks": q_activity_streaks,
     "overdispersion": q_overdispersion,
+    "assoc_rules": q_assoc_rules,
+    "cluster_purity": q_cluster_purity,
+    "smoothed_rates": q_smoothed_rates,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -11928,6 +12046,9 @@ ORACLES: dict[str, str] = {
     "tracking_params": SQL_TRACKING_PARAMS,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "overdispersion": SQL_OVERDISPERSION,
+    "assoc_rules": SQL_ASSOC_RULES,
+    "cluster_purity": SQL_CLUSTER_PURITY,
+    "smoothed_rates": SQL_SMOOTHED_RATES,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

@@ -1232,3 +1232,26 @@ def test_wave53_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave54_query_scans_prune_and_stay_jvm(spark):
+    """Wave 54: assoc rules reuse the covisit session shape + marginal
+    aggs; purity/smoothed are contingency partial aggs."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "assoc_rules": {"user_id", "ts", "event_type", "event_id"},
+        "cluster_purity": {"doc_id", "lang"},
+        "smoothed_rates": {"event_type", "value"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
