@@ -244,7 +244,9 @@ def main():
                   "tracking_params", "activity_streaks",
                   "overdispersion",
                   "assoc_rules", "cluster_purity",
-                  "smoothed_rates"]:
+                  "smoothed_rates",
+                  "entry_exit", "interpolate_daily",
+                  "odds_ratio"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

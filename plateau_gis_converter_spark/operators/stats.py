@@ -1754,3 +1754,51 @@ def smoothed_rates(df: DataFrame, group_col: str, pos_col: str,
         F.expr(f"1000000 * (x + {int(alpha)}) "
                f"div (n + {int(alpha) + int(beta)})").cast("bigint")
         .alias("smoothed_ppm"))
+
+
+def odds_ratio(df: DataFrame, exposure_col: str, outcome_col: str,
+               z_milli: int = 1960) -> DataFrame:
+    """2x2 odds ratio with the Woolf confidence interval — the effect
+    SIZE companion to ``chi2_flags``' significance test (a p-value
+    says the association is real; the OR says how big): OR = ad/bc
+    exact from the contingency counts, ln(OR) and its CI on the micro
+    scale via the standard SE = sqrt(1/a+1/b+1/c+1/d) in one mirrored
+    double chain. Zero cells yield NULL (the caller applies Haldane's
+    +0.5 correction upstream if wanted — kept out so the exact path
+    stays exact).
+
+    Output (one row): (a, b, c, d, or_milli, ln_or_micro, lo_micro,
+    hi_micro) — a = exposed+outcome, b = exposed-only,
+    c = unexposed+outcome, d = neither.
+    """
+    e = F.col(exposure_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    agg = (df.where(e.isNotNull() & y.isNotNull())
+           .agg(F.sum(((e == 1) & (y == 1)).cast("int")).cast("bigint")
+                .alias("a"),
+                F.sum(((e == 1) & (y == 0)).cast("int")).cast("bigint")
+                .alias("b"),
+                F.sum(((e == 0) & (y == 1)).cast("int")).cast("bigint")
+                .alias("c"),
+                F.sum(((e == 0) & (y == 0)).cast("int")).cast("bigint")
+                .alias("d")))
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) \
+        & (F.col("d") > 0)
+    orr = (F.col("a") * F.col("d")).cast("double") \
+        / (F.col("b") * F.col("c")).cast("double")
+    se = F.sqrt(F.lit(1.0) / F.col("a").cast("double")
+                + F.lit(1.0) / F.col("b").cast("double")
+                + F.lit(1.0) / F.col("c").cast("double")
+                + F.lit(1.0) / F.col("d").cast("double"))
+    ln_or = F.log(orr)
+    z = F.lit(float(z_milli)) / F.lit(1000.0)
+    return agg.select(
+        "a", "b", "c", "d",
+        F.when(ok, F.floor(orr * F.lit(1000.0) + F.lit(0.5)))
+        .cast("bigint").alias("or_milli"),
+        F.when(ok, F.floor(ln_or * F.lit(1e6) + F.lit(0.5)))
+        .cast("bigint").alias("ln_or_micro"),
+        F.when(ok, F.floor((ln_or - z * se) * F.lit(1e6) + F.lit(0.5)))
+        .cast("bigint").alias("lo_micro"),
+        F.when(ok, F.floor((ln_or + z * se) * F.lit(1e6) + F.lit(0.5)))
+        .cast("bigint").alias("hi_micro"))

@@ -840,3 +840,89 @@ def association_rules(events: DataFrame, gap_us: int = 1800_000_000,
         .alias("confidence_ppm"),
         F.expr("1000 * nxy * nn div (na * nc)").cast("bigint")
         .alias("lift_milli"))
+
+
+def entry_exit_pages(events: DataFrame, gap_us: int = 1800_000_000,
+                     ts_col: str = "ts", user_col: str = "user_id",
+                     type_col: str = "event_type",
+                     tiebreak_col: str = "event_id") -> DataFrame:
+    """Landing/exit report: per session the FIRST and LAST event type
+    (the web-analytics entry/exit pages), aggregated to flow counts —
+    where journeys start, where they die. Sessions via the shared gap
+    rule; first/last picked with min/max(struct(ts, tiebreak, type))
+    folds per session (partial-aggregable — no second window), then
+    one count per (entry, exit) pair.
+
+    Output: (entry_type, exit_type, n_sessions).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = t_us - F.lag(t_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sess = events.select(
+        F.col(user_col).alias("u"), t_us.alias("t"),
+        F.col(tiebreak_col).alias("k"), F.col(type_col).alias("ty"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"))
+    ends = (sess.groupBy("u", "sid")
+            .agg(F.min(F.struct("t", "k", "ty")).alias("fst"),
+                 F.max(F.struct("t", "k", "ty")).alias("lst")))
+    return (ends.groupBy(F.col("fst.ty").alias("entry_type"),
+                         F.col("lst.ty").alias("exit_type"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions")))
+
+
+def interpolate_daily(events: DataFrame, key_col: str = "event_type",
+                      ts_col: str = "ts",
+                      value_col: str = "value") -> DataFrame:
+    """Linear interpolation of a daily metric over calendar gaps — the
+    time-series prep between LOCF (``daily_state_locf``: step
+    function) and model-based imputation: a missing day between two
+    observed ones gets the exact integer lerp
+    prev + (next - prev) * (d - d_prev) div (d_next - d_prev);
+    leading/trailing gaps carry the nearest edge (no extrapolation).
+
+    Series = per-key daily SUM of the metric on the zero-filled
+    calendar grid (a day with no rows is MISSING, not zero — that is
+    the point); two ignorenulls window carries (forward + backward)
+    over the small grid relation provide both anchors.
+
+    Output: (key, day, observed, value) — observed 0 rows carry the
+    interpolated value.
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    daily = (events.where(F.col(value_col).isNotNull())
+             .select(F.col(key_col).alias("k"), day.alias("d"),
+                     F.col(value_col).cast("bigint").alias("v"))
+             .groupBy("k", "d")
+             .agg(F.sum("v").cast("bigint").alias("v")))
+    span = daily.groupBy("k").agg(F.min("d").alias("d0"),
+                                  F.max("d").alias("d1"))
+    grid = (span.select("k", F.explode(F.sequence("d0", "d1"))
+                        .alias("d"))
+            .join(daily, ["k", "d"], "left"))
+    wf = (Window.partitionBy("k").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wb = (Window.partitionBy("k").orderBy(F.col("d").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    pv = F.last(F.when(F.col("v").isNotNull(), F.col("v")),
+                ignorenulls=True).over(wf)
+    pd_ = F.last(F.when(F.col("v").isNotNull(), F.col("d")),
+                 ignorenulls=True).over(wf)
+    nv = F.last(F.when(F.col("v").isNotNull(), F.col("v")),
+                ignorenulls=True).over(wb)
+    nd = F.last(F.when(F.col("v").isNotNull(), F.col("d")),
+                ignorenulls=True).over(wb)
+    g = (grid.withColumn("pv", pv).withColumn("pd", pd_)
+         .withColumn("nv", nv).withColumn("nd", nd))
+    lerp = F.when(
+        F.col("v").isNotNull(), F.col("v")).when(
+        F.col("pv").isNull(), F.col("nv")).when(
+        F.col("nv").isNull(), F.col("pv")).otherwise(
+        F.col("pv") + F.expr(
+            "(nv - pv) * (d - pd) div (nd - pd)"))
+    return g.select(F.col("k").alias(key_col),
+                    F.col("d").cast("bigint").alias("day"),
+                    F.col("v").isNotNull().cast("int").alias("observed"),
+                    lerp.cast("bigint").alias("value"))

@@ -11508,6 +11508,150 @@ FROM agg
 """
 
 
+def q_entry_exit(spark, sf_dir):
+    """Landing/exit report (temporal.entry_exit_pages): per-session
+    first/last event types via min/max(struct) folds, counted into the
+    entry→exit flow matrix. Oracle uses first/last_value windows —
+    different mechanics, same sessions."""
+    from ..operators import temporal as tp
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    return tp.entry_exit_pages(ev)
+
+
+SQL_ENTRY_EXIT = """
+WITH ev AS (SELECT user_id AS u, event_type AS ty,
+                   epoch_us(ts) AS t, event_id AS k
+            FROM events WHERE user_id IS NOT NULL),
+brk AS (SELECT u, ty, t, k,
+        CASE WHEN t - lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS b
+        FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, k)),
+sess AS (SELECT u, ty, t, k,
+                sum(b) OVER (PARTITION BY u ORDER BY t, k
+                             ROWS UNBOUNDED PRECEDING) AS sid
+         FROM brk),
+fx AS (SELECT u, sid,
+              first_value(ty) OVER (
+                PARTITION BY u, sid ORDER BY t, k
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS entry_type,
+              last_value(ty) OVER (
+                PARTITION BY u, sid ORDER BY t, k
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS exit_type
+       FROM sess),
+per AS (SELECT DISTINCT u, sid, entry_type, exit_type FROM fx)
+SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+FROM per GROUP BY 1, 2
+"""
+
+
+def q_interpolate_daily(spark, sf_dir):
+    """Gap interpolation (temporal.interpolate_daily): events thinned
+    to every third calendar day make real 2-day gaps; missing days get
+    the exact integer lerp between the neighboring daily sums. Oracle
+    re-derives both anchor carries with IGNORE NULLS windows."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        % 3 == 0)
+    return tp.interpolate_daily(ev, value_col="event_id")
+
+
+SQL_INTERPOLATE_DAILY = """
+WITH src AS (SELECT event_type AS k,
+                    epoch_us(ts) // 86400000000 AS d,
+                    event_id AS v
+             FROM events
+             WHERE (epoch_us(ts) // 86400000000) % 3 = 0
+               AND event_id IS NOT NULL),
+daily AS (SELECT k, d, CAST(sum(v) AS BIGINT) AS v
+          FROM src GROUP BY 1, 2),
+sp AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT sp.k, sp.d0 + u.i AS d
+         FROM sp, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+g AS (SELECT grid.k, grid.d, daily.v,
+             last_value(daily.v IGNORE NULLS) OVER (
+               PARTITION BY grid.k ORDER BY grid.d
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN daily.v IS NOT NULL
+                             THEN grid.d END IGNORE NULLS) OVER (
+               PARTITION BY grid.k ORDER BY grid.d
+               ROWS UNBOUNDED PRECEDING) AS pd,
+             last_value(daily.v IGNORE NULLS) OVER (
+               PARTITION BY grid.k ORDER BY grid.d DESC
+               ROWS UNBOUNDED PRECEDING) AS nv,
+             last_value(CASE WHEN daily.v IS NOT NULL
+                             THEN grid.d END IGNORE NULLS) OVER (
+               PARTITION BY grid.k ORDER BY grid.d DESC
+               ROWS UNBOUNDED PRECEDING) AS nd
+      FROM grid LEFT JOIN daily ON daily.k = grid.k
+                                AND daily.d = grid.d)
+SELECT k AS event_type, CAST(d AS BIGINT) AS day,
+       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS observed,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * (d - pd) // (nd - pd)
+            END AS BIGINT) AS value
+FROM g
+"""
+
+
+def q_odds_ratio(spark, sf_dir):
+    """Effect size (stats.odds_ratio): odds ratio of high value given
+    even event_id with the Woolf log-CI — the magnitude companion of
+    chi2_assoc. All four 2x2 cells exact; OR/CI one mirrored double
+    chain."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select((F.col("event_id") % 2 == 0).cast("int").alias("e"),
+                  (_cents("value") >= 3500).cast("int").alias("y"))
+    return st.odds_ratio(d, "e", "y")
+
+
+SQL_ODDS_RATIO = f"""
+WITH d AS (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS e,
+                  CASE WHEN {_cents_sql('value')} >= 3500
+                       THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+agg AS (SELECT
+  CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+  CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+  CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+  CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM d)
+SELECT a, b, c, d,
+       CAST(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         floor(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)
+               * 1000.0 + 0.5) END AS BIGINT) AS or_milli,
+       CAST(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         floor(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+               * 1000000.0 + 0.5) END AS BIGINT) AS ln_or_micro,
+       CAST(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         floor((ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                - 1960.0 / 1000.0
+                  * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                         + 1.0 / CAST(c AS DOUBLE)
+                         + 1.0 / CAST(d AS DOUBLE)))
+               * 1000000.0 + 0.5) END AS BIGINT) AS lo_micro,
+       CAST(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         floor((ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                + 1960.0 / 1000.0
+                  * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                         + 1.0 / CAST(c AS DOUBLE)
+                         + 1.0 / CAST(d AS DOUBLE)))
+               * 1000000.0 + 0.5) END AS BIGINT) AS hi_micro
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -11778,6 +11922,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assoc_rules": q_assoc_rules,
     "cluster_purity": q_cluster_purity,
     "smoothed_rates": q_smoothed_rates,
+    "entry_exit": q_entry_exit,
+    "interpolate_daily": q_interpolate_daily,
+    "odds_ratio": q_odds_ratio,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -12049,6 +12196,9 @@ ORACLES: dict[str, str] = {
     "assoc_rules": SQL_ASSOC_RULES,
     "cluster_purity": SQL_CLUSTER_PURITY,
     "smoothed_rates": SQL_SMOOTHED_RATES,
+    "entry_exit": SQL_ENTRY_EXIT,
+    "interpolate_daily": SQL_INTERPOLATE_DAILY,
+    "odds_ratio": SQL_ODDS_RATIO,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,

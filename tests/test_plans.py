@@ -1255,3 +1255,27 @@ def test_wave54_query_scans_prune_and_stay_jvm(spark):
         assert cols == want, f"{name} scan reads {sorted(cols)}"
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "CartesianProduct" not in plan
+
+
+def test_wave55_query_scans_prune_and_stay_jvm(spark):
+    """Wave 55: entry/exit is session window + struct folds;
+    interpolation windows calendar grids; odds ratio is one
+    aggregate."""
+    spark.catalog.clearCache()
+    import re
+
+    from plateau_gis_converter_spark.plans import entry_queries as eq
+
+    expected = {
+        "entry_exit": {"user_id", "ts", "event_type", "event_id"},
+        "interpolate_daily": {"event_type", "ts", "event_id"},
+        "odds_ratio": {"event_id", "value"},
+    }
+    for name, want in expected.items():
+        plan = (eq.QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == want, f"{name} scan reads {sorted(cols)}"
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "CartesianProduct" not in plan
