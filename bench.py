@@ -246,7 +246,8 @@ def main():
                   "assoc_rules", "cluster_purity",
                   "smoothed_rates",
                   "entry_exit", "interpolate_daily",
-                  "odds_ratio"]:
+                  "odds_ratio",
+                  "cramers_v", "gini_traffic", "zipf_fit"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

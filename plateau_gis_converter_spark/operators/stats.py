@@ -1802,3 +1802,96 @@ def odds_ratio(df: DataFrame, exposure_col: str, outcome_col: str,
         .cast("bigint").alias("lo_micro"),
         F.when(ok, F.floor((ln_or + z * se) * F.lit(1e6) + F.lit(0.5)))
         .cast("bigint").alias("hi_micro"))
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V association strength for an r×c contingency table —
+    the normalized companion to ``chi2_flags`` (which flags cells) and
+    ``mutual_information`` (nats): V = sqrt(chi2 / (n·min(r-1,c-1)))
+    in [0,1], comparable across tables of different shapes. Each
+    cell's chi2 term (O·N − R·C)²/(N·R·C) is ONE fixed-op-order double
+    micro-quantized BEFORE the sum (the mi_assoc discipline), so the
+    aggregate is an associative integer; V is the final double.
+
+    Output (one row): (n, r, c, chi2_micro, v_milli).
+    """
+    cells = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+             .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+    ra = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("rr"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("cc"))
+    nn = cells.agg(F.sum("o").cast("bigint").alias("n"),
+                   F.countDistinct("a").cast("bigint").alias("r"),
+                   F.countDistinct("b").cast("bigint").alias("c"))
+    j = cells.join(ra, "a").join(cb, "b").crossJoin(F.broadcast(nn))
+    dev = (F.col("o") * F.col("n")
+           - F.col("rr") * F.col("cc")).cast("double")
+    # chi2 cell = (O - E)^2/E with E = R*C/N  ==  (O*N - R*C)^2/(N*R*C);
+    # quantized per OBSERVED cell before the sum (associative integer).
+    term = F.floor(dev * dev
+                   / (F.col("n").cast("double")
+                      * F.col("rr").cast("double")
+                      * F.col("cc").cast("double"))
+                   * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    # zero-observed cells contribute E = R*C/N each; their total is
+    # N - sum_observed(R*C)/N — the R*C sum stays an exact INTEGER
+    # aggregate (merge-order free), one double at the end.
+    agg0 = (j.groupBy("n", "r", "c")
+            .agg(F.sum(term).cast("bigint").alias("t_sum"),
+                 F.sum(F.col("rr") * F.col("cc")).cast("bigint")
+                 .alias("src")))
+    zsum = F.floor((F.col("n").cast("double")
+                    - F.col("src").cast("double")
+                      / F.col("n").cast("double"))
+                   * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    agg = agg0.withColumn("chi2_micro", F.col("t_sum") + zsum)
+    k = F.least(F.col("r") - 1, F.col("c") - 1)
+    v = F.when(
+        (k > 0) & (F.col("n") > 0),
+        F.floor(F.sqrt(F.col("chi2_micro").cast("double") / F.lit(1e6)
+                       / (F.col("n") * k).cast("double"))
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return agg.select("n", "r", "c",
+                      F.col("chi2_micro").cast("bigint")
+                      .alias("chi2_micro"),
+                      v.alias("v_milli"))
+
+
+def gini_inequality(df: DataFrame, value_col: str) -> DataFrame:
+    """Exact Gini coefficient of a non-negative integer quantity —
+    concentration of traffic/tokens across hosts or sources (0 =
+    perfectly even, ->1 = one key holds everything; the corpus-balance
+    number next to ``simpson_diversity``). Computed on the VALUE-COUNT
+    relation (the value_quantiles discipline): with values sorted
+    ascending, sum of rank*value uses the closed form over tied
+    blocks — for a block of c copies of v starting at cumulative
+    position p, sum(rank*v) = v * (c*p + c*(c+1)/2) — keeping
+    everything int64; G = (2*S1 / (n*S)) - (n+1)/n is the final
+    mirrored double.
+
+    Output (one row): (n, total, s1, gini_milli) — NULL for empty or
+    all-zero input.
+    """
+    vals = (df.where(F.col(value_col).isNotNull()
+                     & (F.col(value_col) >= 0))
+            .groupBy(F.col(value_col).cast("bigint").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    blk = (vals.withColumn("p", F.coalesce(F.sum("c").over(wc),
+                                           F.lit(0)))
+           .withColumn("s1b", F.col("v")
+                       * (F.col("c") * F.col("p")
+                          + F.expr("c * (c + 1) div 2"))))
+    agg = blk.agg(F.sum("c").cast("bigint").alias("n"),
+                  F.sum(F.col("v") * F.col("c")).cast("bigint")
+                  .alias("total"),
+                  F.sum("s1b").cast("bigint").alias("s1"))
+    g = F.when(
+        (F.col("n") > 0) & (F.col("total") > 0),
+        F.floor((F.lit(2.0) * F.col("s1").cast("double")
+                 / (F.col("n").cast("double")
+                    * F.col("total").cast("double"))
+                 - (F.col("n") + 1).cast("double")
+                   / F.col("n").cast("double"))
+                * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
+    return agg.select("n", "total", "s1", g.alias("gini_milli"))

@@ -11652,6 +11652,152 @@ FROM agg
 """
 
 
+def q_cramers_v(spark, sf_dir):
+    """Association strength (stats.cramers_v): Cramér's V between
+    language and the 200-char length bucket — per-observed-cell chi2
+    terms micro-quantized before the sum, zero cells folded via the
+    exact integer sum(R·C) identity. Oracle mirrors both parts."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    d = (docs.where(F.col("lang").isNotNull()
+                    & F.col("n_chars").isNotNull())
+         .select(F.col("lang").alias("a"),
+                 F.expr("n_chars div 200").alias("b")))
+    return st.cramers_v(d, "a", "b")
+
+
+SQL_CRAMERS_V = """
+WITH base AS (SELECT lang AS a, n_chars // 200 AS b FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+          FROM base GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc FROM cells GROUP BY 1),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+              CAST(count(DISTINCT a) AS BIGINT) AS r,
+              CAST(count(DISTINCT b) AS BIGINT) AS c
+       FROM cells),
+j AS (SELECT cells.o, ra.rr, cb.cc, nn.n, nn.r, nn.c
+      FROM cells JOIN ra USING (a) JOIN cb USING (b), nn),
+t AS (SELECT n, r, c,
+             CAST(sum(CAST(floor(
+               CAST(o * n - rr * cc AS DOUBLE)
+               * CAST(o * n - rr * cc AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)
+                  * CAST(cc AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS t_sum,
+             CAST(sum(rr * cc) AS BIGINT) AS src
+      FROM j GROUP BY 1, 2, 3),
+f AS (SELECT n, r, c,
+             t_sum + CAST(floor((CAST(n AS DOUBLE)
+                    - CAST(src AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+      FROM t)
+SELECT n, r, c, chi2_micro,
+       CAST(CASE WHEN least(r - 1, c - 1) > 0 AND n > 0 THEN
+         floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                    / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+               * 1000.0 + 0.5) END AS BIGINT) AS v_milli
+FROM f
+"""
+
+
+def q_gini_traffic(spark, sf_dir):
+    """Traffic concentration (stats.gini_inequality): exact Gini over
+    per-user event counts via the tied-block closed form on the
+    value-count relation. Oracle re-derives blocks with its own
+    windows."""
+    from ..operators import stats as st
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .groupBy("user_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return st.gini_inequality(ev, "n_events")
+
+
+SQL_GINI_TRAFFIC = """
+WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+blk AS (SELECT v, c,
+               coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS p
+        FROM vals)
+SELECT CAST(sum(c) AS BIGINT) AS n,
+       CAST(sum(v * c) AS BIGINT) AS total,
+       CAST(sum(v * (c * p + c * (c + 1) // 2)) AS BIGINT) AS s1,
+       CAST(CASE WHEN sum(c) > 0 AND sum(v * c) > 0 THEN
+         floor((2.0 * CAST(sum(v * (c * p + c * (c + 1) // 2))
+                      AS DOUBLE)
+                / (CAST(sum(c) AS DOUBLE) * CAST(sum(v * c) AS DOUBLE))
+                - CAST(sum(c) + 1 AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+               * 1000.0 + 0.5) END AS BIGINT) AS gini_milli
+FROM blk
+"""
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's law (composition: token counts → rank window →
+    stats.loglog_ols_fit): rank-frequency slope of the corpus
+    vocabulary — completing the law-fitting trio with heaps_law and
+    powerlaw_degrees. Oracle mirrors ranks and the fit."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9_]+"),
+        lambda t: t != "")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)
+                               .cast("bigint"))
+    return st.loglog_ols_fit(ranked, x_col="rank", cnt_col="cnt")
+
+
+SQL_ZIPF_FIT = """
+WITH toks AS (
+  SELECT u.tok FROM (
+    SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+                                             '[^a-z0-9_]+'),
+                       x -> x <> '') AS t
+    FROM documents) q, UNNEST(t) AS u(tok)),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1),
+rk AS (SELECT cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+                   AS BIGINT) AS rank
+       FROM counts),
+pts AS (SELECT
+  CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS lx,
+  CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS ly
+  FROM rk WHERE rank > 0 AND cnt > 0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * ly) AS BIGINT) AS sxy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx
+      FROM pts)
+SELECT n AS n_points,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0 + 0.5)
+       END AS BIGINT) AS slope_milli,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000.0 * 1000.0 + 0.5)
+       END AS BIGINT) AS intercept_milli
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -11925,6 +12071,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entry_exit": q_entry_exit,
     "interpolate_daily": q_interpolate_daily,
     "odds_ratio": q_odds_ratio,
+    "cramers_v": q_cramers_v,
+    "gini_traffic": q_gini_traffic,
+    "zipf_fit": q_zipf_fit,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -12199,6 +12348,9 @@ ORACLES: dict[str, str] = {
     "entry_exit": SQL_ENTRY_EXIT,
     "interpolate_daily": SQL_INTERPOLATE_DAILY,
     "odds_ratio": SQL_ODDS_RATIO,
+    "cramers_v": SQL_CRAMERS_V,
+    "gini_traffic": SQL_GINI_TRAFFIC,
+    "zipf_fit": SQL_ZIPF_FIT,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
