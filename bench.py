@@ -247,7 +247,9 @@ def main():
                   "smoothed_rates",
                   "entry_exit", "interpolate_daily",
                   "odds_ratio",
-                  "cramers_v", "gini_traffic", "zipf_fit"]:
+                  "cramers_v", "gini_traffic", "zipf_fit",
+                  "lorenz_points", "new_returning",
+                  "rank_movers"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -1895,3 +1895,49 @@ def gini_inequality(df: DataFrame, value_col: str) -> DataFrame:
                    / F.col("n").cast("double"))
                 * F.lit(1000.0) + F.lit(0.5)).cast("bigint"))
     return agg.select("n", "total", "s1", g.alias("gini_milli"))
+
+
+def lorenz_points(df: DataFrame, value_col: str,
+                  n_points: int = 10) -> DataFrame:
+    """Lorenz-curve points — the concentration curve behind
+    ``gini_inequality``'s single number: at each population decile
+    (poorest first), the cumulative share of the total the bottom
+    fraction holds ("the bottom 90% of hosts carry 12% of traffic").
+    Computed on the value-count relation: cumulative population and
+    mass sums ascending, each decile read as the smallest value block
+    whose cumulative population reaches ceil(q*n/points) — all
+    integer; shares exact ppm of interpolation-free block boundaries
+    (type-1, like every quantile here).
+
+    Output: (point, pop_ppm, mass_ppm) for point = 1..n_points.
+    """
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+    vals = (df.where(F.col(value_col).isNotNull()
+                     & (F.col(value_col) >= 0))
+            .groupBy(F.col(value_col).cast("bigint").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (vals
+           .withColumn("cp", F.sum("c").over(wc))
+           .withColumn("cm", F.sum(F.col("v") * F.col("c")).over(wc))
+           .withColumn("n", F.sum("c").over(wall))
+           .withColumn("tot", F.sum(F.col("v") * F.col("c"))
+                       .over(wall)))
+    spark = df.sparkSession
+    pts = spark.createDataFrame([(int(i),) for i in
+                                 range(1, int(n_points) + 1)],
+                                "point long")
+    tgt = F.expr(f"(point * n + {int(n_points)} - 1) "
+                 f"div {int(n_points)}")
+    return (cum.crossJoin(F.broadcast(pts))
+            .where(F.col("cp") >= tgt)
+            .groupBy("point")
+            .agg(F.min(F.struct("cp", "cm", "n", "tot")).alias("m"))
+            .select("point",
+                    F.expr("1000000 * m.cp div m.n").cast("bigint")
+                    .alias("pop_ppm"),
+                    F.when(F.col("m.tot") > 0,
+                           F.expr("1000000 * m.cm div m.tot"))
+                    .cast("bigint").alias("mass_ppm")))

@@ -926,3 +926,77 @@ def interpolate_daily(events: DataFrame, key_col: str = "event_type",
                     F.col("d").cast("bigint").alias("day"),
                     F.col("v").isNotNull().cast("int").alias("observed"),
                     lerp.cast("bigint").alias("value"))
+
+
+def new_vs_returning(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Daily new-vs-returning user mix — the acquisition/retention
+    split on every product dashboard: a user is NEW on their first
+    active day, RETURNING on every later active day. One distinct
+    (user, day) partial agg, one per-user min, one co-keyed join,
+    one daily count — no windows over the fact.
+
+    Output: (day, n_new, n_returning, new_share_ppm).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    act = (events.where(F.col(user_col).isNotNull())
+           .select(F.col(user_col).alias("u"), day.alias("d"))
+           .distinct())
+    first = act.groupBy("u").agg(F.min("d").alias("fd"))
+    out = (act.join(first, "u")
+           .groupBy(F.col("d").alias("day"))
+           .agg(F.sum((F.col("d") == F.col("fd")).cast("int"))
+                .cast("bigint").alias("n_new"),
+                F.sum((F.col("d") != F.col("fd")).cast("int"))
+                .cast("bigint").alias("n_returning")))
+    return out.withColumn(
+        "new_share_ppm",
+        F.expr("1000000 * n_new div (n_new + n_returning)")
+        .cast("bigint")).select(
+        F.col("day").cast("bigint").alias("day"), "n_new",
+        "n_returning", "new_share_ppm")
+
+
+def rank_movers(events: DataFrame, key_col: str = "event_type",
+                ts_col: str = "ts", period_days: int = 7) -> DataFrame:
+    """Week-over-week rank movers — the trending report: per key its
+    activity rank in the LAST full period vs the one before, with the
+    delta (positive = climbing). Ranks are dense over (count desc,
+    key asc) within each period; keys absent from a period rank NULL
+    and report a NULL delta (new entrants / dropouts are visible, not
+    faked). Period boundaries anchor at the corpus max day so the
+    'last week' is always complete-ish.
+
+    Output: (key, n_prev, n_last, rank_prev, rank_last, rank_delta).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 "div 86400000000")
+    d = events.select(F.col(key_col).alias("k"), day.alias("d"))
+    mx = d.agg(F.max("d").alias("dmax"))
+    tagged = (d.crossJoin(F.broadcast(mx))
+              .withColumn("per", F.expr(
+                  f"(dmax - d) div {int(period_days)}"))
+              .where(F.col("per") <= 1))
+    counts = (tagged.groupBy("k", "per")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = Window.partitionBy("per").orderBy(F.col("n").desc(),
+                                          F.col("k"))
+    ranked = counts.withColumn("r", F.row_number().over(w)
+                               .cast("bigint"))
+    last = (ranked.where(F.col("per") == 0)
+            .select("k", F.col("n").alias("n_last"),
+                    F.col("r").alias("rank_last")))
+    prev = (ranked.where(F.col("per") == 1)
+            .select("k", F.col("n").alias("n_prev"),
+                    F.col("r").alias("rank_prev")))
+    out = last.join(prev, "k", "full_outer")
+    return out.select(
+        F.col("k").alias(key_col),
+        F.coalesce(F.col("n_prev"), F.lit(0)).cast("bigint")
+        .alias("n_prev"),
+        F.coalesce(F.col("n_last"), F.lit(0)).cast("bigint")
+        .alias("n_last"),
+        "rank_prev", "rank_last",
+        (F.col("rank_prev") - F.col("rank_last")).cast("bigint")
+        .alias("rank_delta"))

@@ -11798,6 +11798,107 @@ FROM m
 """
 
 
+def q_lorenz_points(spark, sf_dir):
+    """Concentration curve (stats.lorenz_points): cumulative traffic
+    share at population deciles over per-user event counts — the curve
+    behind gini_traffic's number. Oracle re-derives block boundaries
+    with its own windows."""
+    from ..operators import stats as st
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .groupBy("user_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return st.lorenz_points(ev, "n_events", n_points=10)
+
+
+SQL_LORENZ_POINTS = """
+WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+cum AS (SELECT v, c,
+               sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cp,
+               sum(v * c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cm,
+               sum(c) OVER () AS n, sum(v * c) OVER () AS tot
+        FROM vals),
+pts AS (SELECT unnest(range(1, 11)) AS point)
+SELECT CAST(point AS BIGINT) AS point,
+       CAST(1000000 * min(cp) // max(n) AS BIGINT) AS pop_ppm,
+       CAST(CASE WHEN max(tot) > 0
+                 THEN 1000000 * min(cm) // max(tot) END AS BIGINT)
+           AS mass_ppm
+FROM cum, pts
+WHERE cp >= (point * n + 9) // 10
+GROUP BY 1
+"""
+
+
+def q_new_returning(spark, sf_dir):
+    """Acquisition mix (temporal.new_vs_returning): daily new vs
+    returning users (first active day = new). Oracle re-derives the
+    first-day join."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events")
+    return tp.new_vs_returning(ev)
+
+
+SQL_NEW_RETURNING = """
+WITH act AS (SELECT DISTINCT user_id AS u,
+                    epoch_us(ts) // 86400000000 AS d
+             FROM events WHERE user_id IS NOT NULL),
+fst AS (SELECT u, min(d) AS fd FROM act GROUP BY 1)
+SELECT CAST(act.d AS BIGINT) AS day,
+       CAST(sum(CASE WHEN act.d = fst.fd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN act.d <> fst.fd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning,
+       CAST(1000000 * sum(CASE WHEN act.d = fst.fd THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS new_share_ppm
+FROM act JOIN fst ON fst.u = act.u
+GROUP BY 1
+"""
+
+
+def q_rank_movers(spark, sf_dir):
+    """Trending report (temporal.rank_movers): last-7-days vs
+    prior-7-days activity ranks per event type with deltas; absent
+    periods stay NULL (new entrants visible). Oracle re-derives
+    periods and dense orderings."""
+    from ..operators import temporal as tp
+
+    ev = _t(spark, sf_dir, "events")
+    return tp.rank_movers(ev, period_days=7)
+
+
+SQL_RANK_MOVERS = """
+WITH d AS (SELECT event_type AS k,
+                  epoch_us(ts) // 86400000000 AS d
+           FROM events),
+mx AS (SELECT max(d) AS dmax FROM d),
+tagged AS (SELECT k, (mx.dmax - d) // 7 AS per FROM d, mx
+           WHERE (mx.dmax - d) // 7 <= 1),
+counts AS (SELECT k, per, CAST(count(*) AS BIGINT) AS n
+           FROM tagged GROUP BY 1, 2),
+ranked AS (SELECT k, per, n,
+                  CAST(row_number() OVER (PARTITION BY per
+                                          ORDER BY n DESC, k)
+                       AS BIGINT) AS r
+           FROM counts),
+lastp AS (SELECT k, n AS n_last, r AS rank_last FROM ranked
+          WHERE per = 0),
+prevp AS (SELECT k, n AS n_prev, r AS rank_prev FROM ranked
+          WHERE per = 1)
+SELECT coalesce(lastp.k, prevp.k) AS event_type,
+       CAST(coalesce(n_prev, 0) AS BIGINT) AS n_prev,
+       CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+       rank_prev, rank_last,
+       CAST(rank_prev - rank_last AS BIGINT) AS rank_delta
+FROM lastp FULL OUTER JOIN prevp ON lastp.k = prevp.k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -12074,6 +12175,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cramers_v": q_cramers_v,
     "gini_traffic": q_gini_traffic,
     "zipf_fit": q_zipf_fit,
+    "lorenz_points": q_lorenz_points,
+    "new_returning": q_new_returning,
+    "rank_movers": q_rank_movers,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -12351,6 +12455,9 @@ ORACLES: dict[str, str] = {
     "cramers_v": SQL_CRAMERS_V,
     "gini_traffic": SQL_GINI_TRAFFIC,
     "zipf_fit": SQL_ZIPF_FIT,
+    "lorenz_points": SQL_LORENZ_POINTS,
+    "new_returning": SQL_NEW_RETURNING,
+    "rank_movers": SQL_RANK_MOVERS,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
