@@ -249,7 +249,9 @@ def main():
                   "odds_ratio",
                   "cramers_v", "gini_traffic", "zipf_fit",
                   "lorenz_points", "new_returning",
-                  "rank_movers"]:
+                  "rank_movers",
+                  "welch_t", "topk_overlap",
+                  "capture_recapture"]:
         fn = eq.QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -1941,3 +1941,117 @@ def lorenz_points(df: DataFrame, value_col: str,
                     F.when(F.col("m.tot") > 0,
                            F.expr("1000000 * m.cm div m.tot"))
                     .cast("bigint").alias("mass_ppm")))
+
+
+def welch_t(df: DataFrame, side_col: str, value_col: str,
+            t_crit_milli: int = 1960) -> DataFrame:
+    """Welch's two-sample t-test — the parametric mean-difference test
+    next to ``ks_test`` (distribution shape) and ``emd_1d`` (distance):
+    unequal variances, no pooling. Per-side moments (n, S, Q) are
+    exact int64 partial aggs; t and the Welch-Satterthwaite df are the
+    final fixed-op-order double chain, the decision |t| > crit one
+    mirrored comparison (crit defaults to the large-sample 1.96; pass
+    the df-appropriate critical value for small samples).
+
+    Output (one row): (n_a, n_b, mean_a_milli, mean_b_milli, t_milli,
+    df_milli, reject).
+    """
+    base = (df.where(F.col(value_col).isNotNull())
+            .groupBy(F.col(side_col).alias("s"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.col(value_col).cast("bigint")).cast("bigint")
+                 .alias("sv"),
+                 F.sum(F.col(value_col).cast("bigint")
+                       * F.col(value_col).cast("bigint")).cast("bigint")
+                 .alias("q")))
+    a = (base.where(F.col("s") == "a")
+         .select(F.col("n").alias("na"), F.col("sv").alias("sa"),
+                 F.col("q").alias("qa")))
+    b = (base.where(F.col("s") == "b")
+         .select(F.col("n").alias("nb"), F.col("sv").alias("sb"),
+                 F.col("q").alias("qb")))
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    # unbiased sample variances from exact moments
+    va = (F.col("qa").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("qb").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dfree = ((sea + seb) * (sea + seb)
+             / (sea * sea / (na - F.lit(1.0))
+                + seb * seb / (nb - F.lit(1.0))))
+    ok = (F.col("na") > 1) & (F.col("nb") > 1)
+    rej = F.when(ok, (F.abs(t) > F.lit(float(t_crit_milli)) / F.lit(
+        1000.0)).cast("int")).cast("int")
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.floor(ma * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+        .alias("mean_a_milli"),
+        F.floor(mb * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+        .alias("mean_b_milli"),
+        F.when(ok, F.floor(t * F.lit(1000.0) + F.lit(0.5)))
+        .cast("bigint").alias("t_milli"),
+        F.when(ok, F.floor(dfree * F.lit(1000.0) + F.lit(0.5)))
+        .cast("bigint").alias("df_milli"),
+        rej.alias("reject"))
+
+
+def topk_overlap(rank_a: DataFrame, rank_b: DataFrame,
+                 ks: tuple = (10, 20, 50),
+                 id_col: str = "id", rank_col: str = "rank") -> DataFrame:
+    """Agreement@k between two rankings — "how much did the new scorer
+    reorder the top of the list": per cutoff k the exact top-k set
+    overlap and Jaccard ppm, the cheap first look before a full RBO.
+    One bounded |ks| explode per side + one co-keyed join; never
+    materializes pairs.
+
+    Output: (k, n_common, jaccard_ppm) — Jaccard of the two top-k
+    sets (size k each when both rankings have >= k entries).
+    """
+    kdf = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+
+    def top(df, tag):
+        return (df.select(F.col(id_col).alias("i"),
+                          F.col(rank_col).alias("r"), kdf)
+                .where(F.col("r") <= F.col("k"))
+                .select("k", "i", F.lit(1).alias(tag)))
+
+    a, b = top(rank_a, "ina"), top(rank_b, "inb")
+    m = a.join(b, ["k", "i"], "full_outer")
+    return (m.groupBy("k")
+            .agg(F.sum(F.when(F.col("ina").isNotNull()
+                              & F.col("inb").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_common"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_union"))
+            .select(F.col("k").cast("bigint").alias("k"), "n_common",
+                    F.expr("1000000 * n_common div n_union")
+                    .cast("bigint").alias("jaccard_ppm")))
+
+
+def capture_recapture(df: DataFrame, in_a_col: str,
+                      in_b_col: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture population estimate: from
+    two independent samples of an unknown population (rows carry
+    membership flags), N_hat = n_a * n_b / m where m = overlap — the
+    classic "how many duplicates/entities exist in TOTAL when we can
+    only sample" estimator (also the Chapman bias-corrected variant,
+    (n_a+1)(n_b+1)/(m+1) - 1, exact integers). One aggregate.
+
+    Output (one row): (n_a, n_b, n_both, n_hat, n_hat_chapman) — NULL
+    plain estimate when the overlap is empty (Chapman still defined).
+    """
+    a = F.col(in_a_col).cast("int")
+    b = F.col(in_b_col).cast("int")
+    agg = df.agg(
+        F.sum(a).cast("bigint").alias("n_a"),
+        F.sum(b).cast("bigint").alias("n_b"),
+        F.sum((a * b)).cast("bigint").alias("n_both"))
+    nhat = F.when(F.col("n_both") > 0,
+                  F.expr("n_a * n_b div n_both")).cast("bigint")
+    chap = F.expr("(n_a + 1) * (n_b + 1) div (n_both + 1) - 1") \
+        .cast("bigint")
+    return agg.select("n_a", "n_b", "n_both", nhat.alias("n_hat"),
+                      chap.alias("n_hat_chapman"))

@@ -11899,6 +11899,156 @@ FROM lastp FULL OUTER JOIN prevp ON lastp.k = prevp.k
 """
 
 
+def q_welch_t(spark, sf_dir):
+    """Parametric mean test (stats.welch_t): the dist_drift fixture's
+    sides through Welch's t — exact per-side int64 moments, t/df one
+    mirrored double chain."""
+    from ..operators import stats as st
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    d = ev.where(F.col("value").isNotNull()).select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("side"),
+        (cents + F.when((F.col("event_id") % 2 == 1)
+                        & (F.col("event_type") == "purchase"),
+                        F.lit(500)).otherwise(F.lit(0))).alias("v"))
+    return st.welch_t(d, "side", "v")
+
+
+SQL_WELCH_T = f"""
+WITH d AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         {_cents_sql('value')}
+           + CASE WHEN event_id % 2 = 1 AND event_type = 'purchase'
+                  THEN 500 ELSE 0 END AS v
+  FROM events WHERE value IS NOT NULL),
+m AS (SELECT side, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS q
+      FROM d GROUP BY 1),
+j AS (SELECT a.n AS na, a.sv AS sa, a.q AS qa,
+             b.n AS nb, b.sv AS sb, b.q AS qb
+      FROM (SELECT * FROM m WHERE side = 'a') a,
+           (SELECT * FROM m WHERE side = 'b') b),
+c AS (SELECT na, nb, sa, sb, qa, qb,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+      FROM j),
+v AS (SELECT *,
+             (CAST(qa AS DOUBLE) - CAST(na AS DOUBLE) * ma * ma)
+               / (CAST(na AS DOUBLE) - 1.0) / CAST(na AS DOUBLE) AS sea,
+             (CAST(qb AS DOUBLE) - CAST(nb AS DOUBLE) * mb * mb)
+               / (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) AS seb
+      FROM c)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(floor(ma * 1000.0 + 0.5) AS BIGINT) AS mean_a_milli,
+       CAST(floor(mb * 1000.0 + 0.5) AS BIGINT) AS mean_b_milli,
+       CAST(CASE WHEN na > 1 AND nb > 1 THEN
+         floor((ma - mb) / sqrt(sea + seb) * 1000.0 + 0.5)
+       END AS BIGINT) AS t_milli,
+       CAST(CASE WHEN na > 1 AND nb > 1 THEN
+         floor((sea + seb) * (sea + seb)
+               / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+                  + seb * seb / (CAST(nb AS DOUBLE) - 1.0))
+               * 1000.0 + 0.5)
+       END AS BIGINT) AS df_milli,
+       CAST(CASE WHEN na > 1 AND nb > 1 THEN
+         CASE WHEN abs((ma - mb) / sqrt(sea + seb)) > 1960.0 / 1000.0
+              THEN 1 ELSE 0 END
+       END AS INT) AS reject
+FROM v
+"""
+
+
+def q_topk_overlap(spark, sf_dir):
+    """Ranking agreement (stats.topk_overlap): Jaccard@{10,20,50}
+    between ranking documents by length vs by the derived score —
+    bounded k explodes + one co-keyed join. Oracle re-ranks both
+    sides with its own windows."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    wb = Window.orderBy(((F.col("doc_id") * 37) % 1000).desc(),
+                        F.col("doc_id"))
+    ra = docs.select(F.col("doc_id").alias("id"),
+                     F.row_number().over(wa).cast("bigint")
+                     .alias("rank"))
+    rb = docs.select(F.col("doc_id").alias("id"),
+                     F.row_number().over(wb).cast("bigint")
+                     .alias("rank"))
+    return st.topk_overlap(ra, rb, ks=(10, 20, 50))
+
+
+SQL_TOPK_OVERLAP = """
+WITH ra AS (SELECT doc_id AS i,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                       AS r
+            FROM documents),
+rb AS (SELECT doc_id AS i,
+              row_number() OVER (ORDER BY (doc_id * 37) % 1000 DESC,
+                                 doc_id) AS r
+       FROM documents),
+ks AS (SELECT unnest([10, 20, 50]) AS k),
+ta AS (SELECT k, i FROM ra, ks WHERE r <= k),
+tb AS (SELECT k, i FROM rb, ks WHERE r <= k),
+m AS (SELECT coalesce(ta.k, tb.k) AS k,
+             ta.i IS NOT NULL AND tb.i IS NOT NULL AS hit
+      FROM ta FULL OUTER JOIN tb ON ta.k = tb.k AND ta.i = tb.i)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common,
+       CAST(1000000 * sum(CASE WHEN hit THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS jaccard_ppm
+FROM m GROUP BY 1
+"""
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Population estimation (stats.capture_recapture): two
+    independent deterministic ~40% samples of the documents table —
+    Lincoln-Petersen and Chapman estimates recover the true corpus
+    size from the overlap. Oracle mirrors the flags and closed
+    forms."""
+    from ..operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def flag(salt):
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(salt))), 1, 15), 16, 10) \
+            .cast("bigint") % 1_000_000
+        return (h < 400_000).cast("int")
+
+    d = docs.select(flag(":cap_a").alias("in_a"),
+                    flag(":cap_b").alias("in_b"))
+    return st.capture_recapture(d, "in_a", "in_b")
+
+
+SQL_CAPTURE_RECAPTURE = """
+WITH d AS (
+  SELECT CASE WHEN CAST(concat('0x',
+           substr(md5(CAST(doc_id AS VARCHAR) || ':cap_a'), 1, 15))
+           AS BIGINT) % 1000000 < 400000 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN CAST(concat('0x',
+           substr(md5(CAST(doc_id AS VARCHAR) || ':cap_b'), 1, 15))
+           AS BIGINT) % 1000000 < 400000 THEN 1 ELSE 0 END AS ib
+  FROM documents),
+agg AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+               CAST(sum(ib) AS BIGINT) AS n_b,
+               CAST(sum(ia * ib) AS BIGINT) AS n_both
+        FROM d)
+SELECT n_a, n_b, n_both,
+       CAST(CASE WHEN n_both > 0 THEN n_a * n_b // n_both END
+            AS BIGINT) AS n_hat,
+       CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT)
+           AS n_hat_chapman
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial
     "geocode": q_geocode,
@@ -12178,6 +12328,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lorenz_points": q_lorenz_points,
     "new_returning": q_new_returning,
     "rank_movers": q_rank_movers,
+    "welch_t": q_welch_t,
+    "topk_overlap": q_topk_overlap,
+    "capture_recapture": q_capture_recapture,
     "idw_surface": q_idw_surface,
     "tile_top_sources": q_tile_top_sources,
     "interarrival_quantiles": q_interarrival_quantiles,
@@ -12458,6 +12611,9 @@ ORACLES: dict[str, str] = {
     "lorenz_points": SQL_LORENZ_POINTS,
     "new_returning": SQL_NEW_RETURNING,
     "rank_movers": SQL_RANK_MOVERS,
+    "welch_t": SQL_WELCH_T,
+    "topk_overlap": SQL_TOPK_OVERLAP,
+    "capture_recapture": SQL_CAPTURE_RECAPTURE,
     "idw_surface": SQL_IDW_SURFACE,
     "tile_top_sources": SQL_TILE_TOP_SOURCES,
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
