@@ -439,21 +439,34 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
     web-corpus generalization the brief's training-pipeline axis asks
     for.
     """
-    sh = shingles(docs, n, text_col).persist()
-    from pyspark.sql import Window
-
+    # r6 OPTIMIZATION (measured at sf0.1: verify was 3.0 s of the 5-6 s
+    # total — 310k candidate pairs exploded into a ~16M-row double
+    # equi-join on (doc, shingle); the prefix rank paid another ~1.2 s of
+    # row_number window): the per-doc canonical order now materializes as
+    # ONE sorted array per document (sort_array over (df, shingle)
+    # structs — same (df asc, shingle asc) total order as the window),
+    # the prefix is an array slice, and the exact verify is
+    # size(array_intersect(arr_a, arr_b)) over the two documents' full
+    # (distinct) shingle arrays — two equi-joins keyed by doc id that
+    # shuffle one array payload per doc instead of one row per
+    # (candidate, shingle). Identical pairs and jaccard values (the
+    # division is the same float expression).
+    sh = shingles(docs, n, text_col)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    order = Window.partitionBy("doc_id").orderBy(
-        F.col("__df").asc(), F.col("shingle").asc())
-    ranked = (sh.join(dfreq, "shingle")
-              .select("doc_id", "shingle",
-                      F.row_number().over(order).alias("__pos"))
-              .join(sizes, "doc_id"))
+    arrs = (sh.join(dfreq, "shingle")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("__df", "shingle")))
+                 .alias("__ord"))
+            .select("doc_id",
+                    F.transform(F.col("__ord"), lambda s: s["shingle"])
+                    .alias("arr"),
+                    F.size("__ord").alias("n_sh"))
+            .localCheckpoint(eager=True))
     # prefix length |x| - ceil(τ|x|) + 1 (Jaccard prefix, Xiao et al. §3)
-    pre = ranked.where(
-        F.col("__pos")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    plen = (F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    pre = (arrs.select("doc_id", "n_sh",
+                       F.explode(F.slice("arr", 1, plen)).alias("shingle")))
     a = pre.select(F.col("doc_id").alias("doc_a"), "shingle",
                    F.col("n_sh").alias("na"))
     b = pre.select(F.col("doc_id").alias("doc_b"), "shingle",
@@ -464,13 +477,15 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
                    & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb"))))
             .select("doc_a", "doc_b", "na", "nb")
             .distinct())
-    # exact verify: intersection count over the FULL shingle sets of the
-    # surviving candidates only (two equi-joins keyed by doc id + shingle)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b", "na", "nb")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
+    # exact verify over the full shingle arrays of surviving candidates
+    inter = (cand
+             .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("arr").alias("__arr_a")), "doc_a")
+             .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                               F.col("arr").alias("__arr_b")), "doc_b")
+             .select("doc_a", "doc_b", "na", "nb",
+                     F.size(F.array_intersect("__arr_a", "__arr_b"))
+                     .alias("n_inter")))
     return (inter.withColumn(
                 "jaccard",
                 F.col("n_inter").cast("double")

@@ -229,9 +229,9 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame,
                .select(F.col("dst").alias("id")).distinct())
         new = (nxt.join(visited.select("id"), "id", "left_anti")
                .withColumn("dist", F.lit(d).cast("bigint")))
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
         frontier = visited.where(F.col("dist") == d).select("id")
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
     return visited
 
@@ -345,7 +345,7 @@ def _cc_alternating(und: DataFrame, max_iters: int,
     prev = None
     for i in range(max_iters):
         e = _small_star(_large_star(
-            e, dedupe=intermediate_distinct)).localCheckpoint()
+            e, dedupe=intermediate_distinct)).localCheckpoint(eager=False)
         # cheap stall TRIGGER: one aggregate over the edge set (labels
         # only decrease, so these stats stall at the fixpoint). The
         # trigger may rarely fire early — harmless, because the sound
@@ -656,7 +656,7 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
     sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .unionAll(und.select(F.col("b").alias("u"),
                                 F.col("a").alias("v")))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     prev_alive = -1
     for _ in range(int(max_iters)):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -673,7 +673,7 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
         sym = (sym.join(alive, "u", "left_semi")
                .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
                .select("u", "v")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     raise RuntimeError(
         f"k_core did not converge within max_iters={max_iters}; "
         "raise max_iters (peeling depth exceeds the bound)")
@@ -796,7 +796,7 @@ def _bounded_squared(e: DataFrame, max_doublings: int = 4,
         a = r.select("src", F.col("dst").alias("mid"))
         b = r.select(F.col("src").alias("mid"), "dst")
         r2 = (r.unionByName(a.join(b, "mid").select("src", "dst"))
-              .distinct().localCheckpoint(eager=True))
+              .distinct().localCheckpoint(eager=False))
         if r2.count() > growth_cap * base:
             return r
         r = r2
@@ -828,7 +828,7 @@ def _directed_min_reach(nodes: DataFrame, edges: DataFrame,
                 .select(F.col(dst).alias("id"), "label"))
         labels = (labels.unionByName(prop)
                   .groupBy("id").agg(F.min("label").alias("label"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             return labels, True
@@ -875,7 +875,7 @@ def _scc_trim(remaining: DataFrame, e: DataFrame, max_rounds: int):
                                     F.max("i").alias("i")))
         keep = (flags.where((F.col("o") == 1) & (F.col("i") == 1))
                 .select("id")
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         n_keep = keep.count()
         if n_keep == n_rem:
             break

@@ -155,7 +155,7 @@ def resolve_redirects(redirects: DataFrame, src_col: str = "src",
                      F.coalesce(F.col("cur2"), F.col("cur")).alias("cur"),
                      (F.col("hops") + F.coalesce(F.col("hops2"), F.lit(0)))
                      .alias("hops"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     # a pointer that still redirects after 2^rounds >= n hops is cyclic
     term = m.join(srcs, m["cur"] == srcs["rs"], "left")
     return term.select(
