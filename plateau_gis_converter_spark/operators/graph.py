@@ -554,9 +554,15 @@ def triangle_listing(edges: DataFrame) -> DataFrame:
     Output: one row per triangle, node ids ascending (ta < tb < tc).
     """
     a, b = F.col("src"), F.col("dst")
+    # r6 OPTIMIZATION: ``und`` feeds two branches (degree count and the
+    # orientation join) and the oriented relation ``o`` feeds three (both
+    # wedge sides and the closing edge) — persist both so the
+    # distinct/degree subtrees run once instead of being re-derived per
+    # branch (persist, not checkpoint, keeps the FileScan visible to the
+    # plan-pruning audits). Same relations, same triangles.
     und = (edges.where(a != b)
            .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-           .distinct())
+           .distinct().persist())
     deg = (und.select(F.col("a").alias("id"))
            .unionAll(und.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
@@ -569,7 +575,8 @@ def triangle_listing(edges: DataFrame) -> DataFrame:
          .join(deg.alias("db"), und["b"] == F.col("db.id"))
          .select(F.when(lower_a, ia).otherwise(ib).alias("u"),
                  F.when(lower_a, ib).otherwise(ia).alias("v"),
-                 F.when(lower_a, db).otherwise(da).alias("dv")))
+                 F.when(lower_a, db).otherwise(da).alias("dv"))
+         .persist())
 
     # wedges at the apex u, ordered (dv, v) so each unordered pair of
     # out-neighbors appears once; the closing edge (v1 -> v2) is oriented

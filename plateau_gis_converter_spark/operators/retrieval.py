@@ -77,7 +77,7 @@ def postings(docs: DataFrame, text_col: str = "text",
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
-              exact: bool = True) -> DataFrame:
+              exact: bool = True, post: DataFrame | None = None) -> DataFrame:
     """Top-k docs per query by BM25 (k1=1.2, b=0.75).
 
     ``queries``: (query_id bigint, term string) — one row per query
@@ -93,8 +93,11 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     # index" stage — at production scale this is a parquet/bucketed
     # table, cf. sources/bucketed.py); without it the tf/df/stats/score
     # consumers would each re-run the tokenize+explode scan (audited:
-    # 18 exchanges -> 8, ~2x wall at sf0.1)
-    post = postings(docs, text_col, id_col).localCheckpoint(eager=True)
+    # 18 exchanges -> 8, ~2x wall at sf0.1). r6: callers that already
+    # hold the materialized index pass it via ``post`` — the gate entry
+    # shares ONE postings build between corpus_queries and the scorer.
+    if post is None:
+        post = postings(docs, text_col, id_col).localCheckpoint(eager=True)
     # O(1) corpus scalars: N docs with >=1 term, T total bigram tokens
     row = (post.groupBy("doc_id").agg(F.max("dl").alias("dl"))
            .groupBy().agg(F.count(F.lit(1)).alias("n"),
@@ -137,19 +140,34 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
 def corpus_queries(docs: DataFrame, n_queries: int = 8,
                    skip: int = 5, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   post: DataFrame | None = None) -> DataFrame:
     """Deterministic corpus-derived probe queries: rank terms by
     (df desc, term), skip the ``skip`` most common (stop-bigrams), and
     pair consecutive ranks into ``n_queries`` two-term queries.  Purely
     a fixture generator for gates/benches — real callers pass their own
     query relation."""
-    dfreq = (doc_terms(docs, text_col, id_col)
-             .groupBy("term")
-             .agg(F.count_distinct("doc_id").alias("df")))
+    # r6: with a prebuilt (doc_id, term, tf) index, df per term is the
+    # plain row count (one row per distinct (doc, term)) — identical to
+    # count_distinct(doc_id) over raw occurrences
+    if post is not None:
+        dfreq = (post.groupBy("term")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    else:
+        dfreq = (doc_terms(docs, text_col, id_col)
+                 .groupBy("term")
+                 .agg(F.count_distinct("doc_id").alias("df")))
+    # r6 OPTIMIZATION: the global row_number window forced a
+    # single-partition sort of the full term dictionary; only the top
+    # skip + 2*n_queries terms can survive, so take them with
+    # orderBy().limit() (planned as TakeOrderedAndProject — parallel
+    # partial top-k per partition, merged once) and rank inside that
+    # O(n_queries) relation. Same order key, identical ranks.
+    m = skip + 2 * n_queries
+    top = dfreq.orderBy(F.col("df").desc(), F.col("term")).limit(m)
     w = Window.orderBy(F.col("df").desc(), F.col("term"))
-    ranked = (dfreq.withColumn("r", F.row_number().over(w))
-              .where((F.col("r") > skip)
-                     & (F.col("r") <= skip + 2 * n_queries)))
+    ranked = (top.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") > skip))
     return ranked.select(
         F.floor((F.col("r") - skip - 1) / 2).cast("bigint")
         .alias("query_id"),
@@ -262,7 +280,8 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 5, n_docs: int | None = None,
 
 
 def maxscore_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  post: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 with MaxScore candidate pruning (Turtle & Flood 1995;
     the block-max/WAND family) — LOSSLESSLY identical output to
     ``bm25_topk(exact=True)``, but the expensive per-(query, doc)
@@ -295,7 +314,8 @@ def maxscore_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     queries/θ/term-classes are O(|queries|) broadcasts; the candidate
     join is an equi-join keyed by (query, doc) — no all-pairs anywhere.
     """
-    post = postings(docs, text_col, id_col).localCheckpoint(eager=True)
+    if post is None:
+        post = postings(docs, text_col, id_col).localCheckpoint(eager=True)
     row = (post.groupBy("doc_id").agg(F.max("dl").alias("dl"))
            .groupBy().agg(F.count(F.lit(1)).alias("n"),
                           F.sum("dl").alias("t"))

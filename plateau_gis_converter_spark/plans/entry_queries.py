@@ -49,7 +49,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(par // 2, 2):
-        df = df.repartition(par)
+        if os.environ.get("SPARK_GRAFT_T_RR") == "1":
+            df = df.repartition(par)
+        else:
+            # r6 OPTIMIZATION: hash-repartition on the table's leading
+            # (key) column instead of round-robin — a keyless
+            # repartition(n) first pays a local SORT of its input so
+            # retried tasks reproduce the same row placement
+            # (SPARK-23207, guide §2.5); hashing a deterministic key
+            # needs no sort and is retry-stable. Results are
+            # partitioning-independent (house rule; gates are
+            # order-insensitive).
+            df = df.repartition(par, F.col(df.columns[0]))
     return df
 
 
@@ -3173,8 +3184,9 @@ def q_bm25_topk(spark, sf_dir):
     from ..operators import retrieval as rt
 
     docs = _t(spark, sf_dir, "documents")
-    qs = rt.corpus_queries(docs, n_queries=8, skip=5)
-    return rt.bm25_topk(docs, qs, k=10)
+    post = rt.postings(docs).localCheckpoint(eager=True)
+    qs = rt.corpus_queries(docs, n_queries=8, skip=5, post=post)
+    return rt.bm25_topk(docs, qs, k=10, post=post)
 
 
 def q_phrase_search(spark, sf_dir):
@@ -7406,8 +7418,9 @@ def q_wand_topk(spark, sf_dir):
     from ..operators import retrieval as rt
 
     docs = _t(spark, sf_dir, "documents")
-    qs = rt.corpus_queries(docs, n_queries=6, skip=11)
-    return rt.maxscore_topk(docs, qs, k=10)
+    post = rt.postings(docs).localCheckpoint(eager=True)
+    qs = rt.corpus_queries(docs, n_queries=6, skip=11, post=post)
+    return rt.maxscore_topk(docs, qs, k=10, post=post)
 
 
 SQL_WAND_TOPK = """
