@@ -183,17 +183,31 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16,
 def jaccard_verify(cand: DataFrame, sh: DataFrame,
                    threshold: float) -> DataFrame:
     """Exact shingle-set Jaccard over candidate (doc_a, doc_b) pairs.
-    ``sh`` must carry (doc_id, shingle) for every doc appearing in
-    ``cand``; shuffles on the shingle key for the intersection and on
-    doc ids for the size joins — never all-pairs."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+    ``sh`` must carry distinct (doc_id, shingle) rows for every doc
+    appearing in ``cand`` (the ``shingles()`` contract).
+
+    r6 OPTIMIZATION (same rework as prefix_filter_jaccard_pairs): the
+    per-doc shingle set folds into ONE array row per document and the
+    intersection is size(array_intersect(arr_a, arr_b)) per candidate —
+    two doc-keyed equi-joins shuffling one array per doc, instead of the
+    candidate relation exploding to one row per (pair, shared shingle)
+    through a (doc, shingle)-keyed double join. Identical pairs and
+    jaccard values (sh is distinct per doc, so the set size equals the
+    old row count and array_intersect equals the old match count)."""
+    arrs = (sh.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("arr"))
+            .select("doc_id", "arr", F.size("arr").alias("n_sh")))
+    inter = (cand
+             .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("arr").alias("__arr_a"),
+                               F.col("n_sh").alias("na")), "doc_a")
+             .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                               F.col("arr").alias("__arr_b"),
+                               F.col("n_sh").alias("nb")), "doc_b")
+             .select("doc_a", "doc_b", "na", "nb",
+                     F.size(F.array_intersect("__arr_a", "__arr_b"))
+                     .alias("n_inter")))
+    return (inter
             .withColumn("jaccard",
                         F.col("n_inter").cast("double")
                         / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"))

@@ -433,7 +433,7 @@ def cocitation_pairs(edges: DataFrame, min_count: int = 2,
     Returns (page_a, page_b, n_common) with page_a < page_b and
     n_common >= min_count.
     """
-    e = edges.select("src", "dst").distinct()
+    e = edges.select("src", "dst").distinct().persist()
     if max_fanout is not None:
         keep = (e.groupBy("src")
                 .agg(F.count(F.lit(1)).alias("f"))
@@ -470,7 +470,7 @@ def resource_allocation_pairs(edges: DataFrame, min_count: int = 2,
     n_common >= min_count; ra_e6 = sum over common sources of
     (1_000_000 div out_degree(source)).
     """
-    e = edges.select("src", "dst").distinct()
+    e = edges.select("src", "dst").distinct().persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("f"))
     if max_fanout is not None:
         deg = deg.where(F.col("f") <= max_fanout)
@@ -535,7 +535,8 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
                          .alias("community"))
 
 
-def triangle_listing(edges: DataFrame) -> DataFrame:
+def triangle_listing(edges: DataFrame,
+                     und: DataFrame | None = None) -> DataFrame:
     """Exact triangle listing over the (directed) link graph, treated as
     a simple undirected graph — the primitive behind clustering
     coefficients and link-farm/spam-cluster detection (tightly
@@ -559,10 +560,14 @@ def triangle_listing(edges: DataFrame) -> DataFrame:
     # wedge sides and the closing edge) — persist both so the
     # distinct/degree subtrees run once instead of being re-derived per
     # branch (persist, not checkpoint, keeps the FileScan visible to the
-    # plan-pruning audits). Same relations, same triangles.
-    und = (edges.where(a != b)
-           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-           .distinct().persist())
+    # plan-pruning audits). Same relations, same triangles. Callers that
+    # already hold the normalized undirected relation pass it via
+    # ``und`` (clustering_coefficients shares its persisted copy).
+    if und is None:
+        und = (edges.where(a != b)
+               .select(F.least(a, b).alias("a"),
+                       F.greatest(a, b).alias("b"))
+               .distinct().persist())
     deg = (und.select(F.col("a").alias("id"))
            .unionAll(und.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
@@ -616,14 +621,16 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     Output: (id, degree, n_tri, cc_ppm).
     """
     a, b = F.col("src"), F.col("dst")
+    # r6: share ONE persisted undirected relation with triangle_listing
+    # (it was re-derived independently on both sides before)
     und = (edges.where(a != b)
            .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-           .distinct())
+           .distinct().persist())
     deg = (und.select(F.col("a").alias("id"))
            .unionAll(und.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).cast("bigint")
                               .alias("degree")))
-    tri = triangle_listing(edges)
+    tri = triangle_listing(edges, und=und)
     per_node = (tri.select(F.explode(F.array("ta", "tb", "tc"))
                            .alias("id"))
                 .groupBy("id")
@@ -712,7 +719,7 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     reversed key, integer ppm. Output: one row
     (n_edges, n_reciprocal, reciprocity_ppm)."""
     e = (edges.where(F.col("src") != F.col("dst"))
-         .select("src", "dst").distinct())
+         .select("src", "dst").distinct().persist())
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi")
     agg = (e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -1154,7 +1161,7 @@ def hyperball_registers(nodes: DataFrame, edges: DataFrame,
     regs = cd.hll_registers_grouped(
         ids.select("id", F.col("id").alias("member")),
         "member", ["id"], p=p)
-    e = edges.select(F.col("src").alias("id"), F.col("dst"))
+    e = edges.select(F.col("src").alias("id"), F.col("dst")).persist()
     for _ in range(int(radius)):
         nbr = (e.join(regs.select(F.col("id").alias("dst"), "bucket",
                                   "r"), "dst")
@@ -1229,9 +1236,11 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     degree-regular graphs (zero variance).
     """
     a, b = F.col("src"), F.col("dst")
+    # r6: und feeds the degree union (2x) and the end-degree joins —
+    # persist so the distinct runs once per query, not per branch
     und = (edges.where(a != b)
            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-           .distinct())
+           .distinct().persist())
     deg = (und.select(F.col("u").alias("id"))
            .unionAll(und.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).cast("bigint")
@@ -1268,9 +1277,11 @@ def rich_club(edges: DataFrame, ks: tuple = (1, 2, 3)) -> DataFrame:
     Output: (k, n_nodes, n_edges, phi_ppm) — NULL phi under 2 nodes.
     """
     a, b = F.col("src"), F.col("dst")
+    # r6: und feeds the degree union (2x) and the end-degree joins —
+    # persist so the distinct runs once per query, not per branch
     und = (edges.where(a != b)
            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-           .distinct())
+           .distinct().persist())
     deg = (und.select(F.col("u").alias("id"))
            .unionAll(und.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).cast("bigint")

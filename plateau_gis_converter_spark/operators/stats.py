@@ -659,9 +659,12 @@ def spearman_group_corr(df: DataFrame, group_col: str, x_col: str,
     side is constant (den = 0) or the group exceeds the exact bound.
     """
     g = F.col(group_col)
+    # r6: base feeds three branches (both rank derivations and the
+    # ranked fact join) — persist so the source union scans once
     base = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
             .select(g.alias("g"), F.col(x_col).cast("bigint").alias("x"),
-                    F.col(y_col).cast("bigint").alias("y")))
+                    F.col(y_col).cast("bigint").alias("y"))
+            .persist())
 
     def doubled(col: str, out: str) -> DataFrame:
         counts = (base.groupBy("g", col)
@@ -1143,14 +1146,19 @@ def mad_outlier_flags(df: DataFrame, group_col: str, value_col: str,
 
     Output: (key, group, value, med, mad, outlier).
     """
+    # r6: base feeds the median derivation AND the fact join; dev feeds
+    # the MAD derivation AND the output join — persist both so each
+    # subtree runs once per query instead of per branch
     base = (df.where(F.col(value_col).isNotNull())
             .select(F.col(key_col).alias("k"),
                     F.col(group_col).alias("g"),
-                    F.col(value_col).cast("bigint").alias("x")))
+                    F.col(value_col).cast("bigint").alias("x"))
+            .persist())
     med = (group_value_quantiles(base, "g", "x", [500_000])
            .select(F.col("g"), F.col("value").alias("med")))
     with_med = base.join(med, "g")
-    dev = with_med.withColumn("ad", F.abs(F.col("x") - F.col("med")))
+    dev = (with_med.withColumn("ad", F.abs(F.col("x") - F.col("med")))
+           .persist())
     mad = (group_value_quantiles(dev, "g", "ad", [500_000])
            .select(F.col("g"), F.col("value").alias("mad")))
     out = dev.join(mad, "g")
