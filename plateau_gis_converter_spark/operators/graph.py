@@ -1277,11 +1277,12 @@ def rich_club(edges: DataFrame, ks: tuple = (1, 2, 3)) -> DataFrame:
     Output: (k, n_nodes, n_edges, phi_ppm) — NULL phi under 2 nodes.
     """
     a, b = F.col("src"), F.col("dst")
-    # r6: und feeds the degree union (2x) and the end-degree joins —
-    # persist so the distinct runs once per query, not per branch
+    # (r6: the persist applied to the sibling assortativity construction
+    # measured SLOWER here — rich_club's branches reuse the same deg
+    # exchange, so the cache only added write cost; left unpersisted)
     und = (edges.where(a != b)
            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-           .distinct().persist())
+           .distinct())
     deg = (und.select(F.col("u").alias("id"))
            .unionAll(und.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).cast("bigint")
