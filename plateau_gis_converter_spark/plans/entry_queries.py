@@ -9718,8 +9718,14 @@ def q_mix_plan(spark, sf_dir):
            .select(F.col("lang").alias("source"), "avail",
                    (F.ascii(F.substring(F.col("lang"), 1, 1)) - 96)
                    .cast("bigint").alias("weight")))
-    total = (docs.agg(F.sum("n_chars")).collect()[0][0]) or 0
-    budget = int(total) * 3 // 5
+    # r6 OPTIMIZATION (VERDICT r5 #3): the 60%-of-corpus budget scalar
+    # folds in LAZILY as a 1-row aggregate relation (broadcast crossJoin
+    # inside mix_waterfill) instead of an eager driver collect() that
+    # forced a full extra pass over documents at plan-build time.
+    # (sum * 3) div 5 == int(total) * 3 // 5 for the non-negative sum.
+    budget = docs.agg(F.expr(
+        "(coalesce(sum(n_chars), 0) * 3) div 5").cast("bigint")
+        .alias("__budget"))
     out = sp.mix_waterfill(src, budget)
     return out.withColumn("saturated",
                           F.col("saturated").cast("int"))

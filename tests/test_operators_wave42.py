@@ -49,6 +49,29 @@ def test_waterfill_zero_weight_gets_nothing(spark):
     assert got["b"] == (False, 30)
 
 
+def test_waterfill_lazy_budget_relation_matches_int_form(spark):
+    # r6: the budget may be a 1-row relation (folded in as a broadcast
+    # crossJoin — no driver collect); results must equal the int form
+    from pyspark.sql import functions as F
+
+    src = _src(spark, [("a", 10, 1), ("b", 100, 1), ("c", 100, 1),
+                       ("z", 50, 0)])
+    bdf = spark.range(1).select(F.lit(90).cast("bigint").alias("b"))
+    want = sorted(map(tuple, sp.mix_waterfill(src, 90).collect()))
+    got = sorted(map(tuple, sp.mix_waterfill(src, bdf).collect()))
+    assert got == want
+
+
+def test_waterfill_lazy_budget_rejects_multi_column(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = _src(spark, [("a", 10, 1)])
+    bad = spark.range(1).select(F.lit(1).alias("x"), F.lit(2).alias("y"))
+    with pytest.raises(ValueError, match="exactly one"):
+        sp.mix_waterfill(src, bad)
+
+
 # ---------------------------------------------------------- calibration bins
 
 def test_calibration_bins_and_ece(spark):
