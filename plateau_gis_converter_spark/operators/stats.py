@@ -34,17 +34,26 @@ def value_quantiles(df: DataFrame, col: str,
         raise ValueError("qs_ppm must be non-empty")
     if not all(0 < q <= 1_000_000 for q in qs_ppm):
         raise ValueError(f"qs_ppm must be in (0, 1e6], got {qs_ppm}")
+    # r6 OPTIMIZATION (the group_value_quantiles pattern applied back):
+    # the total count n is a second window over the SAME ordered
+    # single-partition relation the running sum already uses — no
+    # driver collect(), so deriving n no longer forces a second pass
+    # over df's lineage before the main job. The target rank is the
+    # identical integer expression, now evaluated in the join condition
+    # (int64-safe while q * n < 2^63, i.e. n <= ~9.2e12 rows — beyond
+    # that pre-aggregate per shard first).
     counts = (df.groupBy(F.col(col).alias("v"))
               .agg(F.count(F.lit(1)).alias("c")))
-    n = counts.agg(F.sum("c")).collect()[0][0] or 0
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.withColumn("cum", F.sum("c").over(w))
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing)
+    cum = (counts.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wall)))
     spark = df.sparkSession
-    targets = spark.createDataFrame(
-        [(int(q), (int(q) * int(n) + 999_999) // 1_000_000)
-         for q in sorted(set(qs_ppm))],
-        "q_ppm long, tgt long")
-    return (cum.join(F.broadcast(targets), F.col("cum") >= F.col("tgt"))
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(qs_ppm))], "q_ppm long")
+    tgt = F.expr("(q_ppm * n + 999999) div 1000000")
+    return (cum.join(F.broadcast(qdf), F.col("cum") >= tgt)
             .groupBy("q_ppm")
             .agg(F.min("v").alias("value")))
 
@@ -96,19 +105,27 @@ def histogram_quantiles(hist: DataFrame,
         raise ValueError("qs_ppm must be non-empty")
     if not all(0 < q <= 1_000_000 for q in qs_ppm):
         raise ValueError(f"qs_ppm must be in (0, 1e6], got {qs_ppm}")
-    n = hist.agg(F.sum("cnt")).collect()[0][0] or 0
+    # r6 OPTIMIZATION (same rework as value_quantiles): n comes from a
+    # second window over the same ordered register relation instead of
+    # a driver collect() (which re-derived the sketch lineage), and the
+    # answering bin's (lo, hi) rides along in a min(struct) so the old
+    # join back into hist (a third derivation) is gone — ONE pass over
+    # the sketch lineage total. bin_id is unique per register row, so
+    # min(struct(bin_id, lo, hi)) is exactly the old min(bin_id) row.
     w = Window.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    wall = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(wall)))
     spark = hist.sparkSession
-    targets = spark.createDataFrame(
-        [(int(q), (int(q) * int(n) + 999_999) // 1_000_000)
-         for q in sorted(set(qs_ppm))],
-        "q_ppm long, tgt long")
-    first = (cum.join(F.broadcast(targets), F.col("cum") >= F.col("tgt"))
-             .groupBy("q_ppm")
-             .agg(F.min("bin_id").alias("bin_id")))
-    return (first.join(hist.select("bin_id", "lo", "hi"), "bin_id")
-            .select("q_ppm", "lo", "hi"))
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(qs_ppm))], "q_ppm long")
+    tgt = F.expr("(q_ppm * n + 999999) div 1000000")
+    return (cum.join(F.broadcast(qdf), F.col("cum") >= tgt)
+            .groupBy("q_ppm")
+            .agg(F.min(F.struct("bin_id", "lo", "hi")).alias("b"))
+            .select("q_ppm", F.col("b.lo").alias("lo"),
+                    F.col("b.hi").alias("hi")))
 
 
 def decayed_counts(df: DataFrame, key_col: str, ts_col: str = "ts",
@@ -236,8 +253,8 @@ def group_value_quantiles(df: DataFrame, group_col: str, col: str,
                           qs_ppm: list[int]) -> DataFrame:
     """Per-GROUP exact type-1 quantiles with no global sort and no
     driver roundtrip — the grouped generalization of ``value_quantiles``
-    (which collects the total count to build its target relation; this
-    version keeps the per-group total as a window over the same key, so
+    (both keep the total as a second window over the same ordered
+    relation; this version partitions the windows by the group key, so
     it scales to any number of groups).
 
     One partial-agg shuffle ((group, value) counts), two windows over
